@@ -1,0 +1,25 @@
+"""incrementalinference.jl_tpu — TPU-native factor-graph inference.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+JuliaRobotics/IncrementalInference.jl (MM-iSAMv2): nonparametric
+(particle/KDE) and parametric inference over factor graphs on the Bayes
+(junction) tree.  See SURVEY.md for the reference analysis this build
+follows.
+"""
+
+from .beliefs import Belief, kde_logpdf, kde_sample, make_belief, mean_cov, ppe
+from .config import SolverParams
+from .distributions import (AliasingScalarSampler, Categorical, MvNormal,
+                            Normal, Rayleigh, Uniform)
+from .graph import (Circular, ContinuousEuclid, ContinuousScalar, Factor,
+                    FactorGraph, Position, Variable, VariableType, initfg)
+from .graphinit import doautoinit, init_all, init_variable
+from . import manifolds
+from .manifolds import SE2, SE3, SO2, SO3, Circle, Euclidean
+from .models import (CircularCircular, EuclidDistance, GenericMarginal,
+                     LinearRelative, ManifoldFactor, ManifoldPrior, MetaPrior,
+                     Mixture, MsgPrior, PartialPrior, Prior, PriorCircular)
+from .ops import (approx_conv_belief, eval_factor, local_product,
+                  manifold_product, propagate_belief)
+
+__version__ = "0.1.0"

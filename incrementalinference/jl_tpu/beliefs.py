@@ -1,0 +1,108 @@
+"""Particle/KDE beliefs on manifolds.
+
+TPU-native replacement for the reference's ManifoldKernelDensity /
+``TreeBelief`` (reference: src/entities/BeliefTypes.jl:23-57) and the
+ball-tree KDE machinery it gets from KernelDensityEstimate.jl.  A belief is a
+fixed-shape particle array plus a diagonal tangent-space bandwidth — exactly
+the layout that maps onto batched XLA kernels and ICI collectives
+(SURVEY.md §2.9.5).
+
+Every routine is pure and jit-friendly; bandwidth selection is Silverman's
+rule in the tangent space at the Karcher mean (the reference delegates to
+KDE.jl's LOO-CV; Silverman matches its statistical role at N≈100).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .manifolds import Manifold
+
+
+class Belief(NamedTuple):
+    """KDE belief: ``points`` (N, point_dim), ``bw`` (dof,) 1-sigma tangent
+    bandwidths, ``ipc`` infoPerCoord (dof,) (reference TreeBelief fields
+    val/bw/infoPerCoord, BeliefTypes.jl:23-34)."""
+
+    points: jnp.ndarray
+    bw: jnp.ndarray
+    ipc: jnp.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.points.shape[0]
+
+
+def silverman_bw(manifold: Manifold, points: jnp.ndarray,
+                 floor: float = 1e-4) -> jnp.ndarray:
+    """Per-dimension Silverman bandwidth in the tangent space at the mean."""
+    n = points.shape[0]
+    mu = manifold.mean(points)
+    X = manifold.log(mu[None, :], points)              # (N, dof)
+    sd = jnp.std(X, axis=0)
+    d = X.shape[-1]
+    factor = (4.0 / ((d + 2.0) * n)) ** (1.0 / (d + 4.0))
+    return jnp.maximum(sd * factor, floor)
+
+
+def make_belief(manifold: Manifold, points: jnp.ndarray,
+                bw: jnp.ndarray | None = None,
+                ipc: jnp.ndarray | None = None) -> Belief:
+    if bw is None:
+        bw = silverman_bw(manifold, points)
+    if ipc is None:
+        ipc = jnp.ones((manifold.dof,), points.dtype)
+    return Belief(points=points, bw=jnp.asarray(bw), ipc=jnp.asarray(ipc))
+
+
+def kde_logpdf(manifold: Manifold, belief: Belief,
+               query: jnp.ndarray) -> jnp.ndarray:
+    """log p(query) under the Gaussian-kernel KDE.  query: (Q, point_dim)."""
+    X = manifold.log(belief.points[None, :, :], query[:, None, :])  # (Q,N,dof)
+    z = X / belief.bw
+    logk = -0.5 * jnp.sum(z * z, axis=-1)                           # (Q, N)
+    lognorm = (jnp.sum(jnp.log(belief.bw))
+               + 0.5 * belief.bw.shape[-1] * jnp.log(2.0 * jnp.pi))
+    n = belief.points.shape[0]
+    return jax.scipy.special.logsumexp(logk, axis=-1) - jnp.log(float(n)) - lognorm
+
+
+def kde_sample(manifold: Manifold, belief: Belief, key, n: int) -> jnp.ndarray:
+    """Draw n samples from the KDE (uniform kernel choice + tangent noise)."""
+    kidx, knoise = jax.random.split(key)
+    idx = jax.random.randint(kidx, (n,), 0, belief.points.shape[0])
+    centers = belief.points[idx]
+    X = belief.bw * jax.random.normal(knoise, (n, belief.bw.shape[-1]))
+    return manifold.exp(centers, X)
+
+
+def mean_cov(manifold: Manifold, points: jnp.ndarray):
+    """On-manifold mean and tangent-space covariance
+    (reference: src/services/VariableStatistics.jl calcMeanCovar)."""
+    mu = manifold.mean(points)
+    X = manifold.log(mu[None, :], points)
+    cov = (X.T @ X) / jnp.maximum(points.shape[0] - 1, 1)
+    return mu, cov
+
+
+def ppe(manifold: Manifold, belief: Belief):
+    """Posterior point estimates (reference calcPPE → MeanMaxPPE,
+    src/services/FGOSUtils.jl:237-274): suggested=max-density particle,
+    mean=Karcher mean, max=argmax of KDE over own particles."""
+    mu = manifold.mean(belief.points)
+    lp = kde_logpdf(manifold, belief, belief.points)
+    pmax = belief.points[jnp.argmax(lp)]
+    return {"mean": mu, "max": pmax, "suggested": pmax}
+
+
+def spread_estimate(manifold: Manifold, points_a: jnp.ndarray,
+                    points_b: jnp.ndarray) -> jnp.ndarray:
+    """Mean pairwise distance proxy between two particle clouds — drives the
+    entropy-inflation spread (reference calcVariableDistanceExpectedFractional,
+    src/services/EvalFactor.jl:34-76)."""
+    mu_a = manifold.mean(points_a)
+    d = manifold.dist(mu_a[None, :], points_b)
+    return jnp.mean(d) + jnp.std(d)

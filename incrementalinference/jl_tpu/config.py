@@ -1,0 +1,74 @@
+"""Solver configuration.
+
+TPU-native analogue of the reference's ``SolverParams``
+(reference: src/entities/SolverParams.jl:12-75).  A frozen-ish dataclass
+attached to each :class:`~incrementalinference.jl_tpu.graph.FactorGraph`;
+per-call keyword overrides on the solve entry points take precedence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass
+class SolverParams:
+    """Global solver knobs.
+
+    Field parity with the reference's SolverParams (SolverParams.jl:12-75),
+    re-expressed for a statically-scheduled TPU solver.  Fields that only
+    made sense for the Julia task/channel runtime (``multiproc``, ``dbg``
+    async-drawing, …) are replaced by their scheduler equivalents in
+    :mod:`incrementalinference.jl_tpu.parallel`.
+    """
+
+    # Particle count per marginal belief (reference default N=100).
+    N: int = 100
+    # Solve-key bookkeeping: which algorithms get per-variable solver data.
+    algorithms: tuple = ("default", "parametric")
+    # Auto-initialize variables from factor neighborhoods on addFactor.
+    graphinit: bool = True
+    # Incremental tree recycling between solves.
+    incremental: bool = True
+    # Use joint/likelihood up-messages (reference useMsgLikelihoods).
+    use_msg_likelihoods: bool = False
+    # Entropy inflation factor for convolution proposals (reference inflation=5.0).
+    inflation: float = 5.0
+    # Spread multiplier for null-hypothesis entropy (reference spreadNH=3.0).
+    spread_nh: float = 3.0
+    # Gibbs iterations per clique solve (reference gibbsIters=3).
+    gibbs_iters: int = 3
+    # Inflation/solve cycles per convolution (reference inflateCycles=3).
+    inflate_cycles: int = 3
+    # Fixed-lag marginalization window (0 = disabled; reference qfl/isfixedlag).
+    qfl: int = 0
+    is_fixed_lag: bool = False
+    fixed_lag_only_clique_side: bool = False
+    # Bound on scheduler iterations (reference limititers=500 guards the CSM;
+    # here it bounds the per-clique init fixed-point loop).
+    limit_iters: int = 500
+    # Max factors per variable before the graph builder refuses (maxincidence).
+    max_incidence: int = 500
+    # Elimination ordering: "qr" | "colamd" | "ccolamd" (constrained).
+    ordering: str = "qr"
+    # Gauss-Newton iterations for the batched per-particle solve.
+    conv_iters: int = 25
+    # Levenberg damping for the batched per-particle solve.
+    conv_damping: float = 1e-6
+    # Gibbs sweeps inside the KDE manifold product.
+    product_gibbs_sweeps: int = 3
+    # Upsolve only / downsolve only switches (reference upsolve/downsolve).
+    upsolve: bool = True
+    downsolve: bool = True
+    # Log path for per-clique traces (reference logpath).
+    logpath: str = "/tmp/iitpu"
+    # RNG seed used when the caller does not pass a key.
+    seed: int = 42
+    # Record per-clique scheduler traces (reference CSM history).
+    record_cliques: bool = False
+    # dtype for belief/particle arrays ("float32" is TPU-native).
+    dtype: str = "float32"
+
+    def replace(self, **kw: Any) -> "SolverParams":
+        return dataclasses.replace(self, **kw)

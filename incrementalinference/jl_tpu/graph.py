@@ -1,0 +1,229 @@
+"""Factor-graph container: variables, factors, solve keys.
+
+Host-side data model replacing DistributedFactorGraphs.jl plus the
+reference's graph-construction services (src/services/FactorGraph.jl).
+Device data (particle beliefs, parametric means/covariances) are JAX arrays
+hanging off the variables; all structure (labels, adjacency, solve keys) is
+plain Python — the irregular part stays on host, the numeric part stays
+fixed-shape for XLA (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .beliefs import Belief, make_belief
+from .config import SolverParams
+from .manifolds import Circle, Euclidean, Manifold
+
+__all__ = [
+    "VariableType", "Variable", "Factor", "FactorGraph", "initfg",
+    "ContinuousScalar", "ContinuousEuclid", "Position", "Circular",
+]
+
+
+class VariableType:
+    """A named manifold — the reference's `@defVariable` product
+    (src/Variables/DefaultVariables.jl:9-52)."""
+
+    def __init__(self, name: str, manifold: Manifold):
+        self.name = name
+        self.manifold = manifold
+
+    def __repr__(self):
+        return self.name
+
+    def __eq__(self, other):
+        return isinstance(other, VariableType) and \
+            (self.name, self.manifold) == (other.name, other.manifold)
+
+    def __hash__(self):
+        return hash((self.name, self.manifold))
+
+
+def ContinuousEuclid(n: int) -> VariableType:
+    return VariableType(f"ContinuousEuclid{n}", Euclidean(n))
+
+
+def Position(n: int) -> VariableType:
+    return VariableType(f"Position{n}", Euclidean(n))
+
+
+ContinuousScalar = ContinuousEuclid(1)
+Circular = VariableType("Circular", Circle())
+
+
+@dataclass
+class Variable:
+    """Graph variable with per-solveKey state (reference DFGVariable +
+    VariableNodeData, src/services/FactorGraph.jl:380-511)."""
+
+    label: str
+    vartype: VariableType
+    N: int = 100
+    tags: set = field(default_factory=set)
+    solvable: int = 1
+    # per-solveKey particle beliefs (solveKey "default", snapshots, ...)
+    beliefs: Dict[str, Belief] = field(default_factory=dict)
+    initialized: Dict[str, bool] = field(default_factory=dict)
+    ppe: Dict[str, dict] = field(default_factory=dict)
+    # parametric solve state: tangent mean point + covariance
+    parametric_point: Optional[jnp.ndarray] = None
+    parametric_cov: Optional[jnp.ndarray] = None
+    marginalized: bool = False
+
+    @property
+    def manifold(self) -> Manifold:
+        return self.vartype.manifold
+
+    def belief(self, solve_key: str = "default") -> Belief:
+        return self.beliefs[solve_key]
+
+    def is_initialized(self, solve_key: str = "default") -> bool:
+        return self.initialized.get(solve_key, False)
+
+    def default_points(self) -> jnp.ndarray:
+        """N copies of the identity point (reference setDefaultNodeData!,
+        FactorGraph.jl:453-511 allocates uninitialized points at identity)."""
+        ident = self.manifold.identity()
+        return jnp.broadcast_to(ident, (self.N,) + ident.shape).copy()
+
+
+@dataclass
+class Factor:
+    """Graph factor: model + variable order + discrete-hypothesis config
+    (reference DFGFactor + CommonConvWrapper metadata)."""
+
+    label: str
+    variables: Tuple[str, ...]
+    model: Any                       # a models.FactorModel instance
+    multihypo: Optional[Tuple[float, ...]] = None
+    nullhypo: float = 0.0
+    tags: set = field(default_factory=set)
+    solvable: int = 1
+
+    @property
+    def is_prior(self) -> bool:
+        return len(self.variables) == 1 and getattr(self.model, "is_prior", False)
+
+
+class FactorGraph:
+    """The in-memory factor graph (reference ``initfg``/LocalDFG)."""
+
+    def __init__(self, params: SolverParams | None = None):
+        self.params = params or SolverParams()
+        self.variables: Dict[str, Variable] = {}
+        self.factors: Dict[str, Factor] = {}
+        self._var_factors: Dict[str, List[str]] = {}
+        self._key = jax.random.PRNGKey(self.params.seed)
+        self._factor_counter = itertools.count()
+        self.solve_count = 0
+
+    # -- RNG plumbing: one root key, split per request --------------------
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- construction -----------------------------------------------------
+    def add_variable(self, label: str, vartype: VariableType,
+                     N: int | None = None, tags: Iterable[str] = (),
+                     solvable: int = 1) -> Variable:
+        if label in self.variables:
+            raise ValueError(f"variable {label!r} already exists")
+        v = Variable(label=label, vartype=vartype,
+                     N=N or self.params.N, tags=set(tags), solvable=solvable)
+        self.variables[label] = v
+        self._var_factors[label] = []
+        return v
+
+    def add_factor(self, variables: Sequence[str], model: Any,
+                   multihypo: Optional[Sequence[float]] = None,
+                   nullhypo: float = 0.0, label: str | None = None,
+                   graphinit: bool | None = None, tags: Iterable[str] = (),
+                   solvable: int = 1) -> Factor:
+        variables = tuple(variables)
+        for vl in variables:
+            if vl not in self.variables:
+                raise ValueError(f"unknown variable {vl!r}")
+            if len(self._var_factors[vl]) >= self.params.max_incidence:
+                raise ValueError(
+                    f"variable {vl!r} exceeds maxincidence="
+                    f"{self.params.max_incidence}")
+        if multihypo is not None:
+            multihypo = tuple(float(x) for x in multihypo)
+            if len(multihypo) != len(variables):
+                raise ValueError("multihypo length must match variables")
+        if label is None:
+            # reference assembleFactorName: join variable labels + "f<n>"
+            label = "".join(variables) + f"f{next(self._factor_counter) + 1}"
+        if label in self.factors:
+            raise ValueError(f"factor {label!r} already exists")
+        f = Factor(label=label, variables=variables, model=model,
+                   multihypo=multihypo, nullhypo=float(nullhypo),
+                   tags=set(tags), solvable=solvable)
+        self.factors[label] = f
+        for vl in variables:
+            self._var_factors[vl].append(label)
+
+        do_init = self.params.graphinit if graphinit is None else graphinit
+        if do_init:
+            from .graphinit import doautoinit
+            for vl in variables:
+                doautoinit(self, vl)
+        return f
+
+    # -- queries (reference ls/lsf/getNeighbors) --------------------------
+    def ls(self) -> List[str]:
+        return list(self.variables)
+
+    def lsf(self) -> List[str]:
+        return list(self.factors)
+
+    def var(self, label: str) -> Variable:
+        return self.variables[label]
+
+    def factor(self, label: str) -> Factor:
+        return self.factors[label]
+
+    def factors_of(self, var_label: str) -> List[str]:
+        return list(self._var_factors[var_label])
+
+    def neighbors(self, label: str) -> List[str]:
+        if label in self.variables:
+            return self.factors_of(label)
+        return list(self.factors[label].variables)
+
+    # -- belief get/set (reference getBelief / setValKDE!) ----------------
+    def get_belief(self, label: str, solve_key: str = "default") -> Belief:
+        return self.variables[label].beliefs[solve_key]
+
+    def set_belief(self, label: str, points: jnp.ndarray,
+                   solve_key: str = "default",
+                   bw: jnp.ndarray | None = None,
+                   ipc: jnp.ndarray | None = None,
+                   initialized: bool = True) -> Belief:
+        v = self.variables[label]
+        b = make_belief(v.manifold, points, bw=bw, ipc=ipc)
+        v.beliefs[solve_key] = b
+        v.initialized[solve_key] = initialized
+        return b
+
+    def points(self, label: str, solve_key: str = "default") -> jnp.ndarray:
+        v = self.variables[label]
+        b = v.beliefs.get(solve_key)
+        return v.default_points() if b is None else b.points
+
+    # -- misc -------------------------------------------------------------
+    def __repr__(self):
+        return (f"FactorGraph({len(self.variables)} variables, "
+                f"{len(self.factors)} factors)")
+
+
+def initfg(params: SolverParams | None = None) -> FactorGraph:
+    """Reference ``initfg`` (src/services/FactorGraph.jl:7-42)."""
+    return FactorGraph(params)

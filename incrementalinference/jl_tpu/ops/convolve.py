@@ -1,0 +1,247 @@
+"""Chapman-Kolmogorov approximate convolution — batched Gauss-Newton kernel.
+
+TPU-native rebuild of the reference's convolution engine
+(src/services/EvalFactor.jl evalFactor/evalPotentialSpecific,
+src/services/NumericalCalculations.jl _solveCCWNumeric!,
+src/services/ApproxConv.jl approxConvBelief).  The reference runs one
+NelderMead/BFGS `Optim.optimize` *per particle, serially* — the single
+hottest loop in MM-iSAM (SURVEY.md §2.9.4).  Here all N particles solve
+simultaneously: a `vmap`-batched damped Gauss-Newton in tangent coordinates,
+jacobians by `jax.jacfwd`, fixed iteration count under `lax.fori_loop` so
+XLA compiles one fused kernel per (factor structure, manifold, shape).
+
+Multihypothesis particle partitions become gathers + masks (ops/hypo.py);
+entropy inflation (reference #1051, EvalFactor.jl:145-237) is vectorised
+uniform tangent noise re-solved ``inflate_cycles`` times.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..beliefs import Belief, make_belief, spread_estimate
+from ..manifolds import Manifold
+from .hypo import build_masks, draw_hypotheses
+from .product import Proposal
+
+__all__ = [
+    "batched_gauss_newton", "add_entropy", "eval_factor",
+    "approx_conv_belief", "proposal_from_factor",
+]
+
+
+# ---------------------------------------------------------------------------
+# core kernels (jitted; `model` is a pytree, manifold/shapes are static)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("manifold", "sf_slot", "iters",
+                                             "partial_dims"))
+def batched_gauss_newton(manifold: Manifold, model, meas: jnp.ndarray,
+                         others: Tuple[jnp.ndarray, ...], x0: jnp.ndarray,
+                         sf_slot: int, iters: int = 25,
+                         damping: float = 1e-6,
+                         partial_dims: Optional[Tuple[int, ...]] = None):
+    """Solve, for every particle i, min_x ||residual(meas_i, ..., x, ...)||²
+    with x in the ``sf_slot`` argument position (reference per-particle
+    _solveCCWNumeric!, NumericalCalculations.jl:282-368 and the on-manifold
+    variant :413-452 — here one fused batched kernel instead of N Optim calls).
+
+    meas: (n, zdim); others: tuple of (n, point_dim_k); x0: (n, point_dim).
+    partial_dims: tangent dims to optimise (None = all) — partial factors
+    keep the remaining dims pinned (reference setPointPartial! semantics).
+    """
+    dof = manifold.dof
+    free = jnp.zeros((dof,), bool).at[jnp.asarray(partial_dims)].set(True) \
+        if partial_dims is not None else jnp.ones((dof,), bool)
+
+    def solve_one(meas_i, others_i, x0_i):
+        def res(X, x):
+            X = jnp.where(free, X, 0.0)
+            pts = list(others_i)
+            pts.insert(sf_slot, manifold.exp(x, X))
+            return model.residual(meas_i, *pts)
+
+        def body(_, x):
+            z = jnp.zeros((dof,), x0_i.dtype)
+            r0 = res(z, x)
+            J = jax.jacfwd(res, argnums=0)(z, x)          # (resdim, dof)
+            JtJ = J.T @ J + damping * jnp.eye(dof, dtype=x0_i.dtype)
+            step = jnp.linalg.solve(JtJ, J.T @ r0)
+            step = jnp.where(free, step, 0.0)
+            return manifold.exp(x, -step)
+
+        return jax.lax.fori_loop(0, iters, body, x0_i)
+
+    return jax.vmap(solve_one)(meas, others, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("manifold", "partial_dims"))
+def add_entropy(manifold: Manifold, points: jnp.ndarray, key,
+                spread: jnp.ndarray,
+                partial_dims: Optional[Tuple[int, ...]] = None):
+    """Uniform tangent-space perturbation: X_d ~ spread·U(-0.5, 0.5)
+    (reference addEntropyOnManifold!, src/services/EvalFactor.jl:95-132)."""
+    n = points.shape[0]
+    dof = manifold.dof
+    noise = spread * (jax.random.uniform(key, (n, dof)) - 0.5)
+    if partial_dims is not None:
+        mask = jnp.zeros((dof,), bool).at[jnp.asarray(partial_dims)].set(True)
+        noise = jnp.where(mask, noise, 0.0)
+    return manifold.exp(points, noise)
+
+
+# ---------------------------------------------------------------------------
+# factor evaluation (the reference's evalFactor)
+# ---------------------------------------------------------------------------
+
+def _overlay_partial(manifold: Manifold, base: jnp.ndarray,
+                     sampled: jnp.ndarray,
+                     partial_dims: Tuple[int, ...]) -> jnp.ndarray:
+    """Overlay sampled coords onto ``partial_dims`` of existing points
+    (valid for Euclidean/Circle coordinate manifolds, matching the
+    reference's coordinate-wise setPointPartial!)."""
+    idx = jnp.asarray(partial_dims)
+    return base.at[:, idx].set(sampled[:, :len(partial_dims)])
+
+
+def eval_factor(fg, factor, solvefor: str, key=None,
+                solve_key: str = "default", n: int | None = None,
+                inflate: bool = True):
+    """Compute proposal particles for ``solvefor`` through ``factor``
+    (reference evalFactor → evalPotentialSpecific, EvalFactor.jl:321-542).
+
+    Returns (points (n, point_dim), dim_mask (dof,) bool).
+    """
+    params = fg.params
+    if isinstance(factor, str):
+        factor = fg.factor(factor)
+    model = factor.model
+    v = fg.var(solvefor)
+    manifold = v.manifold
+    key = key if key is not None else fg.next_key()
+
+    nvars = len(factor.variables)
+    var_points = [fg.points(lbl, solve_key) for lbl in factor.variables]
+    maxlen = max([n or params.N] + [p.shape[0] for p in var_points])
+    sfidx = factor.variables.index(solvefor)
+
+    # current destination values (reference deepcopies the target memory,
+    # CalcFactor.jl:519-617) — identity-padded/truncated to maxlen
+    x_cur = var_points[sfidx]
+    if x_cur.shape[0] < maxlen:
+        reps = -(-maxlen // x_cur.shape[0])
+        x_cur = jnp.tile(x_cur, (reps, 1))[:maxlen]
+    else:
+        x_cur = x_cur[:maxlen]
+
+    partial_dims = getattr(model, "partial", None)
+    dim_mask = jnp.ones((manifold.dof,), bool)
+    if partial_dims is not None:
+        dim_mask = jnp.zeros((manifold.dof,), bool).at[
+            jnp.asarray(partial_dims)].set(True)
+
+    k_hypo, k_meas, k_null, k_inflate = jax.random.split(key, 4)
+
+    # ---------------- prior path (EvalFactor.jl:400-542) ----------------
+    if factor.is_prior:
+        pts = model.sample_points(k_meas, maxlen, manifold)
+        if partial_dims is not None:
+            pts = _overlay_partial(manifold, x_cur, pts, partial_dims)
+        if factor.nullhypo > 0.0:
+            mh = draw_hypotheses(k_hypo, maxlen, nvars, None, factor.nullhypo)
+            spread = params.spread_nh * spread_estimate(manifold, x_cur, x_cur)
+            nulled = add_entropy(manifold, x_cur, k_null, spread,
+                                 partial_dims)
+            pts = jnp.where((mh == 0)[:, None], nulled, pts)
+        return pts, dim_mask
+
+    # ---------------- relative path (EvalFactor.jl:321-395) -------------
+    mhidx = draw_hypotheses(k_hypo, maxlen, nvars, factor.multihypo,
+                            factor.nullhypo)
+    masks = build_masks(mhidx, sfidx, nvars, factor.multihypo)
+
+    meas = model.sample(k_meas, maxlen)
+
+    # assemble per-particle "other variable" point rows
+    def tile_to(p):
+        if p.shape[0] < maxlen:
+            reps = -(-maxlen // p.shape[0])
+            return jnp.tile(p, (reps, 1))[:maxlen]
+        return p[:maxlen]
+
+    var_points = [tile_to(p) for p in var_points]
+
+    if masks.uncertain_slot is None:
+        others = tuple(var_points[i] for i in range(nvars) if i != sfidx)
+        sf_slot = sfidx
+    else:
+        # gather the selected hypothesis variable per particle into the
+        # uncertain slot (reference "unroll hypo lambda",
+        # ExplicitDiscreteMarginalizations.jl:95-120)
+        stacked = jnp.stack(var_points)                    # (nvars, n, pd)
+        gathered = jnp.take_along_axis(
+            stacked, masks.gather_idx[None, :, None], axis=0)[0]
+        mech_points = []
+        for slot, fvidx in enumerate(masks.mech_vars):
+            if slot == masks.uncertain_slot and fvidx != sfidx:
+                mech_points.append(gathered)
+            else:
+                mech_points.append(var_points[fvidx])
+        sf_slot = masks.mech_vars.index(sfidx)
+        others = tuple(p for i, p in enumerate(mech_points) if i != sf_slot)
+
+    # spread estimate against the certain other variables
+    other_cloud = others[0] if others else x_cur
+    base_spread = spread_estimate(manifold, x_cur, other_cloud)
+
+    linear = getattr(model, "linear_residual", False)
+    iters = 3 if linear else params.conv_iters
+    cycles = params.inflate_cycles if inflate else 1
+
+    x = x_cur
+    for _ in range(cycles):
+        k_inflate, k_e = jax.random.split(k_inflate)
+        if inflate and params.inflation > 0.0:
+            x = add_entropy(manifold, x, k_e,
+                            params.inflation * base_spread, partial_dims)
+        solved = batched_gauss_newton(
+            manifold, model, meas, others, x, sf_slot, iters=iters,
+            damping=params.conv_damping, partial_dims=partial_dims)
+        x = jnp.where(masks.solve_mask[:, None], solved, x)
+
+    # null / snap-together particles: entropy only, kappa = spreadNH
+    inactive = masks.null_mask | masks.snap_mask
+    if factor.nullhypo > 0.0 or factor.multihypo is not None:
+        spread_nh = params.spread_nh * base_spread
+        nulled = add_entropy(manifold, x_cur, k_null, spread_nh, partial_dims)
+        x = jnp.where(inactive[:, None], nulled, x)
+
+    return x, dim_mask
+
+
+def approx_conv_belief(fg, factor_label: str, target: str, key=None,
+                       solve_key: str = "default",
+                       n: int | None = None) -> Belief:
+    """Factor → target belief (reference approxConvBelief,
+    src/services/ApproxConv.jl:4-45)."""
+    pts, dim_mask = eval_factor(fg, factor_label, target, key=key,
+                                solve_key=solve_key, n=n)
+    ipc = dim_mask.astype(pts.dtype)
+    return make_belief(fg.var(target).manifold, pts, ipc=ipc)
+
+
+def proposal_from_factor(fg, factor, target: str, key=None,
+                         solve_key: str = "default",
+                         n: int | None = None) -> Proposal:
+    """Proposal for the belief-product stage (reference calcProposalBelief,
+    ApproxConv.jl:197-227)."""
+    pts, dim_mask = eval_factor(fg, factor, target, key=key,
+                                solve_key=solve_key, n=n)
+    manifold = fg.var(target).manifold
+    from ..beliefs import silverman_bw
+    bw = silverman_bw(manifold, pts)
+    return Proposal(pts, bw, dim_mask)

@@ -21,5 +21,10 @@ from .models import (CircularCircular, EuclidDistance, GenericMarginal,
                      Mixture, MsgPrior, PartialPrior, Prior, PriorCircular)
 from .ops import (approx_conv_belief, eval_factor, local_product,
                   manifold_product, propagate_belief)
+from .api import (fifo_freeze, solve_cliq_down, solve_cliq_up, solve_graph,
+                  solve_tree)
+from .tree import (BayesTree, CliqStatus, build_tree, build_tree_reset,
+                   get_elimination_order)
+from . import canonical
 
 __version__ = "0.1.0"

@@ -1,0 +1,111 @@
+"""Solver API — user entry points.
+
+Reference: src/services/SolverAPI.jl (solveTree! = solveGraph! :326-493,
+solveCliqUp!/solveCliqDown! :545-708).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .graph import FactorGraph
+from .graphinit import ensure_solvable, init_all
+from .beliefs import Belief
+from .parallel.messages import LikelihoodMessage
+from .parallel.scheduler import (CliqueTrace, down_solve_clique,
+                                 solve_tree_sweeps, up_solve_clique)
+from .tree.bayestree import BayesTree, CliqStatus, build_tree_reset
+
+__all__ = ["solve_tree", "solve_graph", "solve_cliq_up", "solve_cliq_down",
+           "fifo_freeze"]
+
+logger = logging.getLogger("iitpu.api")
+
+
+def fifo_freeze(fg: FactorGraph) -> List[str]:
+    """Quasi fixed-lag: freeze (marginalize) all but the newest ``qfl``
+    variables (reference fifoFreeze!/setfreeze!, FGOSUtils.jl:169-213).
+    Ordering follows insertion order as the reference uses label-sorted
+    pose ordering."""
+    if not fg.params.is_fixed_lag or fg.params.qfl <= 0:
+        return []
+    labels = fg.ls()
+    keep = set(labels[-fg.params.qfl:])
+    frozen = []
+    for lbl in labels:
+        v = fg.var(lbl)
+        if lbl not in keep and v.is_initialized():
+            if not v.marginalized:
+                v.marginalized = True
+                frozen.append(lbl)
+    return frozen
+
+
+def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
+               solve_key: str = "default",
+               store_old: bool = False,
+               up: Optional[bool] = None, down: Optional[bool] = None,
+               order: Optional[Sequence[str]] = None,
+               verbose: bool = False) -> BayesTree:
+    """Nonparametric MM-iSAM solve over the Bayes tree (reference
+    solveTree!, SolverAPI.jl:326-493): init → freeze → tree build (with
+    recycling vs ``old_tree``) → level-synchronous up/down sweeps →
+    PPE updates.  Returns the tree (pass back in for incremental reuse)."""
+    params = fg.params
+    t0 = time.time()
+
+    ensure_solvable(fg)
+    if params.graphinit:
+        init_all(fg, solve_key=solve_key)
+
+    if store_old:
+        # supersolve snapshot (reference storeOld → :default_k)
+        snap = f"{solve_key}_{fg.solve_count}"
+        for lbl in fg.ls():
+            v = fg.var(lbl)
+            if solve_key in v.beliefs:
+                v.beliefs[snap] = v.beliefs[solve_key]
+
+    fifo_freeze(fg)
+
+    tree = build_tree_reset(fg, order=order, old_tree=old_tree)
+    if verbose:
+        logger.info("tree: %d cliques, depth %d, build %.3fs",
+                    tree.num_cliques(), len(tree.levels()), tree.build_time)
+
+    do_up = params.upsolve if up is None else up
+    do_down = params.downsolve if down is None else down
+    traces = solve_tree_sweeps(fg, tree, solve_key=solve_key,
+                               up=do_up, down=do_down)
+    tree.traces = traces
+
+    fg.solve_count += 1
+    if verbose:
+        logger.info("solve_tree done in %.3fs", time.time() - t0)
+    return tree
+
+
+def solve_graph(fg: FactorGraph, **kw) -> BayesTree:
+    """Alias of :func:`solve_tree` (reference solveGraph! = solveTree!)."""
+    return solve_tree(fg, **kw)
+
+
+def solve_cliq_up(fg: FactorGraph, tree: BayesTree, frontal: str,
+                  child_msgs: Optional[List[LikelihoodMessage]] = None,
+                  solve_key: str = "default") -> LikelihoodMessage:
+    """Single-clique up-solve with hand-fed messages — the clique-isolation
+    test harness (reference solveCliqUp!, SolverAPI.jl:545-650)."""
+    cl = tree.clique_of(frontal)
+    return up_solve_clique(fg, tree, cl, child_msgs or [], solve_key)
+
+
+def solve_cliq_down(fg: FactorGraph, tree: BayesTree, frontal: str,
+                    down_msg: Optional[LikelihoodMessage] = None,
+                    solve_key: str = "default"):
+    """Single-clique down-solve (reference solveCliqDown!,
+    SolverAPI.jl:652-708)."""
+    cl = tree.clique_of(frontal)
+    return down_solve_clique(fg, tree, cl, down_msg, solve_key)

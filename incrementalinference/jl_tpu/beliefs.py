@@ -48,11 +48,54 @@ def silverman_bw(manifold: Manifold, points: jnp.ndarray,
     return jnp.maximum(sd * factor, floor)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("manifold", "n_grid"))
+def loo_bandwidth(manifold: Manifold, points: jnp.ndarray,
+                  n_grid: int = 24) -> jnp.ndarray:
+    """Leave-one-out max-likelihood bandwidth (diagonal, shared scale).
+
+    The reference's KDE.jl picks bandwidths by LOO cross-validation — the
+    property MM-iSAM depends on: for well-separated multimodal particle
+    clouds the bandwidth tracks the *within-mode* spread, not the global
+    std (Silverman's rule oversmooths by ~the mode separation and destroys
+    mode discrimination in belief products).
+
+    Parameterised as ``bw = s · bw_silverman`` with the scalar ``s`` swept
+    over a log grid; the LOO log-likelihood for every candidate reuses one
+    pairwise distance matrix, so the whole selection is two batched matmul-
+    shaped ops — TPU-friendly, no iterative optimiser.
+    """
+    n = points.shape[0]
+    mu = manifold.mean(points)
+    X = manifold.log(mu[None, :], points)                    # (N, dof)
+    sd = jnp.std(X, axis=0)
+    d = X.shape[-1]
+    factor = (4.0 / ((d + 2.0) * n)) ** (1.0 / (d + 4.0))
+    bw0 = jnp.maximum(sd * factor, 1e-5)                     # Silverman base
+
+    Z = X / bw0
+    D2 = jnp.sum((Z[:, None, :] - Z[None, :, :]) ** 2, axis=-1)   # (N, N)
+    D2 = D2 + jnp.eye(n) * 1e12                              # mask self
+
+    scales = jnp.logspace(-1.5, 0.3, n_grid)                 # s candidates
+
+    def loo_ll(s):
+        logk = -0.5 * D2 / (s * s)
+        ll = jax.scipy.special.logsumexp(logk, axis=1)
+        return jnp.sum(ll) - n * d * jnp.log(s)
+
+    lls = jax.vmap(loo_ll)(scales)
+    s_best = scales[jnp.argmax(lls)]
+    return s_best * bw0
+
+
 def make_belief(manifold: Manifold, points: jnp.ndarray,
                 bw: jnp.ndarray | None = None,
                 ipc: jnp.ndarray | None = None) -> Belief:
     if bw is None:
-        bw = silverman_bw(manifold, points)
+        bw = loo_bandwidth(manifold, points)
     if ipc is None:
         ipc = jnp.ones((manifold.dof,), points.dtype)
     return Belief(points=points, bw=jnp.asarray(bw), ipc=jnp.asarray(ipc))

@@ -4,12 +4,12 @@ from .convolve import (add_entropy, approx_conv_belief, batched_gauss_newton,
                        eval_factor, proposal_from_factor)
 from .graphops import local_product, local_product_and_update, propagate_belief
 from .hypo import build_masks, draw_hypotheses, parse_multihypo
-from .product import Proposal, gibbs_product_tangent, manifold_product
+from .product import Proposal, manifold_product, pair_product_tangent
 
 __all__ = [
     "batched_gauss_newton", "add_entropy", "eval_factor",
     "approx_conv_belief", "proposal_from_factor",
     "propagate_belief", "local_product", "local_product_and_update",
-    "manifold_product", "gibbs_product_tangent", "Proposal",
+    "manifold_product", "pair_product_tangent", "Proposal",
     "draw_hypotheses", "build_masks", "parse_multihypo",
 ]

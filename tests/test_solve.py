@@ -1,0 +1,71 @@
+"""End-to-end tree-solve tests — the fourdoor multimodal story
+(reference test/fourdoortest.jl) plus canonical-graph smoke solves."""
+
+import numpy as np
+
+from incrementalinference.jl_tpu import solve_tree
+from incrementalinference.jl_tpu.canonical import (fourdoor_sequence,
+                                                   generate_caesar_ring1d,
+                                                   generate_kaess)
+
+
+def _mode_mass(fg, v, center, tol=20.0):
+    p = np.asarray(fg.points(v)[:, 0])
+    return float(np.mean(np.abs(p - center) < tol))
+
+
+def test_fourdoor_incremental():
+    fg, steps = fourdoor_sequence()
+
+    steps[0]()
+    tree = solve_tree(fg)
+    # all four doors present
+    for c in (-100, 0, 100, 300):
+        assert _mode_mass(fg, "x1", c) > 0.08, c
+
+    steps[1]()
+    tree = solve_tree(fg, old_tree=tree)
+    # second sighting collapses x1 to {-100, 0}
+    assert _mode_mass(fg, "x1", -100) + _mode_mass(fg, "x1", 0) > 0.8
+    assert _mode_mass(fg, "x1", 300) < 0.1
+    assert _mode_mass(fg, "x3", 0) + _mode_mass(fg, "x3", 100) > 0.8
+
+    steps[2]()
+    tree = solve_tree(fg, old_tree=tree)
+    # third sighting: unique solution x1=0, x2=50, x3=100, x4=300
+    for v, c in [("x1", 0.0), ("x2", 50.0), ("x3", 100.0), ("x4", 300.0)]:
+        p = np.asarray(fg.points(v)[:, 0])
+        assert np.mean(np.abs(p - c) < 20.0) >= 0.8, (v, c, p.mean())
+        assert abs(p.mean() - c) < 10.0, (v, c, p.mean())
+
+
+def test_kaess_solve_smoke():
+    fg = generate_kaess(graphinit=True)
+    tree = solve_tree(fg)
+    for v in fg.ls():
+        p = np.asarray(fg.points(v))
+        assert np.all(np.isfinite(p))
+        # zero-mean unit chains stay near zero
+        assert abs(p.mean()) < 6.0, (v, p.mean())
+    assert tree.num_cliques() >= 1
+
+
+def test_caesar_ring_solve_and_ppes():
+    fg = generate_caesar_ring1d(graphinit=True)
+    solve_tree(fg)
+    for v in fg.ls():
+        assert fg.var(v).is_initialized()
+        ppe = fg.var(v).ppe.get("default")
+        assert ppe is not None and np.isfinite(float(ppe["mean"][0]))
+
+
+def test_up_only_then_down_only():
+    """upsolve/downsolve switches (reference testSkipUpDown.jl)."""
+    fg = generate_kaess(graphinit=True)
+    tree = solve_tree(fg, down=False)
+    from incrementalinference.jl_tpu.tree.bayestree import CliqStatus
+    assert all(c.status in (CliqStatus.UPSOLVED,)
+               for c in tree.cliques.values())
+    tree2 = solve_tree(fg, up=False)
+    assert all(c.status == CliqStatus.DOWNSOLVED
+               for c in tree2.cliques.values())

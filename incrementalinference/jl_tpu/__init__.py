@@ -26,5 +26,13 @@ from .api import (fifo_freeze, solve_cliq_down, solve_cliq_up, solve_graph,
 from .tree import (BayesTree, CliqStatus, build_tree, build_tree_reset,
                    get_elimination_order)
 from . import canonical
+from . import debugging
+from . import serialization
+from .ops.deconv import approx_deconv, approx_deconv_belief, mmd
+from .ops.gradients import FactorGradientsCached, factor_jacobian
+from .parametric import (autoinit_parametric, solve_conditionals_parametric,
+                         solve_graph_parametric)
+from .serialization import load_graph, load_tree, save_graph, save_tree
+from .tether import accumulate_factor_means, solve_factor_parametric
 
 __version__ = "0.1.0"

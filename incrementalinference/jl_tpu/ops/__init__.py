@@ -3,6 +3,9 @@
 from .convolve import (add_entropy, approx_conv_belief, batched_gauss_newton,
                        eval_factor, proposal_from_factor)
 from .graphops import local_product, local_product_and_update, propagate_belief
+from .deconv import approx_deconv, approx_deconv_belief, mmd
+from .gradients import (FactorGradientsCached, calc_perturbation_from_variable,
+                        factor_jacobian)
 from .hypo import build_masks, draw_hypotheses, parse_multihypo
 from .product import Proposal, manifold_product, pair_product_tangent
 
@@ -12,4 +15,7 @@ __all__ = [
     "propagate_belief", "local_product", "local_product_and_update",
     "manifold_product", "pair_product_tangent", "Proposal",
     "draw_hypotheses", "build_masks", "parse_multihypo",
+    "approx_deconv", "approx_deconv_belief", "mmd",
+    "factor_jacobian", "FactorGradientsCached",
+    "calc_perturbation_from_variable",
 ]

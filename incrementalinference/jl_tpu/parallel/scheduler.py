@@ -49,6 +49,9 @@ class CliqueTrace:
 
     cid: int
     events: List[Tuple[float, str, str]] = field(default_factory=list)
+    # captured inputs for replay (reference repeatCSMStep!)
+    child_msgs: Optional[List["LikelihoodMessage"]] = None
+    down_msg: Optional["LikelihoodMessage"] = None
 
     def log(self, step: str, detail: str = ""):
         self.events.append((time.time(), step, detail))
@@ -259,18 +262,22 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                 cl = tree.clique(cid)
                 child_msgs = [up_msgs[ch] for ch in cl.children
                               if ch in up_msgs]
+                tr = trace_for(cid)
+                if fg.params.record_cliques:
+                    tr.child_msgs = list(child_msgs)
                 up_msgs[cid] = up_solve_clique(
-                    fg, tree, cl, child_msgs, solve_key,
-                    trace=trace_for(cid))
+                    fg, tree, cl, child_msgs, solve_key, trace=tr)
 
     if down:
         down_msgs: Dict[int, LikelihoodMessage] = {}
         for level in levels:
             for cid in level:
                 cl = tree.clique(cid)
+                tr = trace_for(cid)
+                if fg.params.record_cliques:
+                    tr.down_msg = down_msgs.get(cid)
                 out = down_solve_clique(
-                    fg, tree, cl, down_msgs.get(cid), solve_key,
-                    trace=trace_for(cid))
+                    fg, tree, cl, down_msgs.get(cid), solve_key, trace=tr)
                 down_msgs.update(out)
 
     return traces

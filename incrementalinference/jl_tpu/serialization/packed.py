@@ -1,0 +1,315 @@
+"""Packed (JSON-safe) serialization of distributions, beliefs, factors,
+graphs, and trees.
+
+Reference: src/Serialization/services/SerializingDistributions.jl:4-38
+(packDistribution/unpackDistribution), SerializationMKD.jl:14-40
+(PackedManifoldKernelDensity + parchDistribution),
+DispatchPackedConversions.jl:25-160 (packed-factor reconstruction), and
+saveTree/loadTree (JunctionTreeUtils.jl:1691-1768).  JSON rather than BSON;
+arrays as nested lists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import distributions as D
+from .. import models as M
+from ..beliefs import Belief
+from ..config import SolverParams
+from ..graph import FactorGraph, Variable, VariableType
+from ..manifolds import (SE2, SE3, SO2, SO3, Circle, Euclidean, Manifold,
+                         Product)
+from ..tree.bayestree import BayesTree, Clique, CliqStatus
+
+__all__ = [
+    "pack_distribution", "unpack_distribution", "pack_belief",
+    "unpack_belief", "pack_manifold", "unpack_manifold", "pack_factor_model",
+    "unpack_factor_model", "save_graph", "load_graph", "save_tree",
+    "load_tree",
+]
+
+
+def _arr(x) -> list:
+    return np.asarray(x).tolist()
+
+
+# ---------------------------------------------------------------------------
+# manifolds
+# ---------------------------------------------------------------------------
+
+def pack_manifold(m: Manifold) -> Any:
+    if isinstance(m, Euclidean):
+        return {"_type": "Euclidean", "n": m.n}
+    if isinstance(m, SO2):
+        return {"_type": "SO2"}
+    if isinstance(m, Circle):
+        return {"_type": "Circle"}
+    if isinstance(m, SE2):
+        return {"_type": "SE2"}
+    if isinstance(m, SO3):
+        return {"_type": "SO3"}
+    if isinstance(m, SE3):
+        return {"_type": "SE3"}
+    if isinstance(m, Product):
+        return {"_type": "Product",
+                "components": [pack_manifold(c) for c in m.components]}
+    raise TypeError(f"cannot pack manifold {m!r}")
+
+
+def unpack_manifold(d: Dict) -> Manifold:
+    t = d["_type"]
+    if t == "Euclidean":
+        return Euclidean(d["n"])
+    if t == "Circle":
+        return Circle()
+    if t == "SO2":
+        return SO2()
+    if t == "SE2":
+        return SE2()
+    if t == "SO3":
+        return SO3()
+    if t == "SE3":
+        return SE3()
+    if t == "Product":
+        return Product(*[unpack_manifold(c) for c in d["components"]])
+    raise TypeError(f"unknown packed manifold {t}")
+
+
+# ---------------------------------------------------------------------------
+# distributions (reference packDistribution forms)
+# ---------------------------------------------------------------------------
+
+def pack_distribution(z) -> Dict:
+    if isinstance(z, D.Normal):
+        return {"_type": "Normal", "mu": float(z.mu), "sigma": float(z.sigma)}
+    if isinstance(z, D.MvNormal):
+        return {"_type": "MvNormal", "mu": _arr(z.mu), "cov": _arr(z.cov)}
+    if isinstance(z, D.Uniform):
+        return {"_type": "Uniform", "a": float(z.a), "b": float(z.b)}
+    if isinstance(z, D.Rayleigh):
+        return {"_type": "Rayleigh", "sigma": float(z.sigma)}
+    if isinstance(z, D.Categorical):
+        return {"_type": "Categorical", "p": _arr(z.p)}
+    if isinstance(z, D.AliasingScalarSampler):
+        return {"_type": "AliasingScalarSampler", "x": _arr(z.x),
+                "weights": _arr(z.weights)}
+    raise TypeError(f"cannot pack distribution {type(z).__name__}")
+
+
+def unpack_distribution(d: Dict):
+    t = d["_type"]
+    if t == "Normal":
+        return D.Normal(d["mu"], d["sigma"])
+    if t == "MvNormal":
+        return D.MvNormal(jnp.asarray(d["mu"]), jnp.asarray(d["cov"]))
+    if t == "Uniform":
+        return D.Uniform(d["a"], d["b"])
+    if t == "Rayleigh":
+        return D.Rayleigh(d["sigma"])
+    if t == "Categorical":
+        return D.Categorical(jnp.asarray(d["p"]))
+    if t == "AliasingScalarSampler":
+        return D.AliasingScalarSampler(jnp.asarray(d["x"]),
+                                       jnp.asarray(d["weights"]))
+    raise TypeError(f"unknown packed distribution {t}")
+
+
+# ---------------------------------------------------------------------------
+# beliefs (PackedManifoldKernelDensity; parch = hollow out points)
+# ---------------------------------------------------------------------------
+
+def pack_belief(b: Belief, parch: bool = False) -> Dict:
+    out = {"_type": "Belief", "bw": _arr(b.bw), "ipc": _arr(b.ipc),
+           "npts": int(b.points.shape[0])}
+    if not parch:
+        out["points"] = _arr(b.points)
+    return out
+
+
+def unpack_belief(d: Dict) -> Belief:
+    pts = jnp.asarray(d.get("points",
+                            np.zeros((d["npts"], len(d["bw"])))),
+                      jnp.float32)
+    return Belief(points=pts, bw=jnp.asarray(d["bw"], jnp.float32),
+                  ipc=jnp.asarray(d["ipc"], jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# factor models
+# ---------------------------------------------------------------------------
+
+def pack_factor_model(m) -> Dict:
+    if isinstance(m, M.Mixture):
+        return {"_type": "Mixture",
+                "mechanics": pack_factor_model(m.mechanics),
+                "components": [pack_distribution(c) for c in m.components],
+                "diversity": _arr(m.diversity)}
+    if isinstance(m, M.PartialPrior):
+        return {"_type": "PartialPrior", "Z": pack_distribution(m.Z),
+                "partial": list(m.partial)}
+    if isinstance(m, M.MsgPrior):
+        return {"_type": "MsgPrior", "belief": pack_belief(m.belief),
+                "manifold": pack_manifold(m.manifold)}
+    if isinstance(m, M.MetaPrior):
+        return {"_type": "MetaPrior", "data": m.data}
+    if isinstance(m, M.GenericMarginal):
+        return {"_type": "GenericMarginal"}
+    if isinstance(m, M.ManifoldPrior):
+        return {"_type": "ManifoldPrior", "manifold": pack_manifold(m.manifold),
+                "p0": _arr(m.p0), "Z": pack_distribution(m.Z)}
+    if isinstance(m, M.ManifoldFactor):
+        return {"_type": "ManifoldFactor",
+                "manifold": pack_manifold(m.manifold),
+                "Z": pack_distribution(m.Z)}
+    for cls in (M.Prior, M.LinearRelative, M.EuclidDistance, M.PriorCircular,
+                M.CircularCircular):
+        if type(m) is cls:
+            return {"_type": cls.__name__, "Z": pack_distribution(m.Z)}
+    raise TypeError(f"cannot pack factor model {type(m).__name__}")
+
+
+def unpack_factor_model(d: Dict):
+    t = d["_type"]
+    simple = {"Prior": M.Prior, "LinearRelative": M.LinearRelative,
+              "EuclidDistance": M.EuclidDistance,
+              "PriorCircular": M.PriorCircular,
+              "CircularCircular": M.CircularCircular}
+    if t in simple:
+        return simple[t](unpack_distribution(d["Z"]))
+    if t == "Mixture":
+        return M.Mixture(unpack_factor_model(d["mechanics"]),
+                         [unpack_distribution(c) for c in d["components"]],
+                         d["diversity"])
+    if t == "PartialPrior":
+        return M.PartialPrior(unpack_distribution(d["Z"]), d["partial"])
+    if t == "MsgPrior":
+        return M.MsgPrior(unpack_belief(d["belief"]),
+                          unpack_manifold(d["manifold"]))
+    if t == "MetaPrior":
+        return M.MetaPrior(d.get("data"))
+    if t == "GenericMarginal":
+        return M.GenericMarginal()
+    if t == "ManifoldPrior":
+        return M.ManifoldPrior(unpack_manifold(d["manifold"]),
+                               jnp.asarray(d["p0"]),
+                               unpack_distribution(d["Z"]))
+    if t == "ManifoldFactor":
+        return M.ManifoldFactor(unpack_manifold(d["manifold"]),
+                                unpack_distribution(d["Z"]))
+    raise TypeError(f"unknown packed factor model {t}")
+
+
+# ---------------------------------------------------------------------------
+# graph save/load (reference saveDFG/loadDFG role)
+# ---------------------------------------------------------------------------
+
+def save_graph(fg: FactorGraph, path: str, parch: bool = False) -> str:
+    doc = {"_format": "iitpu-fg-v1",
+           "params": fg.params.__dict__ | {
+               "algorithms": list(fg.params.algorithms)},
+           "variables": [], "factors": []}
+    for lbl, v in fg.variables.items():
+        doc["variables"].append({
+            "label": lbl, "vartype": v.vartype.name,
+            "manifold": pack_manifold(v.manifold), "N": v.N,
+            "tags": sorted(v.tags), "solvable": v.solvable,
+            "marginalized": v.marginalized,
+            "beliefs": {k: pack_belief(b, parch=parch)
+                        for k, b in v.beliefs.items()},
+            "initialized": dict(v.initialized),
+            "parametric_point": (None if v.parametric_point is None
+                                 else _arr(v.parametric_point)),
+            "parametric_cov": (None if v.parametric_cov is None
+                               else _arr(v.parametric_cov)),
+        })
+    for lbl, f in fg.factors.items():
+        doc["factors"].append({
+            "label": lbl, "variables": list(f.variables),
+            "model": pack_factor_model(f.model),
+            "multihypo": (None if f.multihypo is None else list(f.multihypo)),
+            "nullhypo": f.nullhypo, "tags": sorted(f.tags),
+            "solvable": f.solvable,
+        })
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as fp:
+        json.dump(doc, fp)
+    return path
+
+
+def load_graph(path: str) -> FactorGraph:
+    with open(path) as fp:
+        doc = json.load(fp)
+    assert doc.get("_format") == "iitpu-fg-v1", "unknown graph format"
+    pd = dict(doc["params"])
+    pd["algorithms"] = tuple(pd.get("algorithms", ("default", "parametric")))
+    params = SolverParams(**pd)
+    fg = FactorGraph(params)
+    for vd in doc["variables"]:
+        vt = VariableType(vd["vartype"], unpack_manifold(vd["manifold"]))
+        v = fg.add_variable(vd["label"], vt, N=vd["N"], tags=vd["tags"],
+                            solvable=vd["solvable"])
+        v.marginalized = vd["marginalized"]
+        v.initialized = dict(vd["initialized"])
+        v.beliefs = {k: unpack_belief(b) for k, b in vd["beliefs"].items()}
+        if vd["parametric_point"] is not None:
+            v.parametric_point = jnp.asarray(vd["parametric_point"])
+        if vd["parametric_cov"] is not None:
+            v.parametric_cov = jnp.asarray(vd["parametric_cov"])
+    for fd in doc["factors"]:
+        fg.add_factor(fd["variables"], unpack_factor_model(fd["model"]),
+                      multihypo=fd["multihypo"], nullhypo=fd["nullhypo"],
+                      label=fd["label"], graphinit=False, tags=fd["tags"],
+                      solvable=fd["solvable"])
+    return fg
+
+
+# ---------------------------------------------------------------------------
+# tree save/load (reference saveTree/loadTree)
+# ---------------------------------------------------------------------------
+
+def save_tree(tree: BayesTree, path: str) -> str:
+    doc = {"_format": "iitpu-bt-v1",
+           "elimination_order": tree.elimination_order,
+           "build_time": tree.build_time,
+           "cliques": [{
+               "cid": c.cid, "frontals": c.frontals,
+               "separator": c.separator, "parent": c.parent,
+               "children": c.children, "potentials": c.potentials,
+               "status": c.status.value, "is_recycled": c.is_recycled,
+               "is_marginalized": c.is_marginalized,
+               "direct_vars": c.direct_vars, "iter_vars": c.iter_vars,
+               "msgskip_vars": c.msgskip_vars,
+           } for c in tree.cliques.values()]}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as fp:
+        json.dump(doc, fp)
+    return path
+
+
+def load_tree(path: str) -> BayesTree:
+    with open(path) as fp:
+        doc = json.load(fp)
+    assert doc.get("_format") == "iitpu-bt-v1", "unknown tree format"
+    tree = BayesTree()
+    tree.elimination_order = doc["elimination_order"]
+    tree.build_time = doc["build_time"]
+    for cd in doc["cliques"]:
+        c = Clique(cid=cd["cid"], frontals=cd["frontals"],
+                   separator=cd["separator"], parent=cd["parent"],
+                   children=cd["children"], potentials=cd["potentials"],
+                   status=CliqStatus(cd["status"]),
+                   is_recycled=cd["is_recycled"],
+                   is_marginalized=cd["is_marginalized"],
+                   direct_vars=cd["direct_vars"],
+                   iter_vars=cd["iter_vars"],
+                   msgskip_vars=cd["msgskip_vars"])
+        tree.cliques[c.cid] = c
+        for frt in c.frontals:
+            tree.frontal_to_clique[frt] = c.cid
+    return tree

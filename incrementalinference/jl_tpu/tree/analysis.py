@@ -1,0 +1,78 @@
+"""Tree cost / structure metrics.
+
+Reference: src/services/AnalysisTools.jl (nnzTree, nnzSqrtInfoMatrix,
+getTreeCost_01/_02 :129-163, getAllTrees, shrinkFactorGraph).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from .bayestree import BayesTree
+from .ordering import get_elimination_order
+
+__all__ = ["nnz_tree", "nnz_sqrt_info_matrix", "tree_cost_01",
+           "tree_cost_02", "all_tree_costs"]
+
+
+def nnz_clique(clique) -> int:
+    """Upper-triangular fill of one clique's frontal block plus the
+    frontal×separator rectangle (reference nnzClique)."""
+    m = len(clique.frontals)
+    s = len(clique.separator)
+    return m * (m + 1) // 2 + m * s
+
+
+def nnz_tree(tree: BayesTree) -> int:
+    """Non-zeros of the squared-root-information factor implied by the tree
+    (reference nnzTree)."""
+    return sum(nnz_clique(c) for c in tree.cliques.values())
+
+
+def nnz_sqrt_info_matrix(fg, order=None) -> int:
+    """nnz of R from symbolic elimination (reference nnzSqrtInfoMatrix)."""
+    from .bayesnet import build_bayes_net
+    order = order or get_elimination_order(fg)
+    conds = build_bayes_net(fg, order)
+    return sum(1 + len(c.separator) for c in conds)
+
+
+def tree_cost_01(tree: BayesTree) -> float:
+    """Cost model: Σ (frontals+separator)² per clique — total compute
+    (reference getTreeCost_01)."""
+    return float(sum((len(c.frontals) + len(c.separator)) ** 2
+                     for c in tree.cliques.values()))
+
+
+def tree_cost_02(tree: BayesTree) -> float:
+    """Cost model: max clique dimension (critical path / treewidth proxy)
+    (reference getTreeCost_02)."""
+    return float(max((len(c.frontals) + len(c.separator))
+                     for c in tree.cliques.values()))
+
+
+def all_tree_costs(fg, orders: List[List[str]] | None = None,
+                   n_random: int = 10) -> List[Dict]:
+    """Evaluate tree costs across candidate orderings (reference
+    getAllTrees usage in ordering experiments)."""
+    import random as _random
+
+    from .bayestree import build_tree
+
+    rng = _random.Random(0)
+    cands: List[List[str]] = list(orders or [])
+    if not cands:
+        base = fg.ls()
+        cands.append(get_elimination_order(fg, "qr"))
+        cands.append(get_elimination_order(fg, "ccolamd"))
+        for _ in range(n_random):
+            o = base[:]
+            rng.shuffle(o)
+            cands.append(o)
+    out = []
+    for o in cands:
+        t = build_tree(fg, order=o)
+        out.append({"order": o, "cost01": tree_cost_01(t),
+                    "cost02": tree_cost_02(t), "nnz": nnz_tree(t),
+                    "num_cliques": t.num_cliques()})
+    return out

@@ -1,0 +1,53 @@
+"""Trace/replay/viz tests (reference testStateMachine.jl + TreeDebugTools
+coverage: history capture, replay, dot rendering)."""
+
+import numpy as np
+
+from incrementalinference.jl_tpu import solve_tree
+from incrementalinference.jl_tpu.canonical import generate_caesar_ring1d
+from incrementalinference.jl_tpu.config import SolverParams
+from incrementalinference.jl_tpu.debugging import (print_clique_history,
+                                                   print_history_sequential,
+                                                   replay_clique_up,
+                                                   tree_to_dot)
+from incrementalinference.jl_tpu.tree.analysis import (nnz_tree, tree_cost_01,
+                                                       tree_cost_02)
+
+
+def _solved():
+    fg = generate_caesar_ring1d(graphinit=True)
+    fg.params.record_cliques = True
+    tree = solve_tree(fg)
+    return fg, tree
+
+
+def test_traces_recorded_and_printable():
+    fg, tree = _solved()
+    traces = tree.traces
+    assert len(traces) == tree.num_cliques()
+    txt = print_clique_history(traces)
+    assert "up_done" in txt
+    seq = print_history_sequential(traces)
+    assert "cliq" in seq
+
+
+def test_replay_clique_up():
+    fg, tree = _solved()
+    leafless = [c for c in tree.cliques.values() if c.children]
+    target = leafless[0] if leafless else list(tree.cliques.values())[0]
+    msg = replay_clique_up(fg, tree, target.cid, tree.traces)
+    for v, b in msg.beliefs.items():
+        assert np.all(np.isfinite(np.asarray(b.points)))
+
+
+def test_tree_to_dot():
+    fg, tree = _solved()
+    dot = tree_to_dot(tree)
+    assert dot.startswith("digraph")
+    assert dot.count("->") == tree.num_cliques() - len(tree.root_ids)
+
+
+def test_tree_costs():
+    fg, tree = _solved()
+    assert nnz_tree(tree) > 0
+    assert tree_cost_01(tree) >= tree_cost_02(tree) >= 1.0

@@ -1,0 +1,92 @@
+"""Serialization round-trip tests (reference testSaveLoadDFG.jl,
+testPackedDistributions.jl, testPackingMixtures.jl, testTreeSaveLoad.jl)."""
+
+import numpy as np
+import pytest
+
+from incrementalinference.jl_tpu import distributions as D
+from incrementalinference.jl_tpu import models as M
+from incrementalinference.jl_tpu import solve_tree
+from incrementalinference.jl_tpu.canonical import (fourdoor_sequence,
+                                                   generate_kaess)
+from incrementalinference.jl_tpu.manifolds import SE2, Circle, Euclidean, Product
+from incrementalinference.jl_tpu.serialization import (
+    load_graph, load_tree, pack_distribution, pack_factor_model,
+    pack_manifold, save_graph, save_tree, unpack_distribution,
+    unpack_factor_model, unpack_manifold)
+from incrementalinference.jl_tpu.tree import build_tree
+
+
+@pytest.mark.parametrize("dist", [
+    D.Normal(1.5, 0.3), D.MvNormal([1.0, 2.0], [[2.0, 0.5], [0.5, 1.0]]),
+    D.Uniform(-1.0, 4.0), D.Rayleigh(2.0), D.Categorical([0.25, 0.75]),
+    D.AliasingScalarSampler([0.0, 1.0], [0.4, 0.6]),
+], ids=lambda d: type(d).__name__)
+def test_distribution_roundtrip(dist):
+    d2 = unpack_distribution(pack_distribution(dist))
+    assert type(d2) is type(dist)
+    m1, c1 = dist.mean_cov()
+    m2, c2 = d2.mean_cov()
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+
+
+@pytest.mark.parametrize("m", [
+    Euclidean(3), Circle(), SE2(), Product(Euclidean(2), Circle()),
+], ids=repr)
+def test_manifold_roundtrip(m):
+    assert unpack_manifold(pack_manifold(m)) == m
+
+
+def test_mixture_model_roundtrip():
+    mix = M.Mixture(M.Prior, [D.Normal(-10, 1), D.Normal(10, 1)], [0.3, 0.7])
+    m2 = unpack_factor_model(pack_factor_model(mix))
+    assert isinstance(m2, M.Mixture)
+    np.testing.assert_allclose(np.asarray(m2.diversity), [0.3, 0.7],
+                               atol=1e-6)
+    assert isinstance(m2.mechanics, M.Prior)
+
+
+def test_graph_roundtrip_solves(tmp_path):
+    fg, steps = fourdoor_sequence()
+    steps[0]()
+    steps[1]()
+    path = str(tmp_path / "fg.json")
+    save_graph(fg, path)
+    fg2 = load_graph(path)
+    assert fg2.ls() == fg.ls()
+    assert fg2.lsf() == fg.lsf()
+    # beliefs survive
+    np.testing.assert_allclose(np.asarray(fg2.points("x1")),
+                               np.asarray(fg.points("x1")))
+    # and the loaded graph still solves end-to-end
+    solve_tree(fg2)
+    p = np.asarray(fg2.points("x1")[:, 0])
+    assert np.mean(np.abs(p + 100) < 20) + np.mean(np.abs(p - 0) < 20) > 0.7
+
+
+def test_parch_drops_points(tmp_path):
+    fg = generate_kaess(graphinit=True)
+    path = str(tmp_path / "fg.json")
+    save_graph(fg, path, parch=True)
+    import json
+    doc = json.load(open(path))
+    assert all("points" not in b
+               for v in doc["variables"] for b in v["beliefs"].values())
+    fg2 = load_graph(path)       # loads with zero placeholders
+    assert fg2.points("x1").shape[0] == fg.params.N
+
+
+def test_tree_roundtrip(tmp_path):
+    fg = generate_kaess()
+    tree = build_tree(fg, order=["l1", "l2", "x1", "x2", "x3"])
+    path = str(tmp_path / "bt.json")
+    save_tree(tree, path)
+    t2 = load_tree(path)
+    assert t2.num_cliques() == tree.num_cliques()
+    for cid, c in tree.cliques.items():
+        c2 = t2.cliques[cid]
+        assert c2.frontals == c.frontals
+        assert c2.separator == c.separator
+        assert c2.parent == c.parent
+    assert t2.elimination_order == tree.elimination_order

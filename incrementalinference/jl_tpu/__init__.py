@@ -16,9 +16,12 @@ from .graph import (Circular, ContinuousEuclid, ContinuousScalar, Factor,
 from .graphinit import doautoinit, init_all, init_variable
 from . import manifolds
 from .manifolds import SE2, SE3, SO2, SO3, Circle, Euclidean
-from .models import (CircularCircular, EuclidDistance, GenericMarginal,
-                     LinearRelative, ManifoldFactor, ManifoldPrior, MetaPrior,
-                     Mixture, MsgPrior, PartialPrior, Prior, PriorCircular)
+from .models import (CircularCircular, DERelative, EuclidDistance,
+                     FluxModelsDistribution, GenericMarginal,
+                     HeatmapGridDensity, LevelSetGridNormal, LinearRelative,
+                     ManifoldFactor, ManifoldPrior, MetaPrior, Mixture,
+                     MixtureFluxModels, MsgPrior, PartialPrior,
+                     PartialPriorPassThrough, Prior, PriorCircular)
 from .ops import (approx_conv_belief, eval_factor, local_product,
                   manifold_product, propagate_belief)
 from .api import (fifo_freeze, solve_cliq_down, solve_cliq_up, solve_graph,

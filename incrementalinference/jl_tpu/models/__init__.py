@@ -1,13 +1,22 @@
-"""Model library: factors and variable types (reference SURVEY.md §2.7)."""
+"""Model library: factors, variable types, extension densities
+(reference SURVEY.md §2.7 + ext/)."""
 
+from .densities import (HeatmapGridDensity, LevelSetGridNormal,
+                        PartialPriorPassThrough)
 from .factors import (CircularCircular, EuclidDistance, FactorModel,
                       GenericMarginal, LinearRelative, ManifoldFactor,
                       ManifoldPrior, MetaPrior, Mixture, MsgPrior,
                       PartialPrior, Prior, PriorCircular, PriorModel)
+from .flux import (FluxModelsDistribution, MixtureFluxModels, mlp_apply,
+                   mlp_init)
+from .ode import DERelative, rk4_integrate
 
 __all__ = [
     "FactorModel", "PriorModel", "Prior", "LinearRelative", "EuclidDistance",
     "Mixture", "PriorCircular", "CircularCircular", "PartialPrior",
     "MsgPrior", "MetaPrior", "GenericMarginal", "ManifoldFactor",
     "ManifoldPrior",
+    "HeatmapGridDensity", "LevelSetGridNormal", "PartialPriorPassThrough",
+    "FluxModelsDistribution", "MixtureFluxModels", "mlp_init", "mlp_apply",
+    "DERelative", "rk4_integrate",
 ]

@@ -31,7 +31,7 @@ __all__ = [
     "pack_distribution", "unpack_distribution", "pack_belief",
     "unpack_belief", "pack_manifold", "unpack_manifold", "pack_factor_model",
     "unpack_factor_model", "save_graph", "load_graph", "save_tree",
-    "load_tree",
+    "load_tree", "register_fn",
 ]
 
 
@@ -313,3 +313,120 @@ def load_tree(path: str) -> BayesTree:
         for frt in c.frontals:
             tree.frontal_to_clique[frt] = c.cid
     return tree
+
+
+# ---------------------------------------------------------------------------
+# optional densities / extension models (reference
+# SerializingOptionalDensities.jl, ext/FluxModelsSerialization.jl)
+# ---------------------------------------------------------------------------
+
+# user-callable registry: ODE dynamics / NN apply fns serialize by name
+_FN_REGISTRY: Dict[str, Any] = {}
+
+
+def register_fn(name: str, fn) -> None:
+    """Register a callable so factors holding it can round-trip
+    (the reference reconstructs these from Julia type names;
+    DispatchPackedConversions.jl:25-160)."""
+    _FN_REGISTRY[name] = fn
+
+
+def _fn_name(fn) -> str:
+    for k, v in _FN_REGISTRY.items():
+        if v is fn:
+            return k
+    name = getattr(fn, "__name__", None)
+    if name and name != "<lambda>":
+        _FN_REGISTRY[name] = fn
+        return name
+    raise TypeError(
+        "cannot serialize an unregistered lambda; use register_fn()")
+
+
+def _pack_ext(z):
+    from ..models.densities import HeatmapGridDensity, LevelSetGridNormal
+    from ..models.flux import FluxModelsDistribution, mlp_apply
+
+    if isinstance(z, LevelSetGridNormal):
+        return {"_type": "LevelSetGridNormal",
+                "data": _arr(z.data),
+                "xs": _arr(z.heatmap.xs), "ys": _arr(z.heatmap.ys),
+                "level": z.level, "sigma": z.sigma}
+    if isinstance(z, HeatmapGridDensity):
+        return {"_type": "HeatmapGridDensity", "data": _arr(z.data),
+                "xs": _arr(z.xs), "ys": _arr(z.ys)}
+    if isinstance(z, FluxModelsDistribution):
+        apply_name = ("mlp" if z.apply_fn is mlp_apply
+                      else _fn_name(z.apply_fn))
+        return {"_type": "FluxModelsDistribution",
+                "apply": apply_name,
+                "params": [[_arr(W), _arr(b)] for W, b in z.params],
+                "data": _arr(z.data), "out_dim": z.out_dim,
+                "shuffle": z.shuffle}
+    return None
+
+
+def _unpack_ext(d: Dict):
+    from ..models.densities import HeatmapGridDensity, LevelSetGridNormal
+    from ..models.flux import FluxModelsDistribution, mlp_apply
+
+    t = d["_type"]
+    if t == "HeatmapGridDensity":
+        return HeatmapGridDensity(jnp.asarray(d["data"]),
+                                  (jnp.asarray(d["xs"]), jnp.asarray(d["ys"])))
+    if t == "LevelSetGridNormal":
+        # reconstruct from raw elevation data
+        return LevelSetGridNormal(jnp.asarray(d["data"]),
+                                  (jnp.asarray(d["xs"]), jnp.asarray(d["ys"])),
+                                  d["level"], d["sigma"])
+    if t == "FluxModelsDistribution":
+        fn = mlp_apply if d["apply"] == "mlp" else _FN_REGISTRY[d["apply"]]
+        params = [(jnp.asarray(W), jnp.asarray(b)) for W, b in d["params"]]
+        return FluxModelsDistribution(fn, params, jnp.asarray(d["data"]),
+                                      d["out_dim"], d["shuffle"])
+    return None
+
+
+_orig_pack_distribution = pack_distribution
+_orig_unpack_distribution = unpack_distribution
+
+
+def pack_distribution(z) -> Dict:                      # noqa: F811
+    out = _pack_ext(z)
+    return out if out is not None else _orig_pack_distribution(z)
+
+
+def unpack_distribution(d: Dict):                      # noqa: F811
+    out = _unpack_ext(d)
+    return out if out is not None else _orig_unpack_distribution(d)
+
+
+_orig_pack_factor_model = pack_factor_model
+_orig_unpack_factor_model = unpack_factor_model
+
+
+def pack_factor_model(m) -> Dict:                      # noqa: F811
+    from ..models.densities import PartialPriorPassThrough
+    from ..models.ode import DERelative
+
+    if isinstance(m, PartialPriorPassThrough):
+        return {"_type": "PartialPriorPassThrough",
+                "Z": pack_distribution(m.Z), "partial": list(m.partial)}
+    if isinstance(m, DERelative):
+        return {"_type": "DERelative", "f": _fn_name(m.f), "t0": m.t0,
+                "t1": m.t1, "Z": pack_distribution(m.Z), "steps": m.steps}
+    return _orig_pack_factor_model(m)
+
+
+def unpack_factor_model(d: Dict):                      # noqa: F811
+    from ..models.densities import PartialPriorPassThrough
+    from ..models.ode import DERelative
+
+    t = d["_type"]
+    if t == "PartialPriorPassThrough":
+        return PartialPriorPassThrough(unpack_distribution(d["Z"]),
+                                       d["partial"])
+    if t == "DERelative":
+        return DERelative(_FN_REGISTRY[d["f"]], d["t0"], d["t1"],
+                          unpack_distribution(d["Z"]), steps=d["steps"])
+    return _orig_unpack_factor_model(d)

@@ -1,0 +1,104 @@
+"""Extension model tests: heatmap/levelset densities, NN ensembles, ODE
+factors (reference ext/ functionality: HeatmapSampler, FluxFactors,
+DiffEqFactor)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incrementalinference.jl_tpu import (ContinuousEuclid, ContinuousScalar,
+                                         Normal, Prior, initfg, solve_tree)
+from incrementalinference.jl_tpu.models import (DERelative,
+                                                FluxModelsDistribution,
+                                                HeatmapGridDensity,
+                                                LevelSetGridNormal,
+                                                PartialPriorPassThrough,
+                                                mlp_apply, mlp_init,
+                                                rk4_integrate)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _gaussian_bump(cx, cy, xs, ys, s=5.0):
+    X, Y = jnp.meshgrid(xs, ys)
+    return jnp.exp(-((X - cx) ** 2 + (Y - cy) ** 2) / (2 * s * s))
+
+
+def test_heatmap_sampling_concentrates():
+    xs = jnp.linspace(0.0, 100.0, 50)
+    ys = jnp.linspace(0.0, 100.0, 40)
+    h = HeatmapGridDensity(_gaussian_bump(70.0, 30.0, xs, ys), (xs, ys))
+    pts = np.asarray(h.sample(KEY, 2000))
+    assert abs(pts[:, 0].mean() - 70.0) < 3.0
+    assert abs(pts[:, 1].mean() - 30.0) < 3.0
+    mu, cov = h.mean_cov()
+    assert np.all(np.isfinite(np.asarray(cov)))
+
+
+def test_levelset_contour():
+    xs = jnp.linspace(-50.0, 50.0, 60)
+    ys = jnp.linspace(-50.0, 50.0, 60)
+    X, Y = jnp.meshgrid(xs, ys)
+    elevation = jnp.sqrt(X**2 + Y**2)        # cone: level c = circle r=c
+    ls = LevelSetGridNormal(elevation, (xs, ys), level=30.0, sigma=2.0)
+    pts = np.asarray(ls.sample(KEY, 2000))
+    r = np.linalg.norm(pts, axis=1)
+    assert abs(r.mean() - 30.0) < 2.0
+    assert r.std() < 4.0
+
+
+def test_heatmap_as_prior_in_graph():
+    xs = jnp.linspace(0.0, 100.0, 50)
+    ys = jnp.linspace(0.0, 100.0, 40)
+    h = HeatmapGridDensity(_gaussian_bump(70.0, 30.0, xs, ys), (xs, ys))
+    fg = initfg()
+    fg.add_variable("l", ContinuousEuclid(2))
+    fg.add_factor(["l"], Prior(h))
+    p = np.asarray(fg.points("l"))
+    assert abs(p[:, 0].mean() - 70.0) < 5.0
+
+
+def test_partial_prior_passthrough():
+    fg = initfg()
+    fg.add_variable("x", ContinuousEuclid(3))
+    from incrementalinference.jl_tpu.graphinit import init_variable
+    from incrementalinference.jl_tpu.distributions import MvNormal
+    init_variable(fg, "x", MvNormal([1.0, 2.0, 3.0], [0.1, 0.1, 0.1]))
+    f = fg.add_factor(["x"], PartialPriorPassThrough(Normal(50.0, 1.0), (2,)),
+                      graphinit=False)
+    from incrementalinference.jl_tpu.ops.convolve import eval_factor
+    pts, mask = eval_factor(fg, f.label, "x")
+    p = np.asarray(pts)
+    assert abs(p[:, 2].mean() - 50.0) < 2.0     # constrained dim moved
+    assert abs(p[:, 0].mean() - 1.0) < 0.5      # others kept
+    assert list(np.asarray(mask)) == [False, False, True]
+
+
+def test_flux_ensemble_distribution():
+    params = mlp_init(KEY, [4, 16, 2], n_models=8)
+    d = FluxModelsDistribution(mlp_apply, params, jnp.ones((4,)), out_dim=2)
+    s = np.asarray(d.sample(KEY, 64))
+    assert s.shape == (64, 2)
+    assert np.all(np.isfinite(s))
+    mu, cov = d.mean_cov()
+    assert np.all(np.linalg.eigvalsh(np.asarray(cov)) > 0)
+
+
+def test_rk4_exponential():
+    xT = rk4_integrate(lambda t, x: -x, jnp.asarray([1.0]), 0.0, 1.0, 32)
+    np.testing.assert_allclose(float(xT[0]), np.exp(-1.0), atol=1e-5)
+
+
+def test_derelative_in_graph():
+    """1-D constant-velocity ODE: x(t1) = x(t0) * e^{-(t1-t0)} ... use
+    dx/dt = 2 (constant drift): x1 = x0 + 2*dt."""
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_variable("x1", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(5.0, 0.1)))
+    de = DERelative(lambda t, x: jnp.full_like(x, 2.0), t0=0.0, t1=3.0,
+                    Z=None, dim=1)
+    fg.add_factor(["x0", "x1"], de)
+    solve_tree(fg)
+    p = np.asarray(fg.points("x1")[:, 0])
+    assert abs(p.mean() - 11.0) < 1.0, p.mean()   # 5 + 2*3

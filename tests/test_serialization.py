@@ -90,3 +90,35 @@ def test_tree_roundtrip(tmp_path):
         assert c2.separator == c.separator
         assert c2.parent == c.parent
     assert t2.elimination_order == tree.elimination_order
+
+
+def test_extension_model_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from incrementalinference.jl_tpu.models import (DERelative,
+                                                    HeatmapGridDensity,
+                                                    LevelSetGridNormal)
+    from incrementalinference.jl_tpu.serialization import register_fn
+
+    xs = jnp.linspace(0, 10, 8)
+    ys = jnp.linspace(0, 10, 8)
+    X, Y = jnp.meshgrid(xs, ys)
+    h = HeatmapGridDensity(X + Y, (xs, ys))
+    h2 = unpack_distribution(pack_distribution(h))
+    np.testing.assert_allclose(np.asarray(h2.data), np.asarray(h.data))
+
+    ls = LevelSetGridNormal(X + Y, (xs, ys), level=10.0, sigma=1.0)
+    ls2 = unpack_distribution(pack_distribution(ls))
+    np.testing.assert_allclose(np.asarray(ls2.heatmap.weights),
+                               np.asarray(ls.heatmap.weights), atol=1e-6)
+
+    def drift(t, x):
+        return jnp.full_like(x, 2.0)
+
+    register_fn("drift2", drift)
+    de = DERelative(drift, 0.0, 3.0, dim=1)
+    de2 = unpack_factor_model(pack_factor_model(de))
+    assert de2.t1 == 3.0 and de2.f is drift
+
+
+from incrementalinference.jl_tpu.serialization import (pack_distribution,  # noqa: E402,F811
+                                                       unpack_distribution)

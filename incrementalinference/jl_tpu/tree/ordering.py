@@ -76,8 +76,20 @@ def get_elimination_order(fg, method: str = "qr",
     variables = [v for v in (variables or fg.ls())
                  if fg.var(v).solvable > 0]
     constraints = [c for c in (constraints or []) if c in variables]
-    free = [v for v in variables if v not in set(constraints)]
 
+    if method in ("colamd", "ccolamd", "mindegree"):
+        # native C++ constrained min-degree first (the reference's CCOLAMD
+        # role); cmember groups: 0 = free, 1 = constrained-last
+        from ..native import native_ccolamd
+        idx = {v: i for i, v in enumerate(variables)}
+        fvars = [[idx[v] for v in fg.factor(fl).variables if v in idx]
+                 for fl in fg.lsf() if fg.factor(fl).solvable > 0]
+        cmember = [1 if v in set(constraints) else 0 for v in variables]
+        out = native_ccolamd(len(variables), fvars, cmember)
+        if out is not None:
+            return [variables[i] for i in out]
+
+    free = [v for v in variables if v not in set(constraints)]
     if method == "qr":
         order = _qr_order(fg, free)
     elif method in ("colamd", "ccolamd", "mindegree"):

@@ -108,72 +108,96 @@ def _overlay_partial(manifold: Manifold, base: jnp.ndarray,
     return base.at[:, idx].set(sampled[:, :len(partial_dims)])
 
 
-def eval_factor(fg, factor, solvefor: str, key=None,
-                solve_key: str = "default", n: int | None = None,
-                inflate: bool = True):
-    """Compute proposal particles for ``solvefor`` through ``factor``
-    (reference evalFactor → evalPotentialSpecific, EvalFactor.jl:321-542).
+class ConvSpec:
+    """Static (hashable) convolution plan for one factor⊗solve-target —
+    everything the traceable core needs besides arrays."""
 
-    Returns (points (n, point_dim), dim_mask (dof,) bool).
-    """
+    def __init__(self, is_prior, sfidx, nvars, partial_dims, multihypo,
+                 nullhypo, iters, cycles, inflation, spread_nh, damping):
+        self.is_prior = is_prior
+        self.sfidx = sfidx
+        self.nvars = nvars
+        self.partial_dims = partial_dims
+        self.multihypo = multihypo
+        self.nullhypo = float(nullhypo)
+        self.iters = iters
+        self.cycles = cycles
+        self.inflation = float(inflation)
+        self.spread_nh = float(spread_nh)
+        self.damping = float(damping)
+
+    def _key(self):
+        return (self.is_prior, self.sfidx, self.nvars, self.partial_dims,
+                self.multihypo, self.nullhypo, self.iters, self.cycles,
+                self.inflation, self.spread_nh, self.damping)
+
+    def __eq__(self, other):
+        return isinstance(other, ConvSpec) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
+
+
+def make_conv_spec(fg, factor, solvefor: str, inflate: bool = True) -> ConvSpec:
     params = fg.params
-    if isinstance(factor, str):
-        factor = fg.factor(factor)
     model = factor.model
-    v = fg.var(solvefor)
-    manifold = v.manifold
-    key = key if key is not None else fg.next_key()
+    linear = getattr(model, "linear_residual", False)
+    return ConvSpec(
+        is_prior=factor.is_prior,
+        sfidx=factor.variables.index(solvefor),
+        nvars=len(factor.variables),
+        partial_dims=getattr(model, "partial", None),
+        multihypo=factor.multihypo,
+        nullhypo=factor.nullhypo,
+        iters=3 if linear else params.conv_iters,
+        cycles=params.inflate_cycles if inflate else 1,
+        inflation=params.inflation if inflate else 0.0,
+        spread_nh=params.spread_nh,
+        damping=params.conv_damping,
+    )
 
-    nvars = len(factor.variables)
-    var_points = [fg.points(lbl, solve_key) for lbl in factor.variables]
-    maxlen = max([n or params.N] + [p.shape[0] for p in var_points])
-    sfidx = factor.variables.index(solvefor)
 
-    # current destination values (reference deepcopies the target memory,
-    # CalcFactor.jl:519-617) — identity-padded/truncated to maxlen
+def static_dim_mask(manifold: Manifold, partial_dims) -> Tuple[bool, ...]:
+    if partial_dims is None:
+        return tuple([True] * manifold.dof)
+    return tuple(i in set(partial_dims) for i in range(manifold.dof))
+
+
+def eval_factor_core(manifold: Manifold, model, key,
+                     var_points: Tuple[jnp.ndarray, ...],
+                     spec: ConvSpec) -> jnp.ndarray:
+    """Traceable convolution core: proposal particles for the solve target
+    (reference evalFactor → evalPotentialSpecific, EvalFactor.jl:321-542).
+    ``var_points`` are pre-tiled to a common particle count."""
+    params_partial = spec.partial_dims
+    sfidx = spec.sfidx
+    nvars = spec.nvars
+    maxlen = var_points[spec.sfidx].shape[0]
     x_cur = var_points[sfidx]
-    if x_cur.shape[0] < maxlen:
-        reps = -(-maxlen // x_cur.shape[0])
-        x_cur = jnp.tile(x_cur, (reps, 1))[:maxlen]
-    else:
-        x_cur = x_cur[:maxlen]
-
-    partial_dims = getattr(model, "partial", None)
-    dim_mask = jnp.ones((manifold.dof,), bool)
-    if partial_dims is not None:
-        dim_mask = jnp.zeros((manifold.dof,), bool).at[
-            jnp.asarray(partial_dims)].set(True)
 
     k_hypo, k_meas, k_null, k_inflate = jax.random.split(key, 4)
 
     # ---------------- prior path (EvalFactor.jl:400-542) ----------------
-    if factor.is_prior:
+    if spec.is_prior:
         pts = model.sample_points(k_meas, maxlen, manifold)
-        if partial_dims is not None:
-            pts = _overlay_partial(manifold, x_cur, pts, partial_dims)
-        if factor.nullhypo > 0.0:
-            mh = draw_hypotheses(k_hypo, maxlen, nvars, None, factor.nullhypo)
-            spread = params.spread_nh * spread_estimate(manifold, x_cur, x_cur)
+        if params_partial is not None:
+            pts = _overlay_partial(manifold, x_cur, pts, params_partial)
+        if spec.nullhypo > 0.0:
+            mh = draw_hypotheses(k_hypo, maxlen, nvars, None, spec.nullhypo)
+            spread = spec.spread_nh * spread_estimate(manifold, x_cur, x_cur)
             nulled = add_entropy(manifold, x_cur, k_null, spread,
-                                 partial_dims)
+                                 params_partial)
             pts = jnp.where((mh == 0)[:, None], nulled, pts)
-        return pts, dim_mask
+        return pts
 
     # ---------------- relative path (EvalFactor.jl:321-395) -------------
-    mhidx = draw_hypotheses(k_hypo, maxlen, nvars, factor.multihypo,
-                            factor.nullhypo)
-    masks = build_masks(mhidx, sfidx, nvars, factor.multihypo)
+    partial_dims = params_partial
+    mhidx = draw_hypotheses(k_hypo, maxlen, nvars, spec.multihypo,
+                            spec.nullhypo)
+    masks = build_masks(mhidx, sfidx, nvars, spec.multihypo)
 
     meas = model.sample(k_meas, maxlen)
-
-    # assemble per-particle "other variable" point rows
-    def tile_to(p):
-        if p.shape[0] < maxlen:
-            reps = -(-maxlen // p.shape[0])
-            return jnp.tile(p, (reps, 1))[:maxlen]
-        return p[:maxlen]
-
-    var_points = [tile_to(p) for p in var_points]
+    var_points = list(var_points)
 
     if masks.uncertain_slot is None:
         others = tuple(var_points[i] for i in range(nvars) if i != sfidx)
@@ -198,29 +222,61 @@ def eval_factor(fg, factor, solvefor: str, key=None,
     other_cloud = others[0] if others else x_cur
     base_spread = spread_estimate(manifold, x_cur, other_cloud)
 
-    linear = getattr(model, "linear_residual", False)
-    iters = 3 if linear else params.conv_iters
-    cycles = params.inflate_cycles if inflate else 1
-
     x = x_cur
-    for _ in range(cycles):
+    for _ in range(spec.cycles):
         k_inflate, k_e = jax.random.split(k_inflate)
-        if inflate and params.inflation > 0.0:
+        if spec.inflation > 0.0:
             x = add_entropy(manifold, x, k_e,
-                            params.inflation * base_spread, partial_dims)
+                            spec.inflation * base_spread, partial_dims)
         solved = batched_gauss_newton(
-            manifold, model, meas, others, x, sf_slot, iters=iters,
-            damping=params.conv_damping, partial_dims=partial_dims)
+            manifold, model, meas, others, x, sf_slot, iters=spec.iters,
+            damping=spec.damping, partial_dims=partial_dims)
         x = jnp.where(masks.solve_mask[:, None], solved, x)
 
     # null / snap-together particles: entropy only, kappa = spreadNH
     inactive = masks.null_mask | masks.snap_mask
-    if factor.nullhypo > 0.0 or factor.multihypo is not None:
-        spread_nh = params.spread_nh * base_spread
+    if spec.nullhypo > 0.0 or spec.multihypo is not None:
+        spread_nh = spec.spread_nh * base_spread
         nulled = add_entropy(manifold, x_cur, k_null, spread_nh, partial_dims)
         x = jnp.where(inactive[:, None], nulled, x)
 
-    return x, dim_mask
+    return x
+
+
+def _tile_to(p: jnp.ndarray, maxlen: int) -> jnp.ndarray:
+    if p.shape[0] < maxlen:
+        reps = -(-maxlen // p.shape[0])
+        return jnp.tile(p, (reps, 1))[:maxlen]
+    return p[:maxlen]
+
+
+@functools.partial(jax.jit, static_argnames=("manifold", "spec"))
+def _eval_factor_jit(manifold, model, key, var_points, spec):
+    return eval_factor_core(manifold, model, key, var_points, spec)
+
+
+def eval_factor(fg, factor, solvefor: str, key=None,
+                solve_key: str = "default", n: int | None = None,
+                inflate: bool = True):
+    """Compute proposal particles for ``solvefor`` through ``factor``
+    (reference evalFactor, EvalFactor.jl:571-603).
+
+    Returns (points (n, point_dim), dim_mask (dof,) bool).
+    """
+    params = fg.params
+    if isinstance(factor, str):
+        factor = fg.factor(factor)
+    manifold = fg.var(solvefor).manifold
+    key = key if key is not None else fg.next_key()
+
+    var_points = [fg.points(lbl, solve_key) for lbl in factor.variables]
+    maxlen = max([n or params.N] + [p.shape[0] for p in var_points])
+    var_points = tuple(_tile_to(p, maxlen) for p in var_points)
+
+    spec = make_conv_spec(fg, factor, solvefor, inflate=inflate)
+    pts = _eval_factor_jit(manifold, factor.model, key, var_points, spec)
+    dim_mask = jnp.asarray(static_dim_mask(manifold, spec.partial_dims))
+    return pts, dim_mask
 
 
 def approx_conv_belief(fg, factor_label: str, target: str, key=None,

@@ -1,0 +1,105 @@
+"""Fused per-variable belief update — one XLA kernel per structure.
+
+The MM-iSAM inner loop (reference doFMCIteration → propagateBelief →
+proposalbeliefs! → evalFactor → manifoldProduct,
+src/services/SolveTree.jl:47, GraphProductOperations.jl:16-78) updates one
+variable by convolving every connected factor and multiplying the proposals.
+Run as separate ops that is 30-50 device dispatches per update; at ~100 µs
+TPU dispatch latency the host becomes the bottleneck (SURVEY.md §7 perf
+note).  Here the *entire* update — all factor convolutions, LOO bandwidth
+selections, the exact pairwise product cascade, and the output bandwidth —
+traces into ONE jitted function, cached per (manifold, factor-structure,
+shape) signature.  Sweeping a clique then costs one dispatch per variable
+update instead of dozens.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..beliefs import loo_bandwidth
+from ..manifolds import Manifold
+from .convolve import ConvSpec, eval_factor_core
+from .product import pair_product_tangent
+
+__all__ = ["fused_variable_update", "product_traceable"]
+
+
+def product_traceable(manifold: Manifold, pts_list, bw_list,
+                      static_masks: Tuple[Tuple[bool, ...], ...],
+                      old_points: jnp.ndarray, key, n_out: int):
+    """Traceable exact-cascade product (see ops/product.py) with *static*
+    per-proposal dim masks so partial handling compiles away."""
+    D = len(pts_list)
+    if D == 1 and all(static_masks[0]):
+        return pts_list[0][:n_out]
+
+    pooled = jnp.concatenate(pts_list, axis=0)
+    ref = manifold.mean(pooled)
+
+    mus, precs = [], []
+    for pts, bw, mask in zip(pts_list, bw_list, static_masks):
+        t = manifold.log(ref[None, :], pts)
+        m = jnp.asarray(mask)
+        lam = jnp.where(m, 1.0 / jnp.maximum(bw**2, 1e-12), 0.0)
+        mus.append(t)
+        precs.append(jnp.broadcast_to(lam, t.shape))
+
+    keys = jax.random.split(key, D + 1)
+    mu, prec = mus[0], precs[0]
+    if D == 1:
+        sel = jax.random.randint(keys[0], (n_out,), 0, mu.shape[0])
+        mu, prec = mu[sel], prec[sel]
+    for j in range(1, D):
+        mu, prec = pair_product_tangent(mu, prec, mus[j], precs[j],
+                                        keys[j], n_out)
+    noise = jax.random.normal(keys[-1], mu.shape) / \
+        jnp.sqrt(jnp.maximum(prec, 1e-30))
+    samples = jnp.where(prec > 0, mu + noise, 0.0)
+
+    # dims constrained by no proposal (static) keep the old belief's values
+    any_mask = [any(m[d] for m in static_masks)
+                for d in range(manifold.dof)]
+    if not all(any_mask):
+        old_t = manifold.log(ref[None, :], old_points[:n_out])
+        keep = jnp.asarray(any_mask)
+        samples = jnp.where(keep[None, :], samples, old_t)
+
+    return manifold.project(
+        manifold.exp(jnp.broadcast_to(ref, (n_out,) + ref.shape), samples))
+
+
+@functools.lru_cache(maxsize=1024)
+def _fused_fn(manifold: Manifold, specs: Tuple[ConvSpec, ...],
+              masks: Tuple[Tuple[bool, ...], ...], n_out: int):
+    def update(models, var_points_nested, old_points, key):
+        F = len(specs)
+        keys = jax.random.split(key, F + 1)
+        pts_list, bw_list = [], []
+        for i in range(F):
+            pts = eval_factor_core(manifold, models[i], keys[i],
+                                   var_points_nested[i], specs[i])
+            pts_list.append(pts)
+            bw_list.append(loo_bandwidth(manifold, pts))
+        out = product_traceable(manifold, pts_list, bw_list, masks,
+                                old_points, keys[-1], n_out)
+        return out, loo_bandwidth(manifold, out)
+
+    return jax.jit(update)
+
+
+def fused_variable_update(manifold: Manifold,
+                          models: Sequence,
+                          var_points_nested: Sequence[Tuple[jnp.ndarray, ...]],
+                          old_points: jnp.ndarray,
+                          specs: Sequence[ConvSpec],
+                          masks: Sequence[Tuple[bool, ...]],
+                          key, n_out: int):
+    """One-dispatch variable update: returns (points, bw)."""
+    fn = _fused_fn(manifold, tuple(specs), tuple(masks), n_out)
+    return fn(tuple(models), tuple(tuple(v) for v in var_points_nested),
+              old_points, key)

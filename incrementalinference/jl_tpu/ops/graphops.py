@@ -38,34 +38,41 @@ def propagate_belief(fg, target: str, factor_labels: Sequence[str],
     """Product of per-factor proposals at ``target``
     (reference propagateBelief, GraphProductOperations.jl:16-78).
 
+    The whole update (all convolutions + bandwidths + product) runs as one
+    fused jitted kernel (ops/fused.py) — one device dispatch per update.
     Returns (belief, infoPerCoord).
     """
-    params = fg.params
+    from ..beliefs import Belief as _B
+    from .convolve import _tile_to, make_conv_spec, static_dim_mask
+    from .fused import fused_variable_update
+
     v = fg.var(target)
     manifold = v.manifold
     n_out = n or v.N
     key = key if key is not None else fg.next_key()
 
     factors = _solvable_factors(fg, factor_labels)
-    proposals: List[Proposal] = []
-    keys = jax.random.split(key, len(factors) + 1)
-    for f, k in zip(factors, keys[:-1]):
-        proposals.append(proposal_from_factor(
-            fg, f, target, key=k, solve_key=solve_key, n=n_out))
+    old_points = _tile_to(fg.points(target, solve_key), n_out)
 
-    old_points = fg.points(target, solve_key)
-    pts = manifold_product(manifold, proposals, keys[-1], n_out,
-                           old_points=old_points,
-                           sweeps=params.product_gibbs_sweeps)
-    pts = manifold.project(pts)
-
-    # infoPerCoord: accumulated constraint info per tangent dim
-    if proposals:
-        ipc = jnp.sum(jnp.stack(
-            [p.dim_mask.astype(jnp.float32) for p in proposals]), axis=0)
-    else:
+    if not factors:
         ipc = jnp.zeros((manifold.dof,), jnp.float32)
-    return make_belief(manifold, pts, ipc=ipc), ipc
+        return make_belief(manifold, old_points, ipc=ipc), ipc
+
+    specs, masks, models, nested = [], [], [], []
+    for f in factors:
+        spec = make_conv_spec(fg, f, target)
+        specs.append(spec)
+        masks.append(static_dim_mask(manifold, spec.partial_dims))
+        models.append(f.model)
+        var_points = [fg.points(lbl, solve_key) for lbl in f.variables]
+        maxlen = max([n_out] + [p.shape[0] for p in var_points])
+        nested.append(tuple(_tile_to(p, maxlen) for p in var_points))
+
+    pts, bw = fused_variable_update(manifold, models, nested, old_points,
+                                    specs, masks, key, n_out)
+    ipc = jnp.sum(jnp.stack([jnp.asarray(m, jnp.float32) for m in masks]),
+                  axis=0)
+    return _B(points=pts, bw=bw, ipc=ipc), ipc
 
 
 def local_product(fg, target: str, key=None, solve_key: str = "default",

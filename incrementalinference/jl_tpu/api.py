@@ -49,11 +49,20 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                store_old: bool = False,
                up: Optional[bool] = None, down: Optional[bool] = None,
                order: Optional[Sequence[str]] = None,
+               algorithm: str = "default",
+               skip_cliques: Sequence[int] = (),
+               delay_cliques: Optional[Dict[int, float]] = None,
                verbose: bool = False) -> BayesTree:
     """Nonparametric MM-iSAM solve over the Bayes tree (reference
     solveTree!, SolverAPI.jl:326-493): init → freeze → tree build (with
     recycling vs ``old_tree``) → level-synchronous up/down sweeps →
     PPE updates.  Returns the tree (pass back in for incremental reuse)."""
+    if algorithm == "parametric":
+        # route to the parametric clique sweeps (reference
+        # solveTree!(…; algorithm=:parametric), SolverAPI.jl:423)
+        from .parametric.cliques import solve_tree_parametric
+        return solve_tree_parametric(fg, old_tree=old_tree, order=order)
+
     params = fg.params
     t0 = time.time()
 
@@ -79,7 +88,9 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
     do_up = params.upsolve if up is None else up
     do_down = params.downsolve if down is None else down
     traces = solve_tree_sweeps(fg, tree, solve_key=solve_key,
-                               up=do_up, down=do_down)
+                               up=do_up, down=do_down,
+                               skip_cliques=skip_cliques,
+                               delay_cliques=delay_cliques)
     tree.traces = traces
 
     fg.solve_count += 1

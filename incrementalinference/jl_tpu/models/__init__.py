@@ -3,7 +3,7 @@
 
 from .densities import (HeatmapGridDensity, LevelSetGridNormal,
                         PartialPriorPassThrough)
-from .factors import (CircularCircular, EuclidDistance, FactorModel,
+from .factors import (CircularCircular, EuclidDistance, FactorModel, GaussianJoint,
                       GenericMarginal, LinearRelative, ManifoldFactor,
                       ManifoldPrior, MetaPrior, Mixture, MsgPrior,
                       PartialPrior, Prior, PriorCircular, PriorModel)
@@ -15,7 +15,7 @@ __all__ = [
     "FactorModel", "PriorModel", "Prior", "LinearRelative", "EuclidDistance",
     "Mixture", "PriorCircular", "CircularCircular", "PartialPrior",
     "MsgPrior", "MetaPrior", "GenericMarginal", "ManifoldFactor",
-    "ManifoldPrior",
+    "ManifoldPrior", "GaussianJoint",
     "HeatmapGridDensity", "LevelSetGridNormal", "PartialPriorPassThrough",
     "FluxModelsDistribution", "MixtureFluxModels", "mlp_init", "mlp_apply",
     "DERelative", "rk4_integrate",

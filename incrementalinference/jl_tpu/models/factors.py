@@ -433,3 +433,38 @@ _register_model(MetaPrior, (), ("data",))
 _register_model(GenericMarginal, ())
 _register_model(ManifoldFactor, ("Z",), ("manifold",))
 _register_model(ManifoldPrior, ("p0", "Z"), ("manifold",))
+
+
+class GaussianJoint(FactorModel):
+    """Joint Gaussian prior over several variables — the parametric tree
+    message (reference LikelihoodMessage.cliqueLikelihood::MvNormal carried
+    by the parametric CSM, src/parametric/services/ParametricCSMFunctions.jl
+    :8-97 and calculateCoBeliefMessage, ParametricUtils.jl:744-796).
+
+    residual = concat_v log(p0_v, x_v) − z with joint covariance ``cov``
+    over the stacked tangent dims.
+    """
+
+    def __init__(self, manifolds, p0s, cov):
+        self.manifolds = tuple(manifolds)
+        self.p0s = tuple(jnp.asarray(p) for p in p0s)
+        self.cov = jnp.asarray(cov, jnp.float32)
+
+    @property
+    def zdim(self):
+        return sum(m.dof for m in self.manifolds)
+
+    def sample(self, key, n):
+        L = jnp.linalg.cholesky(self.cov + 1e-9 * jnp.eye(self.zdim))
+        return (jax.random.normal(key, (n, self.zdim)) @ L.T)
+
+    def residual(self, meas, *points):
+        logs = [m.log(p0, x) for m, p0, x in
+                zip(self.manifolds, self.p0s, points)]
+        return jnp.concatenate(logs, axis=-1) - meas
+
+    def mean_cov(self):
+        return jnp.zeros((self.zdim,)), self.cov
+
+
+_register_model(GaussianJoint, ("p0s", "cov"), ("manifolds",))

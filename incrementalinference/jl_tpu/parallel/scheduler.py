@@ -23,7 +23,7 @@ from __future__ import annotations
 import logging
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 
@@ -162,6 +162,8 @@ def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
 
     for msg in child_msgs:
         if msg.status == CliqStatus.ERROR_STATUS:
+            # propagate upward without solving (reference waitForUp_ ERROR
+            # branch, CliqueStateMachine.jl:242-251)
             clique.status = CliqStatus.ERROR_STATUS
             raise RuntimeError(
                 f"clique {clique.cid}: child {msg.sender} errored")
@@ -243,10 +245,25 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
 def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                       solve_key: str = "default",
                       up: bool = True, down: bool = True,
-                      traces: Optional[Dict[int, CliqueTrace]] = None
+                      traces: Optional[Dict[int, CliqueTrace]] = None,
+                      skip_cliques: Sequence[int] = (),
+                      delay_cliques: Dict[int, float] | None = None
                       ) -> Dict[int, CliqueTrace]:
-    """Full level-synchronous up sweep then down sweep."""
+    """Full level-synchronous up sweep then down sweep.
+
+    Fault-injection hooks mirror the reference's solveTree! kwargs
+    (delaycliqs/skipcliqids/injectDelayBefore, SolverAPI.jl:333-337):
+    ``skip_cliques`` leave their cliques untouched; ``delay_cliques`` sleep
+    before the clique's up-solve.  A clique whose solve raises is marked
+    ERROR_STATUS and its error message floods the remaining schedule so
+    siblings still complete (the reference's monitorCSMs/
+    bruteForcePushErrorCSM semantics, CliqStateMachineUtils.jl:184-246);
+    the error re-raises after the sweep finishes.
+    """
     traces = traces if traces is not None else {}
+    delay_cliques = delay_cliques or {}
+    skip_set = set(skip_cliques)
+    errors: List[Tuple[int, Exception]] = []
 
     def trace_for(cid: int) -> CliqueTrace:
         if fg.params.record_cliques and cid not in traces:
@@ -265,8 +282,24 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                 tr = trace_for(cid)
                 if fg.params.record_cliques:
                     tr.child_msgs = list(child_msgs)
-                up_msgs[cid] = up_solve_clique(
-                    fg, tree, cl, child_msgs, solve_key, trace=tr)
+                if cid in skip_set:
+                    tr.log("skip", "skip_cliques fault injection")
+                    up_msgs[cid] = LikelihoodMessage(
+                        sender=cid, status=cl.status or CliqStatus.NULL,
+                        direction="up")
+                    continue
+                if cid in delay_cliques:
+                    time.sleep(delay_cliques[cid])
+                try:
+                    up_msgs[cid] = up_solve_clique(
+                        fg, tree, cl, child_msgs, solve_key, trace=tr)
+                except Exception as e:          # noqa: BLE001
+                    cl.status = CliqStatus.ERROR_STATUS
+                    tr.log("error", str(e))
+                    errors.append((cid, e))
+                    up_msgs[cid] = LikelihoodMessage(
+                        sender=cid, status=CliqStatus.ERROR_STATUS,
+                        direction="up")
 
     if down:
         down_msgs: Dict[int, LikelihoodMessage] = {}
@@ -276,8 +309,19 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                 tr = trace_for(cid)
                 if fg.params.record_cliques:
                     tr.down_msg = down_msgs.get(cid)
-                out = down_solve_clique(
-                    fg, tree, cl, down_msgs.get(cid), solve_key, trace=tr)
-                down_msgs.update(out)
+                if cid in skip_set or cl.status == CliqStatus.ERROR_STATUS:
+                    continue
+                try:
+                    out = down_solve_clique(
+                        fg, tree, cl, down_msgs.get(cid), solve_key, trace=tr)
+                    down_msgs.update(out)
+                except Exception as e:          # noqa: BLE001
+                    cl.status = CliqStatus.ERROR_STATUS
+                    tr.log("error", str(e))
+                    errors.append((cid, e))
 
+    if errors:
+        cids = [c for c, _ in errors]
+        raise RuntimeError(
+            f"clique solves failed for {cids}: {errors[0][1]}")             from errors[0][1]
     return traces

@@ -1,0 +1,142 @@
+"""Parametric tree solve — clique-wise Gaussian message passing.
+
+Reference: src/parametric/services/ParametricCSMFunctions.jl
+(solveUp_ParametricStateMachine :8-97, solveDown_ParametricStateMachine
+:105-194) + calculateCoBeliefMessage (ParametricUtils.jl:744-796): the up
+message is the clique's joint Gaussian marginal over its separator
+variables; the down solve pins separators and re-solves frontals.  Runs on
+the same level-synchronous schedule as the nonparametric sweeps.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import FactorGraph
+from ..models.factors import GaussianJoint
+from ..parallel.scheduler import build_clique_subgraph
+from ..tree.bayestree import BayesTree, CliqStatus, build_tree_reset
+from .solver import ParametricProblem, autoinit_parametric
+
+__all__ = ["solve_tree_parametric", "GaussianMessage"]
+
+
+class GaussianMessage:
+    """Parametric inter-clique message: joint Gaussian over separator vars."""
+
+    def __init__(self, sender: int, variables: List[str], points, cov):
+        self.sender = sender
+        self.variables = list(variables)
+        self.points = list(points)
+        self.cov = cov
+
+
+def _attach_message(sub: FactorGraph, msg: GaussianMessage, tag: str) -> None:
+    """Insert a Gaussian message as a joint prior factor on the subgraph
+    (the parametric analogue of addMsgFactors!)."""
+    if not msg.variables:
+        return
+    keep = [i for i, v in enumerate(msg.variables) if v in sub.variables]
+    if not keep:
+        return
+    manifolds_all = [sub.var(v).manifold for v in msg.variables
+                     if v in sub.variables]
+    dofs = []
+    for v in msg.variables:
+        # message covariance is ordered by msg.variables' tangent dofs
+        dofs.append(sub.var(v).manifold.dof if v in sub.variables
+                    else int(np.asarray(msg.points[
+                        msg.variables.index(v)]).shape[-1]))
+    starts = np.concatenate([[0], np.cumsum(dofs)]).astype(int)
+    sel = np.concatenate([np.arange(starts[i], starts[i + 1])
+                          for i in keep])
+    cov = jnp.asarray(np.asarray(msg.cov)[np.ix_(sel, sel)])
+    vars_here = [msg.variables[i] for i in keep]
+    p0s = [msg.points[i] for i in keep]
+    sub.add_factor(vars_here, GaussianJoint(manifolds_all, p0s, cov),
+                   label=f"__PARAMMSG_{tag}_{msg.sender}", graphinit=False)
+
+
+def _clique_solve(fg: FactorGraph, sub: FactorGraph, clique,
+                  frozen=()) -> ParametricProblem:
+    prob = ParametricProblem(sub, frozen=tuple(frozen))
+    points, cov, cost = prob.solve()
+    for i, v in enumerate(prob.var_labels):
+        sv = sub.var(v)
+        sv.parametric_point = points[i]
+        s, e = int(prob.offsets[i]), int(prob.offsets[i + 1])
+        sv.parametric_cov = cov[s:e, s:e]
+    prob.full_cov = cov
+    return prob
+
+
+def _marginal_message(prob: ParametricProblem, sub: FactorGraph, clique
+                      ) -> GaussianMessage:
+    seps = clique.separator
+    sel = np.concatenate([
+        np.arange(int(prob.offsets[prob.slot[v]]),
+                  int(prob.offsets[prob.slot[v] + 1])) for v in seps]) \
+        .astype(int) if seps else np.zeros((0,), int)
+    cov = jnp.asarray(np.asarray(prob.full_cov)[np.ix_(sel, sel)])
+    pts = [sub.var(v).parametric_point for v in seps]
+    return GaussianMessage(clique.cid, seps, pts, cov)
+
+
+def solve_tree_parametric(fg: FactorGraph,
+                          old_tree: Optional[BayesTree] = None,
+                          order=None) -> BayesTree:
+    """Clique-wise parametric solve over the Bayes tree (reference
+    solveTree!(…; algorithm=:parametric), SolverAPI.jl:423 routing into the
+    parametric CSM states)."""
+    # ensure linearization points exist everywhere
+    if any(fg.var(v).parametric_point is None for v in fg.ls()):
+        autoinit_parametric(fg)
+
+    tree = build_tree_reset(fg, order=order, old_tree=old_tree)
+    levels = tree.levels()
+    up_msgs: Dict[int, GaussianMessage] = {}
+
+    # ---- up sweep ----
+    for level in reversed(levels):
+        for cid in level:
+            cl = tree.clique(cid)
+            sub = build_clique_subgraph(fg, cl)
+            for ch in cl.children:
+                if ch in up_msgs:
+                    _attach_message(sub, up_msgs[ch], "up")
+            prob = _clique_solve(fg, sub, cl)
+            up_msgs[cid] = _marginal_message(prob, sub, cl)
+            cl.status = CliqStatus.UPSOLVED
+            for v in cl.frontals:
+                fv = fg.var(v)
+                fv.parametric_point = sub.var(v).parametric_point
+                fv.parametric_cov = sub.var(v).parametric_cov
+
+    # ---- down sweep: pin separators from the solved parents ----
+    for level in levels:
+        for cid in level:
+            cl = tree.clique(cid)
+            if cl.parent is None:
+                cl.status = CliqStatus.DOWNSOLVED
+                continue
+            sub = build_clique_subgraph(fg, cl)
+            for ch in cl.children:
+                if ch in up_msgs:
+                    _attach_message(sub, up_msgs[ch], "dwn")
+            # separators already carry the parent's solved values
+            prob = _clique_solve(fg, sub, cl, frozen=cl.separator)
+            cl.status = CliqStatus.DOWNSOLVED
+            for v in cl.frontals:
+                fv = fg.var(v)
+                fv.parametric_point = sub.var(v).parametric_point
+                fv.parametric_cov = sub.var(v).parametric_cov
+                fv.ppe["parametric"] = {
+                    "mean": fv.parametric_point,
+                    "max": fv.parametric_point,
+                    "suggested": fv.parametric_point}
+
+    fg.solve_count += 1
+    return tree

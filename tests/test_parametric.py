@@ -79,3 +79,20 @@ def test_autoinit_parametric_chain():
         assert pt is not None
         truth = float(v[1:] if v[0] == "x" else v[2:])
         assert abs(float(np.asarray(pt)[0]) - truth) < 0.5, v
+
+
+def test_parametric_tree_solve_matches_batch():
+    """Clique-wise parametric sweeps agree with the full batch solve
+    (reference ParametricCSM vs solveGraphParametric)."""
+    from incrementalinference.jl_tpu import solve_tree
+    fg = generate_line_step(10, graphinit=False)
+    tree = solve_tree(fg, algorithm="parametric")
+    from incrementalinference.jl_tpu.tree.bayestree import CliqStatus
+    assert all(c.status == CliqStatus.DOWNSOLVED
+               for c in tree.cliques.values())
+    for v in fg.ls():
+        truth = float(v[1:] if v[0] == "x" else v[2:])
+        est = float(np.asarray(fg.var(v).parametric_point)[0])
+        assert abs(est - truth) < 0.05, (v, est, truth)
+        cov = float(np.asarray(fg.var(v).parametric_cov)[0, 0])
+        assert np.isfinite(cov) and cov > 0

@@ -69,3 +69,52 @@ def test_up_only_then_down_only():
     tree2 = solve_tree(fg, up=False)
     assert all(c.status == CliqStatus.DOWNSOLVED
                for c in tree2.cliques.values())
+
+
+def test_error_floods_and_raises():
+    """A failing clique must not deadlock siblings; the error surfaces after
+    the sweep (reference testCSMMonitor.jl semantics)."""
+    import pytest
+    from incrementalinference.jl_tpu.parallel import scheduler as sched
+
+    fg = generate_caesar_ring1d(graphinit=True)
+    orig = sched.up_solve_clique
+    calls = {"n": 0}
+
+    def boom(fg_, tree_, cl_, msgs_, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:      # first (deepest) clique fails
+            raise ValueError("injected fault")
+        return orig(fg_, tree_, cl_, msgs_, *a, **kw)
+
+    sched.up_solve_clique = boom
+    try:
+        from incrementalinference.jl_tpu import solve_tree as st
+        with pytest.raises(RuntimeError, match="clique solves failed"):
+            st(fg)
+    finally:
+        sched.up_solve_clique = orig
+    assert calls["n"] >= 2       # siblings still ran after the failure
+
+
+def test_skip_cliques_fault_injection():
+    fg = generate_caesar_ring1d(graphinit=True)
+    tree0 = solve_tree(fg)                       # establish tree shape
+    some = list(tree0.cliques)[-1]
+    tree = solve_tree(fg, skip_cliques=[some])
+    from incrementalinference.jl_tpu.tree.bayestree import CliqStatus
+    skipped = tree.cliques[some]
+    assert skipped.status not in (CliqStatus.ERROR_STATUS,)
+
+
+def test_compare_and_default_selection():
+    from incrementalinference.jl_tpu.utils import (compare_graphs,
+                                                   select_factor_type)
+    from incrementalinference.jl_tpu import (ContinuousEuclid, Circular,
+                                             LinearRelative, CircularCircular)
+    fg = generate_kaess(graphinit=True)
+    assert compare_graphs(fg, fg)
+    f = select_factor_type(ContinuousEuclid(2), ContinuousEuclid(2))
+    assert isinstance(f, LinearRelative)
+    f2 = select_factor_type(Circular, Circular)
+    assert isinstance(f2, CircularCircular)

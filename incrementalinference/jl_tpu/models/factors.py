@@ -468,3 +468,37 @@ class GaussianJoint(FactorModel):
 
 
 _register_model(GaussianJoint, ("p0s", "cov"), ("manifolds",))
+
+
+class MsgRelativeLikelihood(FactorModel):
+    """Relative likelihood carried inside a joint up-message: the measured
+    quantity is the tangent difference log(x1⁻¹∘x2), with a particle belief
+    over it obtained by deconvolving the solved child clique (reference
+    addLikelihoodsDifferentialCHILD!, TreeMessageUtils.jl:279-335 — the
+    `useMsgLikelihoods` joint/differential up-message path)."""
+
+    def __init__(self, belief, manifold):
+        self.belief = belief        # Belief over tangent differences
+        self.manifold = manifold
+
+    @property
+    def zdim(self):
+        return self.manifold.dof
+
+    def sample(self, key, n):
+        from ..beliefs import kde_sample
+        from .factors import FactorModel  # noqa: F401
+        # differences live in a Euclidean chart of the tangent space
+        from ..manifolds import Euclidean
+        return kde_sample(Euclidean(self.manifold.dof), self.belief, key, n)
+
+    def residual(self, meas, p1, p2):
+        return self.manifold.log(p1, p2) - meas
+
+    def mean_cov(self):
+        from ..beliefs import mean_cov as bmc
+        from ..manifolds import Euclidean
+        return bmc(Euclidean(self.manifold.dof), self.belief.points)
+
+
+_register_model(MsgRelativeLikelihood, ("belief",), ("manifold",))

@@ -60,6 +60,29 @@ class Proposal:
                          if dim_mask is None else jnp.asarray(dim_mask, bool))
 
 
+def _pair_logW(muA, precA, muB, precB):
+    """Agreement log-weights in MXU-friendly matmul form.
+
+    In the cascade the *incoming* density B always has one shared diagonal
+    precision across its kernels, so the effective inverse variance
+    ivar = pA·pB/(pA+pB) depends only on (component-of-A, dim).  Then
+
+      Σ_d ivar_id (a_id − b_jd)²
+        = Σ_d ivar a²  (per-row)  +  ivar · (b²)ᵀ  −  2 (ivar⊙a) · bᵀ
+
+    — two thin matmuls instead of an (Na, Nb, dof) broadcast tensor: the
+    product weight matrix rides the MXU and HBM traffic stays O(N·dof + N²).
+    """
+    pB0 = precB[0]                                          # shared row
+    both = (precA > 0) & (pB0[None, :] > 0)
+    ivar = jnp.where(both, precA * pB0 / jnp.maximum(precA + pB0, 1e-30),
+                     0.0)                                   # (Na, dof)
+    a2 = jnp.sum(ivar * muA * muA, axis=-1)                 # (Na,)
+    t2 = ivar @ (muB * muB).T                               # (Na, Nb)
+    t3 = (ivar * muA) @ muB.T                               # (Na, Nb)
+    return -0.5 * (a2[:, None] + t2 - 2.0 * t3)
+
+
 @functools.partial(jax.jit, static_argnames=("n_out",))
 def pair_product_tangent(muA: jnp.ndarray, precA: jnp.ndarray,
                          muB: jnp.ndarray, precB: jnp.ndarray,
@@ -67,20 +90,21 @@ def pair_product_tangent(muA: jnp.ndarray, precA: jnp.ndarray,
     """Exact product of two diagonal-Gaussian mixtures in tangent coords.
 
     muA: (Na, dof) component means with per-component diag precisions
-    precA: (Na, dof) (0 ⇒ dim unconstrained by that component).
+    precA: (Na, dof) (0 ⇒ dim unconstrained by that component); ``precB``
+    must share one precision row across components (true throughout the
+    cascade — fresh proposals have per-density uniform bandwidths).
     Returns (mu, prec) of ``n_out`` exactly-sampled product components.
-    """
-    # agreement weights over dims both constrain: var = 1/pA + 1/pB
-    pA = precA[:, None, :]                                  # (Na,1,dof)
-    pB = precB[None, :, :]                                  # (1,Nb,dof)
-    both = (pA > 0) & (pB > 0)
-    ivar = jnp.where(both, pA * pB / jnp.maximum(pA + pB, 1e-30), 0.0)
-    diff = muA[:, None, :] - muB[None, :, :]                # (Na,Nb,dof)
-    logW = -0.5 * jnp.sum(ivar * diff * diff, axis=-1)      # (Na,Nb)
 
+    Sampling is two-stage (row ∝ row-logsumexp, then column | row) so the
+    cost is O(Na·Nb) once plus O(n_out·Nb) — no flattened N² categorical.
+    """
+    logW = _pair_logW(muA, precA, muB, precB)               # (Na, Nb)
     na, nb = logW.shape
-    idx = jax.random.categorical(key, logW.reshape(-1), shape=(n_out,))
-    ia, ib = idx // nb, idx % nb
+
+    k_row, k_col = jax.random.split(key)
+    row_ls = jax.scipy.special.logsumexp(logW, axis=1)      # (Na,)
+    ia = jax.random.categorical(k_row, row_ls, shape=(n_out,))
+    ib = jax.random.categorical(k_col, logW[ia], axis=-1)   # (n_out,)
 
     sA, sB = muA[ia], muB[ib]
     qA, qB = precA[ia], precB[ib]

@@ -13,8 +13,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List
 
-from ..beliefs import Belief
-from ..models.factors import MsgPrior
+from ..beliefs import Belief, make_belief
+from ..models.factors import MsgPrior, MsgRelativeLikelihood
 from ..tree.bayestree import CliqStatus
 
 __all__ = ["LikelihoodMessage", "add_msg_factors", "delete_msg_factors",
@@ -32,10 +32,14 @@ class LikelihoodMessage:
     beliefs: Dict[str, Belief] = field(default_factory=dict)
     # direction hint (reference :UPWARD_DIFFERENTIAL / :DOWNWARD_COMMON)
     direction: str = "up"
+    # joint differential likelihoods: [(var_a, var_b, Belief-over-diff)]
+    # (reference LikelihoodMessage.jointmsg::_MsgJointLikelihood)
+    joint: list = field(default_factory=list)
 
 
 def add_msg_factors(subfg, msg: LikelihoodMessage) -> List[str]:
-    """Insert message beliefs as MsgPrior factors on the local (sub)graph
+    """Insert message beliefs as MsgPrior factors — plus, on the joint-
+    likelihood path, differential relative factors between separator pairs
     (reference addMsgFactors!, TreeMessageUtils.jl:542-594)."""
     added = []
     for vlbl, belief in msg.beliefs.items():
@@ -45,6 +49,15 @@ def add_msg_factors(subfg, msg: LikelihoodMessage) -> List[str]:
         f = subfg.add_factor(
             [vlbl], MsgPrior(belief, manifold),
             label=f"{vlbl}_{MSG_TAG}_{msg.sender}_{msg.direction}",
+            graphinit=False, tags=(MSG_TAG,))
+        added.append(f.label)
+    for va, vb, diff_belief in msg.joint:
+        if va not in subfg.variables or vb not in subfg.variables:
+            continue
+        manifold = subfg.var(va).manifold
+        f = subfg.add_factor(
+            [va, vb], MsgRelativeLikelihood(diff_belief, manifold),
+            label=f"{va}{vb}_{MSG_TAG}J_{msg.sender}_{msg.direction}",
             graphinit=False, tags=(MSG_TAG,))
         added.append(f.label)
     return added
@@ -65,11 +78,31 @@ def delete_msg_factors(subfg, labels: List[str] | None = None) -> None:
 
 
 def prep_msg_up(subfg, clique, status: CliqStatus) -> LikelihoodMessage:
-    """Separator beliefs → up message (reference prepCliqueMsgUp,
-    TreeMessageUtils.jl:667-703)."""
+    """Separator beliefs → up message; with ``use_msg_likelihoods`` also
+    attach differential likelihoods between consecutive separator variables
+    (reference prepCliqueMsgUp + addLikelihoodsDifferentialCHILD!,
+    TreeMessageUtils.jl:667-703, :279-335)."""
+    import jax.numpy as jnp
+    from ..manifolds import Euclidean
+
     msg = LikelihoodMessage(sender=clique.cid, status=status, direction="up")
     for vlbl in clique.separator:
         msg.beliefs[vlbl] = subfg.get_belief(vlbl)
+
+    if subfg.params.use_msg_likelihoods and len(clique.separator) >= 2:
+        seps = sorted(clique.separator)
+        for va, vb in zip(seps[:-1], seps[1:]):
+            ma = subfg.var(va).manifold
+            if ma != subfg.var(vb).manifold:
+                continue
+            pa = subfg.points(va)
+            pb = subfg.points(vb)
+            n = min(pa.shape[0], pb.shape[0])
+            # per-particle tangent differences = deconv of an implicit
+            # relative factor between the two solved separator beliefs
+            diffs = ma.log(pa[:n], pb[:n])
+            diff_belief = make_belief(Euclidean(ma.dof), diffs)
+            msg.joint.append((va, vb, diff_belief))
     return msg
 
 

@@ -1,0 +1,69 @@
+"""On-manifold end-to-end solves (reference testCircular.jl,
+testSpecialEuclidean2Mani.jl, testSphereMani.jl analogues)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from incrementalinference.jl_tpu import (Circular, CircularCircular,
+                                         ManifoldFactor, ManifoldPrior,
+                                         MvNormal, Normal, PriorCircular,
+                                         VariableType, initfg, solve_tree)
+from incrementalinference.jl_tpu.manifolds import SE2, SO3, wrap_angle
+
+
+def test_circular_chain_wraps():
+    """Chain of circular factors marching around the circle: estimates must
+    wrap instead of accumulating past pi (reference testCircular.jl)."""
+    fg = initfg()
+    fg.add_variable("c0", Circular)
+    fg.add_factor(["c0"], PriorCircular(Normal(0.0, 0.05)))
+    step = 2.0 * np.pi / 5.0
+    for i in range(1, 6):
+        fg.add_variable(f"c{i}", Circular)
+        fg.add_factor([f"c{i-1}", f"c{i}"],
+                      CircularCircular(Normal(step, 0.05)))
+    solve_tree(fg)
+    for i in range(6):
+        p = np.asarray(fg.points(f"c{i}")[:, 0])
+        want = float(wrap_angle(jnp.asarray(i * step)))
+        d = np.abs(np.angle(np.exp(1j * (p - want))))
+        assert np.mean(d < 0.5) > 0.85, (i, want, p.mean())
+    # c5 closed the full circle: it must sit near 0, not near 2*pi
+    p5 = np.asarray(fg.points("c5")[:, 0])
+    assert np.mean(np.abs(np.angle(np.exp(1j * p5))) < 0.5) > 0.85
+
+
+def test_se2_pose_chain():
+    """SE(2) relative-factor chain solves nonparametrically."""
+    se2 = SE2()
+    pose2 = VariableType("Pose2", se2)
+    fg = initfg()
+    fg.add_variable("x0", pose2)
+    fg.add_factor(["x0"], ManifoldPrior(
+        se2, jnp.zeros(3), MvNormal([0.0] * 3, [0.05, 0.05, 0.02])))
+    z = MvNormal([1.0, 0.0, 0.3], [0.05, 0.05, 0.02])
+    for i in range(1, 4):
+        fg.add_variable(f"x{i}", pose2)
+        fg.add_factor([f"x{i-1}", f"x{i}"], ManifoldFactor(se2, z))
+    solve_tree(fg)
+
+    # ground truth by composing the exact relative motion
+    truth = jnp.zeros(3)
+    for i in range(1, 4):
+        truth = se2.compose(truth, se2.Exp(jnp.asarray([1.0, 0.0, 0.3])))
+        p = np.asarray(fg.points(f"x{i}"))
+        err = np.asarray(se2.dist(jnp.asarray(p), truth))
+        assert np.mean(err < 0.6) > 0.8, (i, np.asarray(truth), p.mean(0))
+
+
+def test_so3_prior_concentration():
+    so3 = SO3()
+    rot = VariableType("Rotation3", so3)
+    fg = initfg()
+    fg.add_variable("r", rot)
+    q0 = so3.exp(so3.identity(), jnp.asarray([0.2, -0.1, 0.4]))
+    fg.add_factor(["r"], ManifoldPrior(
+        so3, q0, MvNormal([0.0] * 3, [0.05] * 3)))
+    p = np.asarray(fg.points("r"))
+    d = np.asarray(so3.dist(jnp.asarray(p), q0))
+    assert np.mean(d < 0.2) > 0.9

@@ -1,0 +1,33 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incrementalinference.jl_tpu.ops.kernels.pallas_product import (
+    pair_row_logsumexp, row_logsumexp_pallas)
+from incrementalinference.jl_tpu.ops.product import _pair_logW
+
+
+def test_row_logsumexp_matches_xla():
+    key = jax.random.PRNGKey(0)
+    muA = jax.random.normal(key, (300, 8))
+    muB = jax.random.normal(jax.random.PRNGKey(1), (200, 8)) + 0.5
+    precA = jnp.ones((300, 8)) * 2.0
+    precB = jnp.ones((200, 8)) * 3.0
+    ref = jax.scipy.special.logsumexp(
+        _pair_logW(muA, precA, muB, precB), axis=1)
+    got = pair_row_logsumexp(muA, precA, muB, precB, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_partial_dims_zero_precision():
+    muA = jnp.asarray([[0.0, 5.0]])
+    muB = jnp.asarray([[0.0, -5.0], [3.0, 100.0]])
+    precA = jnp.asarray([[1.0, 0.0]])       # dim 1 unconstrained
+    precB = jnp.ones((2, 2))
+    ref = jax.scipy.special.logsumexp(
+        _pair_logW(muA, precA, muB, precB), axis=1)
+    got = pair_row_logsumexp(muA, precA, muB, precB, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -118,3 +118,16 @@ def test_compare_and_default_selection():
     assert isinstance(f, LinearRelative)
     f2 = select_factor_type(Circular, Circular)
     assert isinstance(f2, CircularCircular)
+
+
+def test_msg_likelihoods_joint_up():
+    """useMsgLikelihoods adds differential separator factors without
+    breaking the solve (fourdoor uses this flag in the reference)."""
+    fg, steps = fourdoor_sequence()
+    fg.params.use_msg_likelihoods = True
+    steps[0]()
+    tree = solve_tree(fg)
+    steps[1]()
+    tree = solve_tree(fg, old_tree=tree)
+    m1 = _mode_mass(fg, "x1", -100) + _mode_mass(fg, "x1", 0)
+    assert m1 > 0.7, m1

@@ -115,8 +115,10 @@ def solve_cliq_up(fg: FactorGraph, tree: BayesTree, frontal: str,
 
 def solve_cliq_down(fg: FactorGraph, tree: BayesTree, frontal: str,
                     down_msg: Optional[LikelihoodMessage] = None,
+                    child_msgs: Optional[List[LikelihoodMessage]] = None,
                     solve_key: str = "default"):
     """Single-clique down-solve (reference solveCliqDown!,
     SolverAPI.jl:652-708)."""
     cl = tree.clique_of(frontal)
-    return down_solve_clique(fg, tree, cl, down_msg, solve_key)
+    return down_solve_clique(fg, tree, cl, down_msg, solve_key,
+                             child_msgs=child_msgs)

@@ -199,10 +199,17 @@ def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
 def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
                       down_msg: Optional[LikelihoodMessage],
                       solve_key: str = "default",
+                      child_msgs: Optional[List[LikelihoodMessage]] = None,
                       trace: Optional[CliqueTrace] = None
                       ) -> Dict[int, LikelihoodMessage]:
     """One clique down-solve (reference CSM states 4a-4d; frontal products
     of solveCliqDownFrontalProducts!, CliqStateMachineUtils.jl:479-571).
+
+    ``child_msgs`` re-attach the children's up-messages: the reference's
+    cliqSubFg still holds those message factors during the down phase
+    (deleteMsgFactors! only runs at updateFromSubgraph), so frontal products
+    see the full subtree information — without them a root would re-solve
+    its frontals from its own potentials alone and lose child constraints.
     Returns down messages for each child."""
     params = fg.params
     t = trace or CliqueTrace(clique.cid)
@@ -214,6 +221,8 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
                 for ch in tree.children(clique.cid)}
 
     sub = build_clique_subgraph(fg, clique)
+    for cmsg in (child_msgs or []):
+        add_msg_factors(sub, cmsg)
     if down_msg is not None:
         add_msg_factors(sub, down_msg)
         # pin separator beliefs straight from the parent's solution
@@ -311,9 +320,12 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                     tr.down_msg = down_msgs.get(cid)
                 if cid in skip_set or cl.status == CliqStatus.ERROR_STATUS:
                     continue
+                child_up = [up_msgs[ch] for ch in cl.children
+                            if ch in up_msgs]
                 try:
                     out = down_solve_clique(
-                        fg, tree, cl, down_msgs.get(cid), solve_key, trace=tr)
+                        fg, tree, cl, down_msgs.get(cid), solve_key,
+                        child_msgs=child_up, trace=tr)
                     down_msgs.update(out)
                 except Exception as e:          # noqa: BLE001
                     cl.status = CliqStatus.ERROR_STATUS

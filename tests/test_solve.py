@@ -131,3 +131,63 @@ def test_msg_likelihoods_joint_up():
     tree = solve_tree(fg, old_tree=tree)
     m1 = _mode_mass(fg, "x1", -100) + _mode_mass(fg, "x1", 0)
     assert m1 > 0.7, m1
+
+
+def test_recycling_skips_unchanged_cliques():
+    """Incremental re-solve reuses UPRECYCLED cliques (reference
+    testBasicRecycling.jl)."""
+    from incrementalinference.jl_tpu import LinearRelative, Normal, Prior
+    from incrementalinference.jl_tpu import ContinuousScalar
+    from incrementalinference.jl_tpu import initfg
+    from incrementalinference.jl_tpu.tree.bayestree import CliqStatus
+
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0, 1)))
+    for i in range(1, 5):
+        fg.add_variable(f"x{i}", ContinuousScalar)
+        fg.add_factor([f"x{i-1}", f"x{i}"], LinearRelative(Normal(1, 0.5)))
+    order = fg.ls()
+    tree = solve_tree(fg, order=order)
+
+    # grow the graph at the end only
+    fg.add_variable("x5", ContinuousScalar)
+    fg.add_factor(["x4", "x5"], LinearRelative(Normal(1, 0.5)))
+    tree2 = solve_tree(fg, old_tree=tree, order=fg.ls())
+    recycled = [c for c in tree2.cliques.values() if c.is_recycled]
+    assert len(recycled) >= 1, "expected unchanged leaf cliques to recycle"
+    assert any(c.status == CliqStatus.DOWNSOLVED and not c.is_recycled
+               for c in tree2.cliques.values())
+
+
+def test_store_old_supersolve():
+    fg = generate_kaess(graphinit=True)
+    solve_tree(fg)
+    solve_tree(fg, store_old=True)
+    v = fg.var("x1")
+    snaps = [k for k in v.beliefs if k.startswith("default_")]
+    assert snaps, list(v.beliefs)
+
+
+def test_euclid_distance_multimodal():
+    """Range-only landmark: two prior rings intersect in two modes
+    (reference testEuclidDistance.jl)."""
+    from incrementalinference.jl_tpu.canonical import generate_euclid_distance
+    fg = generate_euclid_distance()
+    solve_tree(fg)
+    pts = np.asarray(fg.points("l1"))
+    # rings around (100,0) and (0,100) with r=100 intersect at (0,0) and
+    # (100,100)
+    d_a = np.linalg.norm(pts - np.array([0.0, 0.0]), axis=1)
+    d_b = np.linalg.norm(pts - np.array([100.0, 100.0]), axis=1)
+    frac_a = np.mean(d_a < 30)
+    frac_b = np.mean(d_b < 30)
+    # the reference's own acceptance bar is 3% per mode
+    # (test/testEuclidDistance.jl:45-49 `0.03*N < sum(…)`) — mode-mass
+    # drift under repeated products is inherent to particle methods
+    assert frac_a > 0.04 and frac_b > 0.04, (frac_a, frac_b)
+    assert frac_a + frac_b > 0.6, (frac_a, frac_b)
+    # both ring constraints hold (reference :24 `0.95N` on up-message ring)
+    r1 = np.abs(np.linalg.norm(pts - np.array([100.0, 0.0]), axis=1) - 100)
+    r2 = np.abs(np.linalg.norm(pts - np.array([0.0, 100.0]), axis=1) - 100)
+    assert np.mean(r1 < 15) > 0.85 and np.mean(r2 < 15) > 0.85

@@ -218,8 +218,11 @@ def eval_factor_core(manifold: Manifold, model, key,
         sf_slot = masks.mech_vars.index(sfidx)
         others = tuple(p for i, p in enumerate(mech_points) if i != sf_slot)
 
-    # spread estimate against the certain other variables
-    other_cloud = others[0] if others else x_cur
+    # spread estimate against the certain other variables; mixed-manifold
+    # factors (e.g. SE2 pose ↔ R² landmark) fall back to the own cloud
+    other_cloud = x_cur
+    if others and others[0].shape[-1] == x_cur.shape[-1]:
+        other_cloud = others[0]
     base_spread = spread_estimate(manifold, x_cur, other_cloud)
 
     x = x_cur

@@ -17,7 +17,8 @@ from ..models.factors import MetaPrior, GenericMarginal
 from .convolve import proposal_from_factor
 from .product import Proposal, manifold_product
 
-__all__ = ["propagate_belief", "local_product", "local_product_and_update"]
+__all__ = ["propagate_belief", "local_product", "local_product_and_update",
+           "approx_conv_path", "eval_factor_temporary"]
 
 
 def _solvable_factors(fg, labels: Iterable[str]):
@@ -52,6 +53,12 @@ def propagate_belief(fg, target: str, factor_labels: Sequence[str],
     key = key if key is not None else fg.next_key()
 
     factors = _solvable_factors(fg, factor_labels)
+    # canonical factor order: permutations of the same factor set share one
+    # fused-kernel compilation (cascade order is statistically neutral)
+    factors.sort(key=lambda f: (type(f.model).__name__, len(f.variables),
+                                f.variables.index(target)
+                                if target in f.variables else -1,
+                                f.multihypo or (), f.nullhypo))
     old_points = _tile_to(fg.points(target, solve_key), n_out)
 
     if not factors:
@@ -91,3 +98,69 @@ def local_product_and_update(fg, target: str, key=None,
     fg.set_belief(target, belief.points, solve_key=solve_key,
                   bw=belief.bw, ipc=ipc)
     return belief
+
+
+def approx_conv_path(fg, start: str, target: str, key=None,
+                     solve_key: str = "default",
+                     n: int | None = None):
+    """Chained convolution from ``start`` to ``target`` along the shortest
+    factor path (reference approxConvBelief(dfg, from, target) with its
+    Dijkstra walk through a temporary graph, ApproxConv.jl:75-166)."""
+    import networkx as nx
+
+    from .convolve import eval_factor
+
+    g = nx.Graph()
+    for fl in fg.lsf():
+        for v in fg.factor(fl).variables:
+            g.add_edge(fl, v)
+    try:
+        path = nx.shortest_path(g, start, target)
+    except nx.NetworkXNoPath as e:
+        raise ValueError(f"no factor path {start} → {target}") from e
+
+    key = key if key is not None else fg.next_key()
+    # walk variable → factor → variable, convolving forward on a scratch
+    # copy so the main graph is untouched (reference temp-graph semantics)
+    import copy
+    scratch = copy.copy(fg)
+    scratch.variables = {k: copy.copy(v) for k, v in fg.variables.items()}
+    for v in scratch.variables.values():
+        v.beliefs = dict(v.beliefs)
+    cur = start
+    pts = scratch.points(cur, solve_key)
+    for i in range(1, len(path) - 1, 2):
+        fl, nxt = path[i], path[i + 1]
+        import jax
+        key, sub = jax.random.split(key)
+        pts, _ = eval_factor(scratch, fl, nxt, key=sub, solve_key=solve_key,
+                             n=n)
+        scratch.set_belief(nxt, pts, solve_key=solve_key)
+        cur = nxt
+    from ..beliefs import make_belief
+    return make_belief(fg.var(target).manifold, pts)
+
+
+def eval_factor_temporary(factor_model, vartypes, values, key=None,
+                          n: int = 100, solvefor: int = -1):
+    """Evaluate a factor on a throwaway graph built from types + values
+    (reference _evalFactorTemporary! / _buildGraphByFactorAndTypes!,
+    EvalFactor.jl:625-666, SolverUtilities.jl:147+)."""
+    import jax
+
+    from ..graph import FactorGraph
+
+    fg = FactorGraph()
+    labels = []
+    for i, (vt, val) in enumerate(zip(vartypes, values)):
+        lbl = f"x{i + 1}"
+        fg.add_variable(lbl, vt, N=n)
+        pts = jnp.broadcast_to(jnp.asarray(val, jnp.float32),
+                               (n, vt.manifold.point_dim))
+        fg.set_belief(lbl, pts)
+        labels.append(lbl)
+    f = fg.add_factor(labels, factor_model, graphinit=False)
+    target = labels[solvefor]
+    from .convolve import eval_factor
+    pts, _ = eval_factor(fg, f.label, target, key=key, n=n)
+    return pts

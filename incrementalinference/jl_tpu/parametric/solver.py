@@ -46,13 +46,18 @@ def _sqrt_inv(cov: jnp.ndarray) -> jnp.ndarray:
 class _Group:
     """A stack of same-structure factors: vmapped residual evaluation."""
 
-    def __init__(self, models, meas, sqrt_inv, var_slots, ptdims, mix=None):
+    def __init__(self, models, meas, sqrt_inv, var_slots, ptdims, mix=None,
+                 tdofs=(), arg_manifolds=(), col_ids=None):
         self.models = models          # pytree with leading factor axis
         self.meas = meas              # (F, zdim)
         self.sqrt_inv = sqrt_inv      # (F, zdim, zdim)
         self.var_slots = var_slots    # (F, arity) int array of var indices
         self.ptdims = ptdims          # static per-arg point dims
         self.mix = mix                # optional (w (F,C), mus (F,C,z), sqi (F,C,z,z))
+        self.tdofs = tdofs            # static per-arg tangent dofs
+        self.arg_manifolds = arg_manifolds   # static per-arg manifolds
+        self.col_ids = col_ids        # (F, local_dof) global state columns
+        self.row_base = 0             # global residual row offset
 
 
 class ParametricProblem:
@@ -119,6 +124,13 @@ class ParametricProblem:
             slots_py = [[self.slot[v] for v in f.variables] for f in fs]
             slots = jnp.asarray(slots_py, jnp.int32)
             ptdims = tuple(self.manifolds[s].point_dim for s in slots_py[0])
+            tdofs = tuple(self.manifolds[s].dof for s in slots_py[0])
+            arg_manifolds = tuple(self.manifolds[s] for s in slots_py[0])
+            col_ids = jnp.asarray([
+                np.concatenate([np.arange(self.offsets[s],
+                                          self.offsets[s] + self.dofs[s])
+                                for s in srow]).astype(np.int32)
+                for srow in slots_py])
             mix = None
             if is_mix:
                 ws, mus, sqis = [], [], []
@@ -137,7 +149,15 @@ class ParametricProblem:
                 mus, covs = zip(*(f.model.mean_cov() for f in fs))
                 meas = jnp.stack(mus)
                 sqi = jnp.stack([_sqrt_inv(c) for c in covs])
-            groups.append(_Group(models, meas, sqi, slots, ptdims, mix))
+            groups.append(_Group(models, meas, sqi, slots, ptdims, mix,
+                                 tdofs=tdofs, arg_manifolds=arg_manifolds,
+                                 col_ids=col_ids))
+        # assign global residual row offsets
+        base = 0
+        for g in groups:
+            g.row_base = base
+            base += g.meas.shape[0] * g.meas.shape[1]
+        self.n_residuals = base
         return groups
 
     # -- state <-> points -------------------------------------------------
@@ -148,46 +168,84 @@ class ParametricProblem:
             pts.append(m.exp(p, xi))
         return pts
 
-    # -- stacked whitened residual ---------------------------------------
-    def residuals(self, x: jnp.ndarray) -> jnp.ndarray:
-        pts = self.points_of(x)
-        # pad points to a common width for gather-by-slot
-        pd = max(p.shape[-1] for p in pts)
-        stacked = jnp.stack([jnp.pad(p, (0, pd - p.shape[-1])) for p in pts])
+    def _p0_stacked(self) -> jnp.ndarray:
+        pd = max(p.shape[-1] for p in self.p0)
+        return jnp.stack([jnp.pad(p, (0, pd - p.shape[-1]))
+                          for p in self.p0])
 
-        outs = [self._eval_group(g, stacked[g.var_slots])   # (F, arity, pd)
-                for g in self.groups]
-        return jnp.concatenate(outs) if outs else jnp.zeros((0,))
-
-    def _eval_group(self, g: _Group, gp: jnp.ndarray) -> jnp.ndarray:
+    def _group_res(self, g: _Group, x: jnp.ndarray, p0s: jnp.ndarray,
+                   with_jac: bool):
+        """(r (F, z) [, J (F, z, local_dof)]) with *local* jacobians — the
+        jacfwd width is the factor's own tangent dims, so compile time is
+        independent of the graph size (the reference's sparse-jacobian
+        design, ParametricManopt.jl:153-231, done with gathers instead of
+        graph coloring)."""
         arity = g.var_slots.shape[1]
-        ptdims = g.ptdims
+        ptdims, tdofs, mans = g.ptdims, g.tdofs, g.arg_manifolds
+        base = p0s[g.var_slots]                   # (F, arity, pdmax)
+        xloc = x[g.col_ids]                       # (F, local_dof)
+
+        def local_points(base_f, xl):
+            pts, o = [], 0
+            for k in range(arity):
+                pts.append(mans[k].exp(base_f[k][:ptdims[k]],
+                                       xl[o:o + tdofs[k]]))
+                o += tdofs[k]
+            return pts
 
         if g.mix is None:
-            def res_one(model, meas, sqi, prow):
-                args = [prow[k][:ptdims[k]] for k in range(arity)]
-                return sqi @ model.residual(meas, *args)
+            def res_one(model, meas, sqi, base_f, xl):
+                def res(xl_):
+                    return sqi @ model.residual(meas,
+                                                *local_points(base_f, xl_))
+                if with_jac:
+                    return res(xl), jax.jacfwd(res)(xl)
+                return res(xl)
 
-            r = jax.vmap(res_one)(g.models, g.meas, g.sqrt_inv, gp)
-            return r.reshape(-1)
+            return jax.vmap(res_one)(g.models, g.meas, g.sqrt_inv, base,
+                                     xloc)
 
         w, mus, sqis = g.mix
 
-        def res_mix(model, prow, wrow, murow, sqirow):
-            args = [prow[k][:ptdims[k]] for k in range(arity)]
+        def res_mix(model, base_f, xl, wrow, murow, sqirow):
+            def res(xl_):
+                args = local_points(base_f, xl_)
 
-            def comp(mu_k, sqi_k):
-                return sqi_k @ model.residual(mu_k, *args)
+                def comp(mu_k, sqi_k):
+                    return sqi_k @ model.residual(mu_k, *args)
 
-            rs = jax.vmap(comp)(murow, sqirow)            # (C, z)
-            # max-mixture: pick component minimizing ½|r|² − log w
-            score = 0.5 * jnp.sum(rs * rs, axis=-1) - jnp.log(
-                jnp.maximum(wrow, 1e-30))
-            k = jnp.argmin(score)
-            return rs[k]
+                rs = jax.vmap(comp)(murow, sqirow)        # (C, z)
+                score = 0.5 * jnp.sum(rs * rs, axis=-1) - jnp.log(
+                    jnp.maximum(wrow, 1e-30))
+                return rs[jnp.argmin(score)]
 
-        r = jax.vmap(res_mix)(g.models, gp, w, mus, sqis)
-        return r.reshape(-1)
+            if with_jac:
+                return res(xl), jax.jacfwd(res)(xl)
+            return res(xl)
+
+        return jax.vmap(res_mix)(g.models, base, xloc, w, mus, sqis)
+
+    # -- stacked whitened residual ---------------------------------------
+    def residuals(self, x: jnp.ndarray) -> jnp.ndarray:
+        p0s = self._p0_stacked()
+        outs = [self._group_res(g, x, p0s, with_jac=False).reshape(-1)
+                for g in self.groups]
+        return jnp.concatenate(outs) if outs else jnp.zeros((0,))
+
+    def res_jac(self, x: jnp.ndarray):
+        """Full (r, J) assembled from per-group local jacobians by scatter."""
+        p0s = self._p0_stacked()
+        R, D = self.n_residuals, self.total_dof
+        r_full = jnp.zeros((R,))
+        J_full = jnp.zeros((R, D))
+        for g in self.groups:
+            r, J = self._group_res(g, x, p0s, with_jac=True)
+            F, z = r.shape
+            rows = g.row_base + jnp.arange(F * z).reshape(F, z)
+            r_full = r_full.at[rows.reshape(-1)].set(r.reshape(-1))
+            J_full = J_full.at[rows[:, :, None],
+                               g.col_ids[:, None, :]].set(J)
+        return r_full, J_full
 
     # -- LM solve ---------------------------------------------------------
     def solve(self, x0: Optional[jnp.ndarray] = None, max_iters: int = 50,
@@ -203,7 +261,7 @@ class ParametricProblem:
             x = jnp.zeros_like(x)
 
         # covariance from final linearization
-        J = jax.jacfwd(self.residuals)(x)
+        _, J = self.res_jac(x)
         Jf = J[:, self.free_idx]
         H = Jf.T @ Jf
         cov_free = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
@@ -226,8 +284,7 @@ def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, max_iters: int,
 
     def body(carry):
         x, lam, c, it, done = carry
-        r = res(x)
-        J = jax.jacfwd(res)(x)
+        r, J = prob.res_jac(x)
         Jf = J[:, free]
         g = Jf.T @ r
         H = Jf.T @ Jf

@@ -115,3 +115,29 @@ def test_prior_proposal_matches_distribution():
     p = np.asarray(pts[:, 0])
     assert abs(p.mean() - 5.0) < 1.0
     assert 1.2 < p.std() < 3.0
+
+
+def test_approx_conv_path_chain():
+    """Chained convolution x0→x2 through two relatives (reference
+    approxConvBelief path walk)."""
+    from incrementalinference.jl_tpu.ops.graphops import approx_conv_path
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)))
+    for i in (1, 2):
+        fg.add_variable(f"x{i}", ContinuousScalar)
+        fg.add_factor([f"x{i-1}", f"x{i}"], LinearRelative(Normal(10.0, 0.5)))
+    b = approx_conv_path(fg, "x0", "x2")
+    p = np.asarray(b.points[:, 0])
+    assert abs(p.mean() - 20.0) < 2.0
+    # main graph beliefs untouched by the scratch walk
+    assert abs(np.asarray(fg.points("x2")).mean() - 20.0) < 3.0
+
+
+def test_eval_factor_temporary():
+    from incrementalinference.jl_tpu.ops.graphops import eval_factor_temporary
+    pts = eval_factor_temporary(
+        LinearRelative(Normal(5.0, 0.1)),
+        [ContinuousScalar, ContinuousScalar],
+        [jnp.asarray([2.0]), jnp.asarray([0.0])])
+    assert abs(float(jnp.mean(pts)) - 7.0) < 0.5

@@ -168,10 +168,21 @@ class ParametricProblem:
             pts.append(m.exp(p, xi))
         return pts
 
-    def _p0_stacked(self) -> jnp.ndarray:
-        pd = max(p.shape[-1] for p in self.p0)
+    def _p0_stacked(self, p0=None) -> jnp.ndarray:
+        p0 = self.p0 if p0 is None else p0
+        pd = max(p.shape[-1] for p in p0)
         return jnp.stack([jnp.pad(p, (0, pd - p.shape[-1]))
-                          for p in self.p0])
+                          for p in p0])
+
+    def _retract_stacked(self, x: jnp.ndarray, p0s: jnp.ndarray) -> jnp.ndarray:
+        """exp each variable's tangent slice at its stacked linearization row."""
+        rows = []
+        pd = p0s.shape[-1]
+        for i, m in enumerate(self.manifolds):
+            xi = x[int(self.offsets[i]):int(self.offsets[i + 1])]
+            pt = m.exp(p0s[i, :m.point_dim], xi)
+            rows.append(jnp.pad(pt, (0, pd - m.point_dim)))
+        return jnp.stack(rows)
 
     def _group_res(self, g: _Group, x: jnp.ndarray, p0s: jnp.ndarray,
                    with_jac: bool):
@@ -226,65 +237,88 @@ class ParametricProblem:
         return jax.vmap(res_mix)(g.models, base, xloc, w, mus, sqis)
 
     # -- stacked whitened residual ---------------------------------------
-    def residuals(self, x: jnp.ndarray) -> jnp.ndarray:
-        p0s = self._p0_stacked()
+    def residuals(self, x: jnp.ndarray, p0s=None) -> jnp.ndarray:
+        p0s = self._p0_stacked() if p0s is None else p0s
         outs = [self._group_res(g, x, p0s, with_jac=False).reshape(-1)
                 for g in self.groups]
         return jnp.concatenate(outs) if outs else jnp.zeros((0,))
 
-    def res_jac(self, x: jnp.ndarray):
-        """Full (r, J) assembled from per-group local jacobians by scatter."""
-        p0s = self._p0_stacked()
-        R, D = self.n_residuals, self.total_dof
-        r_full = jnp.zeros((R,))
-        J_full = jnp.zeros((R, D))
+    def res_jac(self, x: jnp.ndarray, p0s=None):
+        """Full (r, J) from per-group local jacobians.
+
+        Rows are contiguous per group (plain concatenation); columns place
+        via a one-hot matmul — TPU-friendly MXU work instead of scatter ops
+        (XLA scatter compiles pathologically slowly on TPU)."""
+        if p0s is None:
+            p0s = self._p0_stacked()
+        D = self.total_dof
+        rs, Js = [], []
         for g in self.groups:
             r, J = self._group_res(g, x, p0s, with_jac=True)
-            F, z = r.shape
-            rows = g.row_base + jnp.arange(F * z).reshape(F, z)
-            r_full = r_full.at[rows.reshape(-1)].set(r.reshape(-1))
-            J_full = J_full.at[rows[:, :, None],
-                               g.col_ids[:, None, :]].set(J)
-        return r_full, J_full
+            S = jax.nn.one_hot(g.col_ids, D, dtype=J.dtype)  # (F, local, D)
+            Jg = jnp.einsum("fzl,fld->fzd", J, S)
+            rs.append(r.reshape(-1))
+            Js.append(Jg.reshape(-1, D))
+        if not rs:
+            return jnp.zeros((0,)), jnp.zeros((0, D))
+        return jnp.concatenate(rs), jnp.concatenate(Js)
 
     # -- LM solve ---------------------------------------------------------
     def solve(self, x0: Optional[jnp.ndarray] = None, max_iters: int = 50,
               relinearize: int = 2, lam0: float = 1e-4,
               tol: float = 1e-8):
-        """Outer retract-and-relinearize loop around a jitted LM core."""
+        """Retract-and-relinearize rounds around one fully jitted step:
+        (lm while_loop → retract → covariance) compiles once per problem
+        structure; the linearization points thread through as traced
+        arguments so relinearization does not retrigger XLA."""
         x = jnp.zeros((self.total_dof,)) if x0 is None else x0
+        p0s = self._p0_stacked()
 
+        if not hasattr(self, "_solve_jit") or self._solve_jit is None:
+            def step(x, p0s):
+                x, cost = _lm_core(self, x, p0s, max_iters, lam0, tol)
+                p0s_new = self._retract_stacked(x, p0s)
+                return p0s_new, cost
+
+            def covf(p0s):
+                zero = jnp.zeros((self.total_dof,))
+                _, J = self.res_jac(zero, p0s)
+                Jf = J[:, self.free_idx]
+                H = Jf.T @ Jf
+                cov_free = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
+                cov = jnp.zeros((self.total_dof, self.total_dof))
+                return cov.at[jnp.ix_(self.free_idx,
+                                      self.free_idx)].set(cov_free)
+
+            self._solve_jit = jax.jit(step)
+            self._cov_jit = jax.jit(covf)
+
+        cost = jnp.inf
         for _ in range(max(relinearize, 1)):
-            x, cost = _lm_core(self, x, max_iters, lam0, tol)
-            # retract into linearization points, reset tangent state
-            self.p0 = self.points_of(x)
+            p0s, cost = self._solve_jit(x, p0s)
             x = jnp.zeros_like(x)
 
-        # covariance from final linearization
-        _, J = self.res_jac(x)
-        Jf = J[:, self.free_idx]
-        H = Jf.T @ Jf
-        cov_free = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
-        cov = jnp.zeros((self.total_dof, self.total_dof))
-        cov = cov.at[jnp.ix_(self.free_idx, self.free_idx)].set(cov_free)
-        return self.points_of(x), cov, float(cost)
+        # write back linearization points
+        self.p0 = [p0s[i, :m.point_dim]
+                   for i, m in enumerate(self.manifolds)]
+        cov = self._cov_jit(p0s)
+        return list(self.p0), cov, float(cost)
 
 
-def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, max_iters: int,
-             lam0: float, tol: float):
+def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s: jnp.ndarray,
+             max_iters: int, lam0: float, tol: float):
     """Damped GN/LM with multiplicative damping adaptation (the reference's
     Manopt.LevenbergMarquardt! role, ParametricManopt.jl:307-377)."""
 
-    res = prob.residuals
     free = prob.free_idx
 
     def cost(x):
-        r = res(x)
+        r = prob.residuals(x, p0s)
         return 0.5 * jnp.sum(r * r)
 
     def body(carry):
         x, lam, c, it, done = carry
-        r, J = prob.res_jac(x)
+        r, J = prob.res_jac(x, p0s)
         Jf = J[:, free]
         g = Jf.T @ r
         H = Jf.T @ Jf

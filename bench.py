@@ -40,6 +40,32 @@ def run_once():
     return time.time() - t0
 
 
+def extra_metrics():
+    """Secondary metrics on stderr (headline stays one JSON line)."""
+    from incrementalinference.jl_tpu.canonical import (fourdoor_sequence,
+                                                       generate_hexagonal)
+    from incrementalinference.jl_tpu.parametric import solve_graph_parametric
+
+    t0 = time.time()
+    fg, steps = fourdoor_sequence()
+    tree = None
+    for s in steps:
+        s()
+        tree = solve_tree(fg, old_tree=tree)
+    print(f"# fourdoor 3-solve sequence: {time.time() - t0:.2f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    solve_tree(generate_hexagonal(graphinit=True))
+    print(f"# hexagonal SE2 nonparametric: {time.time() - t0:.2f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    solve_graph_parametric(generate_line_step(100, graphinit=False))
+    print(f"# linestep100 parametric batch: {time.time() - t0:.2f}s",
+          file=sys.stderr)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -50,6 +76,11 @@ def main():
     times = [run_once() for _ in range(2)]  # cached-compile solves
     val = min(times)
     print(f"# solves: {['%.2f' % t for t in times]}", file=sys.stderr)
+
+    try:
+        extra_metrics()
+    except Exception as e:                  # extras never break the headline
+        print(f"# extra metrics failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "linestep20_mmisam_solve_wall",

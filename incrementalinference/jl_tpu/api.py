@@ -52,6 +52,7 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                algorithm: str = "default",
                skip_cliques: Sequence[int] = (),
                delay_cliques: Optional[Dict[int, float]] = None,
+               mesh=None,
                verbose: bool = False) -> BayesTree:
     """Nonparametric MM-iSAM solve over the Bayes tree (reference
     solveTree!, SolverAPI.jl:326-493): init → freeze → tree build (with
@@ -79,6 +80,21 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                 v.beliefs[snap] = v.beliefs[solve_key]
 
     fifo_freeze(fg)
+
+    if mesh is not None:
+        # data-parallel particle axis: place every belief sharded over the
+        # mesh; GSPMD propagates the sharding through the fused kernels
+        # (SURVEY.md §2.9.4 — the reference's worker-pool distribution axis)
+        from .parallel.mesh import shard_particles
+        for lbl in fg.ls():
+            v = fg.var(lbl)
+            if v.N % mesh.devices.size:
+                raise ValueError(
+                    f"N={v.N} must divide the mesh size "
+                    f"{mesh.devices.size} for particle sharding")
+            for k, b in list(v.beliefs.items()):
+                v.beliefs[k] = b._replace(
+                    points=shard_particles(mesh, b.points))
 
     tree = build_tree_reset(fg, order=order, old_tree=old_tree)
     if verbose:

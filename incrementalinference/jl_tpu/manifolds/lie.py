@@ -257,3 +257,52 @@ class SE3(Manifold):
 
     def log(self, p, q):
         return self.Log(self.compose(self.inverse(p), q))
+
+
+class Sphere2(Manifold):
+    """Unit sphere S² (reference testSphereMani.jl solves on
+    Manifolds.Sphere(2)).  Points are unit 3-vectors; tangent coordinates
+    live in a smooth local orthonormal basis built from the point (valid
+    away from the -z pole).  Not a group: compose/inverse are undefined;
+    priors/relatives use exp/log only."""
+
+    point_dim = 3
+    dof = 2
+
+    def identity(self):
+        return jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+
+    def project(self, p):
+        return p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+
+    @staticmethod
+    def _basis(p):
+        """Two orthonormal tangent vectors at p (smooth except near -e_z)."""
+        # pick helper axis least aligned with p
+        ez = jnp.asarray([0.0, 0.0, 1.0], p.dtype)
+        ex = jnp.asarray([1.0, 0.0, 0.0], p.dtype)
+        a = jnp.where((jnp.abs(p[..., 2:3]) < 0.9), ez, ex)
+        b1 = jnp.cross(a, p)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1, axis=-1, keepdims=True),
+                              _EPS)
+        b2 = jnp.cross(p, b1)
+        return b1, b2
+
+    def exp(self, p, X):
+        b1, b2 = self._basis(p)
+        v = X[..., 0:1] * b1 + X[..., 1:2] * b2          # ambient tangent
+        t = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        ts = jnp.maximum(t, _EPS)
+        q = jnp.cos(t) * p + jnp.sin(t) * v / ts
+        return self.project(jnp.where(t > _EPS, q, p + v))
+
+    def log(self, p, q):
+        cos_t = jnp.clip(jnp.sum(p * q, axis=-1, keepdims=True), -1.0, 1.0)
+        t = jnp.arccos(cos_t)
+        v = q - cos_t * p                                # ambient direction
+        vn = jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
+        w = jnp.where(t > _EPS, t * v / vn, v)
+        b1, b2 = self._basis(p)
+        return jnp.concatenate([jnp.sum(w * b1, axis=-1, keepdims=True),
+                                jnp.sum(w * b2, axis=-1, keepdims=True)],
+                               axis=-1)

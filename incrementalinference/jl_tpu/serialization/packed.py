@@ -24,7 +24,7 @@ from ..beliefs import Belief
 from ..config import SolverParams
 from ..graph import FactorGraph, Variable, VariableType
 from ..manifolds import (SE2, SE3, SO2, SO3, Circle, Euclidean, Manifold,
-                         Product)
+                         Product, Sphere2)
 from ..tree.bayestree import BayesTree, Clique, CliqStatus
 
 __all__ = [
@@ -56,6 +56,8 @@ def pack_manifold(m: Manifold) -> Any:
         return {"_type": "SO3"}
     if isinstance(m, SE3):
         return {"_type": "SE3"}
+    if isinstance(m, Sphere2):
+        return {"_type": "Sphere2"}
     if isinstance(m, Product):
         return {"_type": "Product",
                 "components": [pack_manifold(c) for c in m.components]}
@@ -76,6 +78,8 @@ def unpack_manifold(d: Dict) -> Manifold:
         return SO3()
     if t == "SE3":
         return SE3()
+    if t == "Sphere2":
+        return Sphere2()
     if t == "Product":
         return Product(*[unpack_manifold(c) for c in d["components"]])
     raise TypeError(f"unknown packed manifold {t}")

@@ -67,3 +67,30 @@ def test_so3_prior_concentration():
     p = np.asarray(fg.points("r"))
     d = np.asarray(so3.dist(jnp.asarray(p), q0))
     assert np.mean(d < 0.2) > 0.9
+
+
+def test_sphere_manifold_ops_and_prior():
+    """S² exp/log roundtrip + prior solve (reference testSphereMani.jl)."""
+    import jax
+    from incrementalinference.jl_tpu.manifolds import Sphere2
+    from incrementalinference.jl_tpu import initfg, ManifoldPrior, MvNormal, VariableType
+
+    S = Sphere2()
+    key = jax.random.PRNGKey(0)
+    p = S.exp(S.identity(), 0.4 * jax.random.normal(key, (2,)))
+    X = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (2,))
+    q = S.exp(p, X)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(S.log(p, q)), np.asarray(X),
+                               atol=1e-4)
+
+    fg = initfg()
+    sph = VariableType("Sphere2", S)
+    fg.add_variable("s", sph)
+    p0 = S.exp(S.identity(), jnp.asarray([0.3, -0.2]))
+    fg.add_factor(["s"], ManifoldPrior(S, p0, MvNormal([0.0, 0.0],
+                                                       [0.05, 0.05])))
+    pts = np.asarray(fg.points("s"))
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 1.0, atol=1e-4)
+    d = np.asarray(S.dist(jnp.asarray(pts), p0))
+    assert np.mean(d < 0.2) > 0.9

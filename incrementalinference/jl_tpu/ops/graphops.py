@@ -67,9 +67,22 @@ def propagate_belief(fg, target: str, factor_labels: Sequence[str],
 
     specs, masks, models, nested = [], [], [], []
     for f in factors:
-        spec = make_conv_spec(fg, f, target)
+        # per-(factor, target, solver-knobs) plan cache — specs/masks are
+        # pure functions of these
+        cache = getattr(f, "_conv_cache", None)
+        if cache is None:
+            cache = f._conv_cache = {}
+        pkey = (target, fg.params.inflate_cycles, fg.params.inflation,
+                fg.params.spread_nh, fg.params.conv_iters,
+                fg.params.conv_damping)
+        entry = cache.get(pkey)
+        if entry is None:
+            spec = make_conv_spec(fg, f, target)
+            entry = cache[pkey] = (
+                spec, static_dim_mask(manifold, spec.partial_dims))
+        spec, mask = entry
         specs.append(spec)
-        masks.append(static_dim_mask(manifold, spec.partial_dims))
+        masks.append(mask)
         models.append(f.model)
         var_points = [fg.points(lbl, solve_key) for lbl in f.variables]
         maxlen = max([n_out] + [p.shape[0] for p in var_points])

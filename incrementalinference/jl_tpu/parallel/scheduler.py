@@ -223,6 +223,16 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
     sub = build_clique_subgraph(fg, clique)
     for cmsg in (child_msgs or []):
         add_msg_factors(sub, cmsg)
+    if down_msg is not None and clique.status == CliqStatus.NO_INIT:
+        # down-init: the parent's solved separators can initialize cliques
+        # the up pass could not (reference tryDownInit_/preDownSolve,
+        # CliqueStateMachine.jl:699-858)
+        for vlbl, belief in down_msg.beliefs.items():
+            if vlbl in sub.variables:
+                sub.set_belief(vlbl, belief.points, solve_key=solve_key,
+                               bw=belief.bw, ipc=belief.ipc)
+        _cycle_init_by_var_order(sub, clique, solve_key)
+        t.log("down_init")
     if down_msg is not None:
         add_msg_factors(sub, down_msg)
         # pin separator beliefs straight from the parent's solution

@@ -191,3 +191,25 @@ def test_euclid_distance_multimodal():
     r1 = np.abs(np.linalg.norm(pts - np.array([100.0, 0.0]), axis=1) - 100)
     r2 = np.abs(np.linalg.norm(pts - np.array([0.0, 100.0]), axis=1) - 100)
     assert np.mean(r1 < 15) > 0.85 and np.mean(r2 < 15) > 0.85
+
+
+def test_down_init_rescues_noinit_clique():
+    """A clique whose variables cannot init bottom-up initializes from the
+    parent's down message (reference tryDownInit path)."""
+    from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                             Normal, Prior, initfg)
+    fg = initfg()
+    # chain a - b - c with the only prior on c: with graphinit disabled,
+    # leaf cliques holding a need downward information
+    for v in ("a", "b", "c"):
+        fg.add_variable(v, ContinuousScalar)
+    fg.add_factor(["a", "b"], LinearRelative(Normal(10.0, 1.0)),
+                  graphinit=False)
+    fg.add_factor(["b", "c"], LinearRelative(Normal(10.0, 1.0)),
+                  graphinit=False)
+    fg.add_factor(["c"], Prior(Normal(0.0, 1.0)), graphinit=False)
+    fg.params = fg.params.replace(graphinit=True)
+    solve_tree(fg)
+    a = np.asarray(fg.points("a")[:, 0])
+    assert abs(a.mean() + 20.0) < 5.0, a.mean()
+    assert fg.var("a").is_initialized()

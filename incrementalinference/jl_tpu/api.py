@@ -52,7 +52,7 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                algorithm: str = "default",
                skip_cliques: Sequence[int] = (),
                delay_cliques: Optional[Dict[int, float]] = None,
-               mesh=None,
+               mesh=None, distribute: str = "particles",
                verbose: bool = False) -> BayesTree:
     """Nonparametric MM-iSAM solve over the Bayes tree (reference
     solveTree!, SolverAPI.jl:326-493): init → freeze → tree build (with
@@ -81,7 +81,7 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
 
     fifo_freeze(fg)
 
-    if mesh is not None:
+    if mesh is not None and distribute == "particles":
         # data-parallel particle axis: place every belief sharded over the
         # mesh; GSPMD propagates the sharding through the fused kernels
         # (SURVEY.md §2.9.4 — the reference's worker-pool distribution axis)
@@ -106,7 +106,11 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
     traces = solve_tree_sweeps(fg, tree, solve_key=solve_key,
                                up=do_up, down=do_down,
                                skip_cliques=skip_cliques,
-                               delay_cliques=delay_cliques)
+                               delay_cliques=delay_cliques,
+                               devices=(list(mesh.devices.flat)
+                                        if mesh is not None
+                                        and distribute == "cliques"
+                                        else None))
     tree.traces = traces
 
     fg.solve_count += 1

@@ -57,17 +57,27 @@ class CliqueTrace:
         self.events.append((time.time(), step, detail))
 
 
-def build_clique_subgraph(fg: FactorGraph, clique: Clique) -> FactorGraph:
+def build_clique_subgraph(fg: FactorGraph, clique: Clique,
+                          device=None) -> FactorGraph:
     """Copy frontal+separator variables and clique potentials into a local
     subgraph (reference buildCliqSubgraph!, SubGraphFunctions.jl:10-90).
-    JAX arrays are immutable so belief data is shared, not copied."""
+    JAX arrays are immutable so belief data is shared, not copied.
+
+    ``device``: optionally pin the subgraph's belief arrays to one device —
+    same-level cliques placed on different devices then solve concurrently
+    (async dispatch), the mesh equivalent of the reference's per-clique
+    worker processes (SolveTree.jl WORKERPOOL)."""
     sub = FactorGraph(fg.params)
     sub._key = fg.next_key()
     for vl in clique.all_vars:
         v = fg.var(vl)
+        beliefs = dict(v.beliefs)
+        if device is not None:
+            beliefs = {k: b._replace(points=jax.device_put(b.points, device))
+                       for k, b in beliefs.items()}
         nv = Variable(label=v.label, vartype=v.vartype, N=v.N,
                       tags=set(v.tags), solvable=v.solvable,
-                      beliefs=dict(v.beliefs),
+                      beliefs=beliefs,
                       initialized=dict(v.initialized),
                       ppe=dict(v.ppe),
                       parametric_point=v.parametric_point,
@@ -138,8 +148,8 @@ def _gibbs_solve(sub: FactorGraph, clique: Clique, variables: List[str],
 def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
                     child_msgs: List[LikelihoodMessage],
                     solve_key: str = "default",
-                    trace: Optional[CliqueTrace] = None
-                    ) -> LikelihoodMessage:
+                    trace: Optional[CliqueTrace] = None,
+                    device=None) -> LikelihoodMessage:
     """One clique up-solve (reference CSM states 2a-2e: preUpSolve_ →
     solveUp_ → postUpSolve_, CliqueStateMachine.jl:275-600, with the Gibbs
     body of upGibbsCliqueDensity, SolveTree.jl:164-239)."""
@@ -156,7 +166,7 @@ def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
             msg.beliefs[vlbl] = fg.get_belief(vlbl, solve_key)
         return msg
 
-    sub = build_clique_subgraph(fg, clique)
+    sub = build_clique_subgraph(fg, clique, device=device)
     t.log("build_subgraph", f"{len(sub.variables)} vars, "
                             f"{len(sub.factors)} factors")
 
@@ -266,7 +276,8 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                       up: bool = True, down: bool = True,
                       traces: Optional[Dict[int, CliqueTrace]] = None,
                       skip_cliques: Sequence[int] = (),
-                      delay_cliques: Dict[int, float] | None = None
+                      delay_cliques: Dict[int, float] | None = None,
+                      devices: Optional[Sequence] = None
                       ) -> Dict[int, CliqueTrace]:
     """Full level-synchronous up sweep then down sweep.
 
@@ -282,6 +293,13 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
     traces = traces if traces is not None else {}
     delay_cliques = delay_cliques or {}
     skip_set = set(skip_cliques)
+    dev_of = {}
+    if devices:
+        # round-robin same-level cliques across devices: async dispatch
+        # overlaps their kernel chains (clique-parallel axis)
+        for level in tree.levels():
+            for i, cid in enumerate(level):
+                dev_of[cid] = devices[i % len(devices)]
     errors: List[Tuple[int, Exception]] = []
 
     def trace_for(cid: int) -> CliqueTrace:
@@ -311,7 +329,8 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                     time.sleep(delay_cliques[cid])
                 try:
                     up_msgs[cid] = up_solve_clique(
-                        fg, tree, cl, child_msgs, solve_key, trace=tr)
+                        fg, tree, cl, child_msgs, solve_key, trace=tr,
+                        device=dev_of.get(cid))
                 except Exception as e:          # noqa: BLE001
                     cl.status = CliqStatus.ERROR_STATUS
                     tr.log("error", str(e))

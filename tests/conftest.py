@@ -20,6 +20,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: repeated test runs skip XLA recompilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-cpu")
+# dedicated dir: executables compiled by axon-coupled processes abort
+# here (machine-feature mismatch) — never share caches across configs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-pytest")
+# keep only the jit-level cache: XLA:CPU AOT entries are machine-feature
+# sensitive and poison across process configurations (SIGILL risk)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

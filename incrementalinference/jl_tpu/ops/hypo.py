@@ -109,6 +109,7 @@ def build_masks(mhidx: jnp.ndarray, sfidx: int, nvars: int,
         solve_mask = ~null_mask
         snap_mask = jnp.zeros_like(null_mask)
         gather_idx = jnp.maximum(mhidx - 1, 0)       # factor-var index
+        uncertain_rep = min(uncertain)               # per-particle gathered
     else:
         # solving an uncertain var: only particles that selected it solve;
         # other-hypothesis particles snap/spread as nullhypo
@@ -116,9 +117,10 @@ def build_masks(mhidx: jnp.ndarray, sfidx: int, nvars: int,
         solve_mask = selected
         snap_mask = (~null_mask) & (~selected)
         gather_idx = jnp.full_like(mhidx, sfidx)
+        uncertain_rep = sfidx                        # the target itself
     # mechanics variable order: certain vars + one uncertain slot, in factor
     # slot order (reference activehypo `sort(union(certainidx, h))`)
-    mech_vars = tuple(sorted(certain + (min(uncertain),)))
-    uncertain_slot = mech_vars.index(min(uncertain))
+    mech_vars = tuple(sorted(certain + (uncertain_rep,)))
+    uncertain_slot = mech_vars.index(uncertain_rep)
     return HypoMasks(solve_mask, null_mask, snap_mask, uncertain_slot,
                      gather_idx, mech_vars)

@@ -1,0 +1,65 @@
+"""Tree-level multihypothesis solves (reference testMultiHypo3Door.jl,
+testMultimodal1D.jl, testnullhypothesis.jl)."""
+
+import numpy as np
+
+from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                         Normal, Prior, initfg, solve_tree)
+from incrementalinference.jl_tpu.config import SolverParams
+
+
+def _mass(fg, v, c, tol=3.0):
+    p = np.asarray(fg.points(v)[:, 0])
+    return float(np.mean(np.abs(p - c) < tol))
+
+
+def test_three_door_multihypo_association():
+    """Four known doors; a pose sees *a* door (quaternary multihypo) then
+    odometry + a second sighting disambiguates (reference 3-door test
+    structure, meas σ=0.25, odo σ=0.1)."""
+    fg = initfg(SolverParams(N=200, gibbs_iters=5))
+    doors = {"l0": 0.0, "l1": 10.0, "l2": 20.0, "l3": 40.0}
+    for lbl, c in doors.items():
+        fg.add_variable(lbl, ContinuousScalar)
+        fg.add_factor([lbl], Prior(Normal(c, 0.01)))
+
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0", "l0", "l1", "l2", "l3"],
+                  LinearRelative(Normal(0.0, 0.25)),
+                  multihypo=[1.0, 0.25, 0.25, 0.25, 0.25])
+    solve_tree(fg)
+    # x0 multimodal over all four doors
+    masses = [_mass(fg, "x0", c) for c in doors.values()]
+    assert sum(masses) > 0.75, masses
+    assert sum(m > 0.08 for m in masses) >= 3, masses
+
+    # drive +10 and see a door again: only (0→10) and (10→20) consistent
+    fg.add_variable("x1", ContinuousScalar)
+    fg.add_factor(["x0", "x1"], LinearRelative(Normal(10.0, 0.1)))
+    fg.add_factor(["x1", "l0", "l1", "l2", "l3"],
+                  LinearRelative(Normal(0.0, 0.25)),
+                  multihypo=[1.0, 0.25, 0.25, 0.25, 0.25])
+    solve_tree(fg)
+    m_x1 = [_mass(fg, "x1", c, 3.0) for c in (10.0, 20.0)]
+    assert sum(m_x1) > 0.6, m_x1
+    bad = [_mass(fg, "x1", c, 3.0) for c in (0.0, 40.0, 30.0, 50.0)]
+    assert sum(bad) < 0.25, bad
+    # doors themselves stay pinned by their strong priors
+    for lbl, c in doors.items():
+        assert _mass(fg, lbl, c, 1.0) > 0.9, lbl
+
+
+def test_nullhypo_through_tree():
+    """A relative factor with nullhypo keeps extra spread but still pulls
+    the posterior (reference testnullhypothesis.jl)."""
+    fg = initfg()
+    fg.add_variable("a", ContinuousScalar)
+    fg.add_factor(["a"], Prior(Normal(0.0, 1.0)))
+    fg.add_variable("b", ContinuousScalar)
+    fg.add_factor(["a", "b"], LinearRelative(Normal(10.0, 1.0)),
+                  nullhypo=0.2)
+    solve_tree(fg)
+    p = np.asarray(fg.points("b")[:, 0])
+    # main mode at 10 with ≥60% of mass; spread beyond it allowed
+    assert np.mean(np.abs(p - 10.0) < 5.0) > 0.6
+    assert np.all(np.isfinite(p))

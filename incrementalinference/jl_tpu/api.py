@@ -9,15 +9,14 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 from .graph import FactorGraph
 from .graphinit import ensure_solvable, init_all
-from .beliefs import Belief
 from .parallel.messages import LikelihoodMessage
-from .parallel.scheduler import (CliqueTrace, down_solve_clique,
-                                 solve_tree_sweeps, up_solve_clique)
-from .tree.bayestree import BayesTree, CliqStatus, build_tree_reset
+from .parallel.scheduler import (down_solve_clique, solve_tree_sweeps,
+                                 up_solve_clique)
+from .tree.bayestree import BayesTree, build_tree_reset
 
 __all__ = ["solve_tree", "solve_graph", "solve_cliq_up", "solve_cliq_down",
            "fifo_freeze"]

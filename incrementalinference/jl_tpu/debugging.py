@@ -8,7 +8,7 @@ drawing via graphviz JunctionTreeUtils.jl:578-668).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 from .parallel.scheduler import CliqueTrace, up_solve_clique
 from .tree.bayestree import BayesTree, CliqStatus

@@ -7,11 +7,9 @@ ensureSolvable! (:469-485).
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
-
 import jax.numpy as jnp
 
-from .beliefs import Belief, make_belief, ppe as calc_ppe
+from .beliefs import Belief, ppe as calc_ppe
 from .models.factors import MetaPrior, GenericMarginal
 from .ops.graphops import propagate_belief
 

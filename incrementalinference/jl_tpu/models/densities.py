@@ -9,7 +9,7 @@ grid cells with in-cell jitter — one fused XLA op, no interpolation library.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

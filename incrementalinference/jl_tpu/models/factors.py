@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..beliefs import Belief, kde_sample, mean_cov as belief_mean_cov
-from ..distributions import Categorical, Distribution, MvNormal, Normal
+from ..distributions import Distribution
 from ..manifolds import Manifold, wrap_angle
 
 __all__ = [

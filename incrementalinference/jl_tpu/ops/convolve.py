@@ -18,7 +18,7 @@ uniform tangent noise re-solved ``inflate_cycles`` times.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ src/entities/FactorGradients.jl.  The reference builds block jacobians by
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -7,15 +7,13 @@ src/services/ApproxConv.jl:238-304 (proposalbeliefs!).
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..beliefs import Belief, make_belief
 from ..models.factors import MetaPrior, GenericMarginal
-from .convolve import proposal_from_factor
-from .product import Proposal, manifold_product
 
 __all__ = ["propagate_belief", "local_product", "local_product_and_update",
            "approx_conv_path", "eval_factor_temporary"]

@@ -82,7 +82,6 @@ def prep_msg_up(subfg, clique, status: CliqStatus) -> LikelihoodMessage:
     attach differential likelihoods between consecutive separator variables
     (reference prepCliqueMsgUp + addLikelihoodsDifferentialCHILD!,
     TreeMessageUtils.jl:667-703, :279-335)."""
-    import jax.numpy as jnp
     from ..manifolds import Euclidean
 
     msg = LikelihoodMessage(sender=clique.cid, status=status, direction="up")

@@ -22,16 +22,14 @@ collectives).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..beliefs import mean_cov as belief_mean_cov
 from ..graph import FactorGraph
-from ..models.factors import (GenericMarginal, MetaPrior, Mixture, MsgPrior)
+from ..models.factors import GenericMarginal, MetaPrior, Mixture
 
 __all__ = ["ParametricProblem", "solve_graph_parametric",
            "solve_conditionals_parametric", "autoinit_parametric"]

@@ -135,9 +135,18 @@ def ppe(manifold: Manifold, belief: Belief):
     """Posterior point estimates (reference calcPPE → MeanMaxPPE,
     src/services/FGOSUtils.jl:237-274): suggested=max-density particle,
     mean=Karcher mean, max=argmax of KDE over own particles."""
-    mu = manifold.mean(belief.points)
-    lp = kde_logpdf(manifold, belief, belief.points)
-    pmax = belief.points[jnp.argmax(lp)]
+    pts = belief.points
+    # eager indexing on a multi-device-sharded array hard-aborts on
+    # XLA:CPU — pull the (small) particle block local first
+    sh = getattr(pts, "sharding", None)
+    if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+        import numpy as _np
+        pts = jnp.asarray(_np.asarray(pts))
+        belief = Belief(points=pts, bw=belief.bw, ipc=belief.ipc)
+    mu = manifold.mean(pts)
+    lp = kde_logpdf(manifold, belief, pts)
+    sel = (lp == jnp.max(lp)).astype(pts.dtype)
+    pmax = (sel[:, None] * pts).sum(0) / jnp.maximum(sel.sum(), 1.0)
     return {"mean": mu, "max": pmax, "suggested": pmax}
 
 

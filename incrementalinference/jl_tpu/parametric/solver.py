@@ -22,6 +22,7 @@ collectives).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -265,42 +266,94 @@ class ParametricProblem:
     def solve(self, x0: Optional[jnp.ndarray] = None, max_iters: int = 50,
               relinearize: int = 2, lam0: float = 1e-4,
               tol: float = 1e-8):
-        """Retract-and-relinearize rounds around one fully jitted step:
-        (lm while_loop → retract → covariance) compiles once per problem
-        structure; the linearization points thread through as traced
-        arguments so relinearization does not retrigger XLA."""
+        """Retract-and-relinearize rounds around one fully jitted step.
+
+        The problem itself is a registered pytree, so the jitted step/cov
+        functions are *shared across all problems with the same structure*
+        (per-clique sweeps and autoinit reuse one compilation instead of
+        retracing per clique)."""
         x = jnp.zeros((self.total_dof,)) if x0 is None else x0
         p0s = self._p0_stacked()
 
-        if not hasattr(self, "_solve_jit") or self._solve_jit is None:
-            def step(x, p0s):
-                x, cost = _lm_core(self, x, p0s, max_iters, lam0, tol)
-                p0s_new = self._retract_stacked(x, p0s)
-                return p0s_new, cost
-
-            def covf(p0s):
-                zero = jnp.zeros((self.total_dof,))
-                _, J = self.res_jac(zero, p0s)
-                Jf = J[:, self.free_idx]
-                H = Jf.T @ Jf
-                cov_free = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
-                cov = jnp.zeros((self.total_dof, self.total_dof))
-                return cov.at[jnp.ix_(self.free_idx,
-                                      self.free_idx)].set(cov_free)
-
-            self._solve_jit = jax.jit(step)
-            self._cov_jit = jax.jit(covf)
-
         cost = jnp.inf
         for _ in range(max(relinearize, 1)):
-            p0s, cost = self._solve_jit(x, p0s)
+            p0s, cost = _solve_step(self, x, p0s, max_iters=max_iters,
+                                    lam0=lam0, tol=tol)
             x = jnp.zeros_like(x)
 
         # write back linearization points
         self.p0 = [p0s[i, :m.point_dim]
                    for i, m in enumerate(self.manifolds)]
-        cov = self._cov_jit(p0s)
+        cov = _cov_step(self, p0s)
         return list(self.p0), cov, float(cost)
+
+
+# ---------------------------------------------------------------------------
+# pytree registration: problems with identical structure (same groups/
+# manifolds/shapes) share jit compilations of the solver steps below
+# ---------------------------------------------------------------------------
+
+def _group_flatten(g: _Group):
+    return ((g.models, g.meas, g.sqrt_inv, g.var_slots, g.col_ids, g.mix),
+            (g.ptdims, g.tdofs, g.arg_manifolds, g.row_base))
+
+
+def _group_unflatten(aux, ch):
+    g = object.__new__(_Group)
+    g.models, g.meas, g.sqrt_inv, g.var_slots, g.col_ids, g.mix = ch
+    g.ptdims, g.tdofs, g.arg_manifolds, g.row_base = aux
+    return g
+
+
+jax.tree_util.register_pytree_node(_Group, _group_flatten, _group_unflatten)
+
+
+def _prob_flatten(p: "ParametricProblem"):
+    children = (p.groups, p.p0, p.free_idx)
+    aux = (p.manifolds if isinstance(p.manifolds, tuple)
+           else tuple(p.manifolds),
+           tuple(p.dofs), tuple(int(o) for o in p.offsets), p.total_dof,
+           p.n_residuals)
+    return children, aux
+
+
+def _prob_unflatten(aux, ch):
+    p = object.__new__(ParametricProblem)
+    p.groups, p.p0, p.free_idx = ch
+    manifolds, dofs, offsets, total_dof, n_res = aux
+    p.manifolds = list(manifolds)
+    p.dofs = list(dofs)
+    p.offsets = np.asarray(offsets)
+    p.total_dof = total_dof
+    p.n_residuals = n_res
+    # host-only fields are absent inside traced code
+    p.fg = None
+    p.var_labels = None
+    p.slot = None
+    p.solve_key = None
+    return p
+
+
+jax.tree_util.register_pytree_node(ParametricProblem, _prob_flatten,
+                                   _prob_unflatten)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "lam0", "tol"))
+def _solve_step(prob: "ParametricProblem", x: jnp.ndarray, p0s: jnp.ndarray,
+                max_iters: int = 50, lam0: float = 1e-4, tol: float = 1e-8):
+    x, cost = _lm_core(prob, x, p0s, max_iters, lam0, tol)
+    return prob._retract_stacked(x, p0s), cost
+
+
+@jax.jit
+def _cov_step(prob: "ParametricProblem", p0s: jnp.ndarray):
+    zero = jnp.zeros((prob.total_dof,))
+    _, J = prob.res_jac(zero, p0s)
+    Jf = J[:, prob.free_idx]
+    H = Jf.T @ Jf
+    cov_free = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
+    cov = jnp.zeros((prob.total_dof, prob.total_dof))
+    return cov.at[jnp.ix_(prob.free_idx, prob.free_idx)].set(cov_free)
 
 
 def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s: jnp.ndarray,

@@ -22,6 +22,13 @@ from .base import Circle, Manifold, wrap_angle
 _EPS = 1e-8
 
 
+def _snorm(x, keepdims=False):
+    """Gradient-safe vector norm: jnp.linalg.norm has a NaN derivative at
+    exactly zero, which jacfwd hits when linearizing retractions at the
+    zero tangent (the batched Gauss-Newton's per-iteration base point)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=keepdims) + 1e-24)
+
+
 class SO2(Circle):
     """SO(2) stored as an angle; group-wise identical to RealCircleGroup."""
 
@@ -60,7 +67,7 @@ def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_from_rotvec(phi: jnp.ndarray) -> jnp.ndarray:
-    t = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    t = _snorm(phi, keepdims=True)
     half = 0.5 * t
     # sin(half)/t with Taylor fallback 0.5 - t^2/48
     st = jnp.where(t > _EPS, jnp.sin(half) / jnp.where(t > _EPS, t, 1.0),
@@ -72,7 +79,7 @@ def rotvec_from_quat(q: jnp.ndarray) -> jnp.ndarray:
     q = quat_normalize(q)
     w = q[..., :1]
     u = q[..., 1:]
-    un = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    un = _snorm(u, keepdims=True)
     angle = 2.0 * jnp.arctan2(un, w)
     # angle/sin(angle/2) with fallback 2 + angle^2/12 as un -> 0
     scale = jnp.where(un > _EPS, angle / jnp.where(un > _EPS, un, 1.0),
@@ -92,7 +99,7 @@ def _hat3(phi: jnp.ndarray) -> jnp.ndarray:
 
 def _se3_V(phi: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian V(phi) of SO(3): t = V @ rho in SE(3) exp."""
-    t = jnp.linalg.norm(phi, axis=-1)
+    t = _snorm(phi)
     t2 = t * t
     safe = t > _EPS
     td = jnp.where(safe, t, 1.0)
@@ -105,7 +112,7 @@ def _se3_V(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def _se3_Vinv(phi: jnp.ndarray) -> jnp.ndarray:
-    t = jnp.linalg.norm(phi, axis=-1)
+    t = _snorm(phi)
     t2 = t * t
     safe = t > _EPS
     td = jnp.where(safe, t, 1.0)
@@ -291,7 +298,7 @@ class Sphere2(Manifold):
     def exp(self, p, X):
         b1, b2 = self._basis(p)
         v = X[..., 0:1] * b1 + X[..., 1:2] * b2          # ambient tangent
-        t = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        t = _snorm(v, keepdims=True)
         ts = jnp.maximum(t, _EPS)
         q = jnp.cos(t) * p + jnp.sin(t) * v / ts
         return self.project(jnp.where(t > _EPS, q, p + v))

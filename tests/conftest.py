@@ -28,3 +28,25 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-pytest")
 jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Test-group gating à la the reference's IIF_TEST_GROUP env variable
+    (test/runtests.jl:3): IITPU_TEST_GROUP=basic_functional_group |
+    test_cases_group runs a subset; unset runs everything."""
+    group = os.environ.get("IITPU_TEST_GROUP")
+    if not group:
+        return
+    basic = {"test_manifolds", "test_distributions", "test_product",
+             "test_convolve", "test_tree", "test_native", "test_graph",
+             "test_serialization", "test_debugging", "test_pallas_kernels"}
+    cases = {"test_solve", "test_parametric", "test_multihypo_tree",
+             "test_manifold_solves", "test_model_families", "test_multichip",
+             "test_deconv_gradients", "test_extensions"}
+    keep = basic if group == "basic_functional_group" else cases
+    import pytest as _pytest
+    skip = _pytest.mark.skip(reason=f"not in {group}")
+    for item in items:
+        mod = item.module.__name__.split(".")[-1]
+        if mod not in keep:
+            item.add_marker(skip)

@@ -19,7 +19,7 @@ from .parallel.scheduler import (down_solve_clique, solve_tree_sweeps,
 from .tree.bayestree import BayesTree, build_tree_reset
 
 __all__ = ["solve_tree", "solve_graph", "solve_cliq_up", "solve_cliq_down",
-           "fifo_freeze"]
+           "fifo_freeze", "warmup"]
 
 logger = logging.getLogger("iitpu.api")
 
@@ -100,6 +100,8 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
         logger.info("tree: %d cliques, depth %d, build %.3fs",
                     tree.num_cliques(), len(tree.levels()), tree.build_time)
 
+    import os as _os
+
     do_up = params.upsolve if up is None else up
     do_down = params.downsolve if down is None else down
     traces = solve_tree_sweeps(fg, tree, solve_key=solve_key,
@@ -111,6 +113,21 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                                         and distribute == "cliques"
                                         else None))
     tree.traces = traces
+
+    if params.record_cliques and traces:
+        # solve-wide history dump (reference HistoryCSMAll.txt,
+        # SolverAPI.jl:487-489)
+        try:
+            _os.makedirs(params.logpath, exist_ok=True)
+            path = _os.path.join(params.logpath,
+                                 f"HistoryAll_{fg.solve_count}.txt")
+            with open(path, "w") as fp:
+                for cid, tr in sorted(traces.items()):
+                    for ts, step, detail in tr.events:
+                        fp.write(f"{ts:.3f}\tcliq{cid}\t{step}\t{detail}\n")
+        except OSError:
+            logger.warning("could not write trace dump to %s",
+                           params.logpath)
 
     fg.solve_count += 1
     if verbose:
@@ -141,3 +158,15 @@ def solve_cliq_down(fg: FactorGraph, tree: BayesTree, frontal: str,
     cl = tree.clique_of(frontal)
     return down_solve_clique(fg, tree, cl, down_msg, solve_key,
                              child_msgs=child_msgs)
+
+
+def warmup(parametric: bool = True) -> None:
+    """Pre-compile the standard kernel set on small canonical graphs
+    (the reference's precompile workload solves generateGraph_Kaess,
+    src/IncrementalInference.jl:242-249)."""
+    from .canonical import generate_kaess
+    fg = generate_kaess(graphinit=True)
+    solve_tree(fg)
+    if parametric:
+        from .parametric import solve_graph_parametric
+        solve_graph_parametric(generate_kaess(graphinit=False))

@@ -51,3 +51,18 @@ def test_tree_costs():
     fg, tree = _solved()
     assert nnz_tree(tree) > 0
     assert tree_cost_01(tree) >= tree_cost_02(tree) >= 1.0
+
+
+def test_history_dump_written(tmp_path):
+    from incrementalinference.jl_tpu import solve_tree
+    from incrementalinference.jl_tpu.canonical import generate_kaess
+    fg = generate_kaess(graphinit=True)
+    fg.params.record_cliques = True
+    fg.params.logpath = str(tmp_path)
+    solve_tree(fg)
+    import os
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("HistoryAll_") for f in files), files
+    content = open(tmp_path / [f for f in files
+                               if f.startswith("HistoryAll_")][0]).read()
+    assert "up_done" in content

@@ -402,7 +402,15 @@ class ManifoldPrior(PriorModel):
 # static aux data, so XLA recompiles only per model *structure*.
 # ---------------------------------------------------------------------------
 
+#: registry of (cls, children-fields, aux-fields) for every factor model —
+#: powers jit pytree flattening AND generic packed serialization of custom
+#: user factors (the reference's packed-converter dispatch,
+#: DispatchPackedConversions.jl:25-160)
+MODEL_REGISTRY: dict = {}
+
+
 def _register_model(cls, children: tuple, aux: tuple = ()):
+    MODEL_REGISTRY[cls.__name__] = (cls, children, aux)
     def flatten(m):
         return (tuple(getattr(m, f) for f in children),
                 tuple(getattr(m, f) for f in aux))

@@ -434,3 +434,87 @@ def unpack_factor_model(d: Dict):                      # noqa: F811
         return DERelative(_FN_REGISTRY[d["f"]], d["t0"], d["t1"],
                           unpack_distribution(d["Z"]), steps=d["steps"])
     return _orig_unpack_factor_model(d)
+
+
+# ---------------------------------------------------------------------------
+# generic custom-model serialization via the model registry
+# ---------------------------------------------------------------------------
+
+def _pack_value(v):
+    if v is None:
+        return {"_k": "none"}
+    if isinstance(v, (bool, int, float, str)):
+        return {"_k": "scalar", "v": v}
+    from ..beliefs import Belief as _Belief
+    from ..manifolds import Manifold as _Manifold
+    if isinstance(v, _Belief):
+        return {"_k": "belief", "v": pack_belief(v)}
+    if isinstance(v, _Manifold):
+        return {"_k": "manifold", "v": pack_manifold(v)}
+    if isinstance(v, D.Distribution):
+        return {"_k": "dist", "v": pack_distribution(v)}
+    if isinstance(v, (tuple, list)):
+        return {"_k": "seq", "tuple": isinstance(v, tuple),
+                "v": [_pack_value(x) for x in v]}
+    try:
+        return {"_k": "array", "v": _arr(v)}
+    except Exception as e:                                  # noqa: BLE001
+        raise TypeError(f"cannot pack custom field value {v!r}") from e
+
+
+def _unpack_value(d):
+    k = d["_k"]
+    if k == "none":
+        return None
+    if k == "scalar":
+        return d["v"]
+    if k == "belief":
+        return unpack_belief(d["v"])
+    if k == "manifold":
+        return unpack_manifold(d["v"])
+    if k == "dist":
+        return unpack_distribution(d["v"])
+    if k == "seq":
+        out = [_unpack_value(x) for x in d["v"]]
+        return tuple(out) if d["tuple"] else out
+    if k == "array":
+        return jnp.asarray(d["v"], jnp.float32)
+    raise TypeError(f"unknown packed value kind {k}")
+
+
+_prev_pack_factor_model = pack_factor_model
+_prev_unpack_factor_model = unpack_factor_model
+
+
+def pack_factor_model(m) -> Dict:                          # noqa: F811
+    try:
+        return _prev_pack_factor_model(m)
+    except TypeError:
+        from ..models.factors import MODEL_REGISTRY
+        name = type(m).__name__
+        if name not in MODEL_REGISTRY:
+            raise
+        _, children, aux = MODEL_REGISTRY[name]
+        return {"_type": f"Custom:{name}",
+                "children": {f: _pack_value(getattr(m, f))
+                             for f in children},
+                "aux": {f: _pack_value(getattr(m, f)) for f in aux}}
+
+
+def unpack_factor_model(d: Dict):                          # noqa: F811
+    t = d["_type"]
+    if t.startswith("Custom:"):
+        from ..models.factors import MODEL_REGISTRY
+        name = t.split(":", 1)[1]
+        if name not in MODEL_REGISTRY:
+            raise TypeError(
+                f"custom factor model {name!r} is not registered in this "
+                f"process — import its module before load_graph")
+        cls, children, aux = MODEL_REGISTRY[name]
+        m = object.__new__(cls)
+        for f, v in d["children"].items():
+            object.__setattr__(m, f, _unpack_value(v))
+        for f, v in d["aux"].items():
+            object.__setattr__(m, f, _unpack_value(v))
+        return m
+    return _prev_unpack_factor_model(d)

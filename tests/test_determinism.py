@@ -1,0 +1,42 @@
+"""Reproducibility under seeding (reference testProductReproducable.jl).
+
+The graph owns one PRNG key chain (FactorGraph.next_key), so identical
+construction + solve sequences must give bit-identical beliefs.
+"""
+
+import numpy as np
+
+from incrementalinference.jl_tpu import solve_tree
+from incrementalinference.jl_tpu.canonical import (fourdoor_sequence,
+                                                   generate_caesar_ring1d)
+
+
+def test_identical_graphs_solve_identically():
+    results = []
+    for _ in range(2):
+        fg = generate_caesar_ring1d(graphinit=True)
+        solve_tree(fg)
+        results.append({v: np.asarray(fg.points(v)) for v in fg.ls()})
+    for v in results[0]:
+        np.testing.assert_array_equal(results[0][v], results[1][v])
+
+
+def test_fourdoor_sequence_reproducible():
+    snaps = []
+    for _ in range(2):
+        fg, steps = fourdoor_sequence()
+        steps[0]()
+        tree = solve_tree(fg)
+        steps[1]()
+        solve_tree(fg, old_tree=tree)
+        snaps.append(np.asarray(fg.points("x1")))
+    np.testing.assert_array_equal(snaps[0], snaps[1])
+
+
+def test_different_seed_differs():
+    from incrementalinference.jl_tpu.config import SolverParams
+    from incrementalinference.jl_tpu.canonical import generate_kaess
+    a = generate_kaess(graphinit=True, params=SolverParams(seed=1))
+    b = generate_kaess(graphinit=True, params=SolverParams(seed=2))
+    assert not np.array_equal(np.asarray(a.points("x1")),
+                              np.asarray(b.points("x1")))

@@ -122,3 +122,34 @@ def test_extension_model_roundtrip(tmp_path):
 
 from incrementalinference.jl_tpu.serialization import (pack_distribution,  # noqa: E402,F811
                                                        unpack_distribution)
+
+
+def test_custom_factor_model_roundtrip(tmp_path):
+    """User-defined factor models round-trip through the generic registry
+    path (reference packed-converter dispatch for user factors)."""
+    import jax.numpy as jnp
+    from incrementalinference.jl_tpu import (ManifoldPrior, MvNormal,
+                                             VariableType, initfg)
+    from incrementalinference.jl_tpu.canonical import _Pose2Point2Bearingless
+    from incrementalinference.jl_tpu.graph import ContinuousEuclid
+    from incrementalinference.jl_tpu.manifolds import SE2
+    from incrementalinference.jl_tpu.serialization import (load_graph,
+                                                           save_graph)
+
+    se2 = SE2()
+    fg = initfg()
+    fg.add_variable("x", VariableType("Pose2", se2))
+    fg.add_factor(["x"], ManifoldPrior(se2, jnp.zeros(3),
+                                       MvNormal([0.0] * 3, [0.1] * 3)))
+    fg.add_variable("l", ContinuousEuclid(2))
+    fg.add_factor(["x", "l"], _Pose2Point2Bearingless(
+        MvNormal([3.0, 1.0], [0.2, 0.2])))
+    path = str(tmp_path / "custom.json")
+    save_graph(fg, path)
+    fg2 = load_graph(path)
+    m = [f.model for f in fg2.factors.values()
+         if type(f.model).__name__ == "_Pose2Point2Bearingless"][0]
+    np.testing.assert_allclose(np.asarray(m.Z.mu), [3.0, 1.0], atol=1e-6)
+    from incrementalinference.jl_tpu import solve_tree
+    solve_tree(fg2)
+    assert np.all(np.isfinite(np.asarray(fg2.points("l"))))

@@ -221,3 +221,21 @@ def fourdoor_sequence(params: Optional[SolverParams] = None):
 from .models.factors import _register_model  # noqa: E402
 
 _register_model(_Pose2Point2Bearingless, ("Z",))
+
+
+def calc_helix_T(t_start=0.0, t_stop=1.0, points_per_turn=20,
+                 direction=-1, radius=0.5, spine=lambda t: 0.0 + 0.0j):
+    """Generalized helix trajectory generator (reference calcHelix_T,
+    CanonicalGraphExamples.jl:92-118): returns (T, xy (n,2), yaw (n,))."""
+    import numpy as np
+    T = np.arange(t_start, t_stop * points_per_turn + 1) / points_per_turn
+
+    def f(t):
+        s = spine(t)
+        return radius * (np.exp(1j * (np.pi + direction * 2 * np.pi * t))
+                         + 1 + s)
+
+    vals = np.array([f(t) for t in T])
+    h = 1e-8
+    grad = np.array([(f(t + h) - f(t)) / h for t in T])
+    return (T, np.stack([vals.real, vals.imag], axis=1), np.angle(grad))

@@ -14,7 +14,8 @@ from .parallel.scheduler import CliqueTrace, up_solve_clique
 from .tree.bayestree import BayesTree, CliqStatus
 
 __all__ = ["print_clique_history", "print_history_sequential",
-           "tree_to_dot", "save_tree_dot", "replay_clique_up"]
+           "tree_to_dot", "save_tree_dot", "replay_clique_up",
+           "graph_to_dot", "save_graph_dot"]
 
 
 def print_clique_history(traces: Dict[int, CliqueTrace],
@@ -93,3 +94,29 @@ def replay_clique_up(fg, tree: BayesTree, cid: int,
                          f"(run with record_cliques=True)")
     return up_solve_clique(fg, tree, tree.clique(cid), tr.child_msgs,
                            solve_key)
+
+
+def graph_to_dot(fg) -> str:
+    """Graphviz dot of the factor graph itself (reference drawGraph/
+    drawGraphCliq helpers, src/services/AdditionalUtils.jl)."""
+    lines = ["graph FactorGraph {", "  node [fontsize=10];"]
+    for v in fg.ls():
+        init = fg.var(v).is_initialized()
+        lines.append(f'  "{v}" [shape=ellipse, style=filled, '
+                     f'fillcolor={"lightblue" if init else "lightgray"}];')
+    for fl in fg.lsf():
+        lines.append(f'  "{fl}" [shape=box, style=filled, '
+                     f'fillcolor=lightyellow, '
+                     f'label="{type(fg.factor(fl).model).__name__}"];')
+        for v in fg.factor(fl).variables:
+            lines.append(f'  "{fl}" -- "{v}";')
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def save_graph_dot(fg, path: str = "/tmp/iitpu/fg.dot") -> str:
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(graph_to_dot(fg))
+    return path

@@ -66,3 +66,17 @@ def test_history_dump_written(tmp_path):
     content = open(tmp_path / [f for f in files
                                if f.startswith("HistoryAll_")][0]).read()
     assert "up_done" in content
+
+
+def test_graph_to_dot_and_helix():
+    from incrementalinference.jl_tpu.debugging import graph_to_dot
+    from incrementalinference.jl_tpu.canonical import calc_helix_T, generate_kaess
+    fg = generate_kaess(graphinit=True)
+    dot = graph_to_dot(fg)
+    assert dot.startswith("graph FactorGraph")
+    assert dot.count("--") == sum(len(fg.factor(f).variables)
+                                  for f in fg.lsf())
+    T, xy, yaw = calc_helix_T(0, 2, 10)
+    assert xy.shape == (len(T), 2)
+    import numpy as np
+    assert np.all(np.isfinite(yaw))

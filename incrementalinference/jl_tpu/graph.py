@@ -177,12 +177,42 @@ class FactorGraph:
                 doautoinit(self, vl)
         return f
 
-    # -- queries (reference ls/lsf/getNeighbors) --------------------------
-    def ls(self) -> List[str]:
-        return list(self.variables)
+    def remove_factor(self, label: str) -> Factor:
+        """Delete a factor (reference DFG deleteFactor!)."""
+        f = self.factors.pop(label, None)
+        if f is None:
+            raise KeyError(f"unknown factor {label!r}")
+        for vl in f.variables:
+            if label in self._var_factors.get(vl, ()):
+                self._var_factors[vl].remove(label)
+        return f
 
-    def lsf(self) -> List[str]:
-        return list(self.factors)
+    def remove_variable(self, label: str, remove_factors: bool = True
+                        ) -> Variable:
+        """Delete a variable (reference DFG deleteVariable!).  Connected
+        factors are removed too unless ``remove_factors=False`` (then the
+        delete refuses while factors remain)."""
+        if label not in self.variables:
+            raise KeyError(f"unknown variable {label!r}")
+        attached = list(self._var_factors.get(label, ()))
+        if attached and not remove_factors:
+            raise ValueError(
+                f"variable {label!r} still has factors {attached}")
+        for fl in attached:
+            self.remove_factor(fl)
+        self._var_factors.pop(label, None)
+        return self.variables.pop(label)
+
+    # -- queries (reference ls/lsf/getNeighbors) --------------------------
+    def ls(self, tags: Iterable[str] = ()) -> List[str]:
+        tags = set(tags)
+        return [v for v, var in self.variables.items()
+                if not tags or tags & var.tags]
+
+    def lsf(self, tags: Iterable[str] = ()) -> List[str]:
+        tags = set(tags)
+        return [f for f, fac in self.factors.items()
+                if not tags or tags & fac.tags]
 
     def var(self, label: str) -> Variable:
         return self.variables[label]

@@ -72,6 +72,11 @@ class SolverParams:
     record_cliques: bool = False
     # dtype for belief/particle arrays ("float32" is TPU-native).
     dtype: str = "float32"
+    # Batch same-structure variable updates across same-level cliques into
+    # one vmapped kernel (lock-step Gibbs; statistics match the sequential
+    # path). The fault-injection/device-distribution paths fall back to the
+    # sequential sweep.
+    batch_cliques: bool = False
 
     def replace(self, **kw: Any) -> "SolverParams":
         return dataclasses.replace(self, **kw)

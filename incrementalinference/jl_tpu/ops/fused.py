@@ -26,7 +26,8 @@ from ..manifolds import Manifold
 from .convolve import ConvSpec, eval_factor_core
 from .product import pair_product_tangent
 
-__all__ = ["fused_variable_update", "product_traceable"]
+__all__ = ["fused_variable_update", "fused_variable_update_batched",
+           "product_traceable"]
 
 
 def product_traceable(manifold: Manifold, pts_list, bw_list,
@@ -73,9 +74,8 @@ def product_traceable(manifold: Manifold, pts_list, bw_list,
         manifold.exp(jnp.broadcast_to(ref, (n_out,) + ref.shape), samples))
 
 
-@functools.lru_cache(maxsize=1024)
-def _fused_fn(manifold: Manifold, specs: Tuple[ConvSpec, ...],
-              masks: Tuple[Tuple[bool, ...], ...], n_out: int):
+def _make_update(manifold: Manifold, specs: Tuple[ConvSpec, ...],
+                 masks: Tuple[Tuple[bool, ...], ...], n_out: int):
     def update(models, var_points_nested, old_points, key):
         F = len(specs)
         keys = jax.random.split(key, F + 1)
@@ -89,7 +89,38 @@ def _fused_fn(manifold: Manifold, specs: Tuple[ConvSpec, ...],
                                 old_points, keys[-1], n_out)
         return out, loo_bandwidth(manifold, out)
 
-    return jax.jit(update)
+    return update
+
+
+@functools.lru_cache(maxsize=1024)
+def _fused_fn(manifold: Manifold, specs: Tuple[ConvSpec, ...],
+              masks: Tuple[Tuple[bool, ...], ...], n_out: int):
+    return jax.jit(_make_update(manifold, specs, masks, n_out))
+
+
+@functools.lru_cache(maxsize=1024)
+def _fused_fn_batched(manifold: Manifold, specs: Tuple[ConvSpec, ...],
+                      masks: Tuple[Tuple[bool, ...], ...], n_out: int):
+    """vmap of the fused update over a leading instance axis — same-
+    structure variable updates across same-level cliques execute as ONE
+    kernel (the per-level batched clique solve of SURVEY.md §7.6)."""
+    return jax.jit(jax.vmap(_make_update(manifold, specs, masks, n_out)))
+
+
+def fused_variable_update_batched(plans, keys):
+    """Execute same-structure UpdatePlans as one vmapped kernel.
+
+    plans: list of ops.graphops.UpdatePlan sharing ``structure_key``;
+    keys: one PRNG key per plan.  Returns (points (B, n, pd), bw (B, dof)).
+    """
+    p0 = plans[0]
+    fn = _fused_fn_batched(p0.manifold, p0.specs, p0.masks, p0.n_out)
+    models = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[p.models for p in plans])
+    nested = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[p.nested for p in plans])
+    old = jnp.stack([p.old_points for p in plans])
+    return fn(models, nested, old, jnp.stack(keys))
 
 
 def fused_variable_update(manifold: Manifold,

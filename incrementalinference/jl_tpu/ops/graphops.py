@@ -16,7 +16,8 @@ from ..beliefs import Belief, make_belief
 from ..models.factors import MetaPrior, GenericMarginal
 
 __all__ = ["propagate_belief", "local_product", "local_product_and_update",
-           "approx_conv_path", "eval_factor_temporary"]
+           "approx_conv_path", "eval_factor_temporary", "prepare_update",
+           "UpdatePlan"]
 
 
 def _solvable_factors(fg, labels: Iterable[str]):
@@ -31,24 +32,47 @@ def _solvable_factors(fg, labels: Iterable[str]):
     return out
 
 
-def propagate_belief(fg, target: str, factor_labels: Sequence[str],
-                     key=None, solve_key: str = "default",
-                     n: int | None = None) -> Tuple[Belief, jnp.ndarray]:
-    """Product of per-factor proposals at ``target``
-    (reference propagateBelief, GraphProductOperations.jl:16-78).
+class UpdatePlan:
+    """A prepared variable update: the static structure key + array inputs
+    for one fused kernel call.  Same-``structure_key`` plans can execute
+    batched (vmapped across the instance axis) — the level-synchronous
+    scheduler exploits this across same-level cliques."""
 
-    The whole update (all convolutions + bandwidths + product) runs as one
-    fused jitted kernel (ops/fused.py) — one device dispatch per update.
-    Returns (belief, infoPerCoord).
-    """
-    from ..beliefs import Belief as _B
+    def __init__(self, fg, target, manifold, models, nested, old_points,
+                 specs, masks, n_out, solve_key):
+        self.fg = fg
+        self.target = target
+        self.manifold = manifold
+        self.models = tuple(models)
+        self.nested = tuple(tuple(v) for v in nested)
+        self.old_points = old_points
+        self.specs = tuple(specs)
+        self.masks = tuple(masks)
+        self.n_out = n_out
+        self.solve_key = solve_key
+
+    @property
+    def structure_key(self):
+        from jax import tree_util
+        return (self.manifold, self.specs, self.masks, self.n_out,
+                tree_util.tree_structure(self.models),
+                tuple(tuple(p.shape for p in v) for v in self.nested))
+
+    def ipc(self) -> jnp.ndarray:
+        return jnp.sum(jnp.stack([jnp.asarray(m, jnp.float32)
+                                  for m in self.masks]), axis=0)
+
+
+def prepare_update(fg, target: str, factor_labels: Sequence[str],
+                   solve_key: str = "default",
+                   n: int | None = None):
+    """Host-side prep for one variable update; returns an UpdatePlan, or a
+    (belief, ipc) passthrough when no solvable factors touch the target."""
     from .convolve import _tile_to, make_conv_spec, static_dim_mask
-    from .fused import fused_variable_update
 
     v = fg.var(target)
     manifold = v.manifold
     n_out = n or v.N
-    key = key if key is not None else fg.next_key()
 
     factors = _solvable_factors(fg, factor_labels)
     # canonical factor order: permutations of the same factor set share one
@@ -86,10 +110,33 @@ def propagate_belief(fg, target: str, factor_labels: Sequence[str],
         maxlen = max([n_out] + [p.shape[0] for p in var_points])
         nested.append(tuple(_tile_to(p, maxlen) for p in var_points))
 
-    pts, bw = fused_variable_update(manifold, models, nested, old_points,
-                                    specs, masks, key, n_out)
-    ipc = jnp.sum(jnp.stack([jnp.asarray(m, jnp.float32) for m in masks]),
-                  axis=0)
+    return UpdatePlan(fg, target, manifold, models, nested, old_points,
+                      specs, masks, n_out, solve_key)
+
+
+def propagate_belief(fg, target: str, factor_labels: Sequence[str],
+                     key=None, solve_key: str = "default",
+                     n: int | None = None) -> Tuple[Belief, jnp.ndarray]:
+    """Product of per-factor proposals at ``target``
+    (reference propagateBelief, GraphProductOperations.jl:16-78).
+
+    The whole update (all convolutions + bandwidths + product) runs as one
+    fused jitted kernel (ops/fused.py) — one device dispatch per update.
+    Returns (belief, infoPerCoord).
+    """
+    from ..beliefs import Belief as _B
+    from .fused import fused_variable_update
+
+    key = key if key is not None else fg.next_key()
+    plan = prepare_update(fg, target, factor_labels, solve_key=solve_key,
+                          n=n)
+    if not isinstance(plan, UpdatePlan):
+        return plan                                  # passthrough
+
+    pts, bw = fused_variable_update(plan.manifold, plan.models, plan.nested,
+                                    plan.old_points, plan.specs, plan.masks,
+                                    key, plan.n_out)
+    ipc = plan.ipc()
     return _B(points=pts, bw=bw, ipc=ipc), ipc
 
 

@@ -310,7 +310,27 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
     levels = tree.levels()
     up_msgs: Dict[int, LikelihoodMessage] = {}
 
-    if up:
+    if up and getattr(fg.params, "batch_cliques", False) and not skip_set \
+            and not delay_cliques and not dev_of:
+        for level in reversed(levels):
+            cls = [tree.clique(cid) for cid in level]
+            child_msgs_of = {cl.cid: [up_msgs[ch] for ch in cl.children
+                                      if ch in up_msgs] for cl in cls}
+            if fg.params.record_cliques:
+                for cl in cls:
+                    trace_for(cl.cid).child_msgs = child_msgs_of[cl.cid]
+            try:
+                up_msgs.update(up_solve_level(
+                    fg, tree, cls, child_msgs_of, solve_key, traces=traces))
+            except Exception as e:          # noqa: BLE001
+                for cl in cls:
+                    if cl.status != CliqStatus.UPSOLVED:
+                        cl.status = CliqStatus.ERROR_STATUS
+                        errors.append((cl.cid, e))
+                        up_msgs[cl.cid] = LikelihoodMessage(
+                            sender=cl.cid, status=CliqStatus.ERROR_STATUS,
+                            direction="up")
+    elif up:
         for level in reversed(levels):
             for cid in level:
                 cl = tree.clique(cid)
@@ -366,3 +386,119 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
         raise RuntimeError(
             f"clique solves failed for {cids}: {errors[0][1]}")             from errors[0][1]
     return traces
+
+
+def _lockstep_gibbs(fg: FactorGraph, subs: Dict[int, FactorGraph],
+                    cliques: List[Clique], solve_key: str) -> None:
+    """Lock-step Gibbs across a level's cliques: position p of every
+    clique's update sequence runs in the same round, and same-structure
+    updates execute as ONE vmapped kernel (ops/fused.py
+    fused_variable_update_batched) — the per-level batched clique solve of
+    SURVEY.md §7.6.  Within a clique the update order is identical to the
+    sequential path, so statistics match."""
+    from ..beliefs import Belief as _B
+    from ..ops.fused import (fused_variable_update,
+                             fused_variable_update_batched)
+    from ..ops.graphops import UpdatePlan, prepare_update
+
+    params = fg.params
+    sequences: Dict[int, List[str]] = {}
+    for cl in cliques:
+        seq = list(cl.direct_vars)
+        for _ in range(params.gibbs_iters):
+            seq.extend(cl.iter_vars)
+        sequences[cl.cid] = seq
+    max_len = max((len(s) for s in sequences.values()), default=0)
+
+    for pos in range(max_len):
+        todo = []                      # (cid, var)
+        for cl in cliques:
+            seq = sequences[cl.cid]
+            if pos < len(seq):
+                var = seq[pos]
+                if not subs[cl.cid].var(var).marginalized:
+                    todo.append((cl.cid, var))
+
+        plans, metas = [], []
+        for cid, var in todo:
+            sub = subs[cid]
+            plan = prepare_update(sub, var, sub.factors_of(var),
+                                  solve_key=solve_key)
+            if isinstance(plan, UpdatePlan):
+                plans.append(plan)
+                metas.append((cid, var))
+            # passthrough (no factors): nothing to update
+
+        # group same-structure plans and execute batched
+        groups: Dict = {}
+        for plan, meta in zip(plans, metas):
+            groups.setdefault(plan.structure_key, []).append((plan, meta))
+
+        for entries in groups.values():
+            keys = [subs[cid].next_key() for _, (cid, _) in entries]
+            if len(entries) == 1:
+                plan, (cid, var) = entries[0]
+                pts, bw = fused_variable_update(
+                    plan.manifold, plan.models, plan.nested,
+                    plan.old_points, plan.specs, plan.masks, keys[0],
+                    plan.n_out)
+                subs[cid].set_belief(var, pts, solve_key=solve_key, bw=bw,
+                                     ipc=plan.ipc())
+            else:
+                pl = [e[0] for e in entries]
+                pts_b, bw_b = fused_variable_update_batched(pl, keys)
+                for i, (plan, (cid, var)) in enumerate(entries):
+                    subs[cid].set_belief(var, pts_b[i], solve_key=solve_key,
+                                         bw=bw_b[i], ipc=plan.ipc())
+
+
+def up_solve_level(fg: FactorGraph, tree: BayesTree, cliques: List[Clique],
+                   child_msgs_of: Dict[int, List[LikelihoodMessage]],
+                   solve_key: str = "default",
+                   traces: Optional[Dict[int, CliqueTrace]] = None
+                   ) -> Dict[int, LikelihoodMessage]:
+    """Batched up-solve of one level: subgraphs + messages + init on host,
+    then lock-step batched Gibbs, then messages out."""
+    traces = traces or {}
+    out: Dict[int, LikelihoodMessage] = {}
+    active: List[Clique] = []
+    subs: Dict[int, FactorGraph] = {}
+
+    for cl in cliques:
+        t = traces.get(cl.cid) or CliqueTrace(cl.cid)
+        if cl.is_marginalized or (cl.is_recycled and
+                                  cl.status == CliqStatus.UPRECYCLED):
+            t.log("recycle", "skip up-solve")
+            msg = LikelihoodMessage(sender=cl.cid, status=cl.status,
+                                    direction="up")
+            for vlbl in cl.separator:
+                msg.beliefs[vlbl] = fg.get_belief(vlbl, solve_key)
+            out[cl.cid] = msg
+            continue
+        sub = build_clique_subgraph(fg, cl)
+        for msg in child_msgs_of.get(cl.cid, []):
+            if msg.status == CliqStatus.ERROR_STATUS:
+                cl.status = CliqStatus.ERROR_STATUS
+                raise RuntimeError(
+                    f"clique {cl.cid}: child {msg.sender} errored")
+            add_msg_factors(sub, msg)
+        ok = _cycle_init_by_var_order(sub, cl, solve_key)
+        if not ok:
+            t.log("no_init")
+            cl.status = CliqStatus.NO_INIT
+            out[cl.cid] = prep_msg_up(sub, cl, CliqStatus.NO_INIT)
+            transfer_update_subgraph(fg, sub, cl.frontals, solve_key)
+            continue
+        subs[cl.cid] = sub
+        active.append(cl)
+
+    if active:
+        _lockstep_gibbs(fg, subs, active, solve_key)
+
+    for cl in active:
+        t = traces.get(cl.cid) or CliqueTrace(cl.cid)
+        cl.status = CliqStatus.UPSOLVED
+        out[cl.cid] = prep_msg_up(subs[cl.cid], cl, CliqStatus.UPSOLVED)
+        transfer_update_subgraph(fg, subs[cl.cid], cl.frontals, solve_key)
+        t.log("up_done", "batched level solve")
+    return out

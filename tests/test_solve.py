@@ -213,3 +213,17 @@ def test_down_init_rescues_noinit_clique():
     a = np.asarray(fg.points("a")[:, 0])
     assert abs(a.mean() + 20.0) < 5.0, a.mean()
     assert fg.var("a").is_initialized()
+
+
+def test_batched_level_solve_matches():
+    """batch_cliques=True (lock-step vmapped level solve) reproduces the
+    sequential statistics."""
+    from incrementalinference.jl_tpu.config import SolverParams
+    fg, steps = fourdoor_sequence(SolverParams(batch_cliques=True))
+    tree = None
+    for s in steps:
+        s()
+        tree = solve_tree(fg, old_tree=tree)
+    for v, c in [("x1", 0.0), ("x3", 100.0), ("x4", 300.0)]:
+        p = np.asarray(fg.points(v)[:, 0])
+        assert abs(p.mean() - c) < 10.0, (v, p.mean())

@@ -131,6 +131,16 @@ def mean_cov(manifold: Manifold, points: jnp.ndarray):
     return mu, cov
 
 
+@functools.partial(jax.jit, static_argnames=("manifold",))
+def _ppe_core(manifold: Manifold, points: jnp.ndarray, bw: jnp.ndarray):
+    mu = manifold.mean(points)
+    belief = Belief(points=points, bw=bw, ipc=bw)
+    lp = kde_logpdf(manifold, belief, points)
+    sel = (lp == jnp.max(lp)).astype(points.dtype)
+    pmax = (sel[:, None] * points).sum(0) / jnp.maximum(sel.sum(), 1.0)
+    return mu, pmax
+
+
 def ppe(manifold: Manifold, belief: Belief):
     """Posterior point estimates (reference calcPPE → MeanMaxPPE,
     src/services/FGOSUtils.jl:237-274): suggested=max-density particle,
@@ -142,11 +152,7 @@ def ppe(manifold: Manifold, belief: Belief):
     if sh is not None and len(getattr(sh, "device_set", ())) > 1:
         import numpy as _np
         pts = jnp.asarray(_np.asarray(pts))
-        belief = Belief(points=pts, bw=belief.bw, ipc=belief.ipc)
-    mu = manifold.mean(pts)
-    lp = kde_logpdf(manifold, belief, pts)
-    sel = (lp == jnp.max(lp)).astype(pts.dtype)
-    pmax = (sel[:, None] * pts).sum(0) / jnp.maximum(sel.sum(), 1.0)
+    mu, pmax = _ppe_core(manifold, pts, belief.bw)
     return {"mean": mu, "max": pmax, "suggested": pmax}
 
 

@@ -247,6 +247,8 @@ def eval_factor_core(manifold: Manifold, model, key,
 
 
 def _tile_to(p: jnp.ndarray, maxlen: int) -> jnp.ndarray:
+    if p.shape[0] == maxlen:
+        return p                      # no-op: avoid an eager slice dispatch
     if p.shape[0] < maxlen:
         reps = -(-maxlen // p.shape[0])
         return jnp.tile(p, (reps, 1))[:maxlen]

@@ -20,6 +20,17 @@ __all__ = ["propagate_belief", "local_product", "local_product_and_update",
            "UpdatePlan"]
 
 
+import functools as _functools
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=4096)
+def _ipc_of(masks):
+    """infoPerCoord from static masks — pure host numpy, cached per
+    structure (the eager jnp version cost ~3 dispatches per update)."""
+    return _np.sum(_np.asarray(masks, _np.float32), axis=0)
+
+
 def _solvable_factors(fg, labels: Iterable[str]):
     out = []
     for fl in labels:
@@ -58,9 +69,8 @@ class UpdatePlan:
                 tree_util.tree_structure(self.models),
                 tuple(tuple(p.shape for p in v) for v in self.nested))
 
-    def ipc(self) -> jnp.ndarray:
-        return jnp.sum(jnp.stack([jnp.asarray(m, jnp.float32)
-                                  for m in self.masks]), axis=0)
+    def ipc(self):
+        return _ipc_of(self.masks)
 
 
 def prepare_update(fg, target: str, factor_labels: Sequence[str],

@@ -227,3 +227,35 @@ def test_batched_level_solve_matches():
     for v, c in [("x1", 0.0), ("x3", 100.0), ("x4", 300.0)]:
         p = np.asarray(fg.points(v)[:, 0])
         assert abs(p.mean() - c) < 10.0, (v, p.mean())
+
+
+def test_fixed_lag_freeze():
+    """qfl fixed-lag: old variables freeze (marginalized) and keep their
+    beliefs; recent window still solves (reference fifoFreeze!)."""
+    from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                             Normal, Prior, initfg)
+    from incrementalinference.jl_tpu.config import SolverParams
+    fg = initfg(SolverParams(is_fixed_lag=True, qfl=3))
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)))
+    for i in range(1, 6):
+        fg.add_variable(f"x{i}", ContinuousScalar)
+        fg.add_factor([f"x{i-1}", f"x{i}"], LinearRelative(Normal(10.0, 0.5)))
+    solve_tree(fg)
+    frozen = [v for v in fg.ls() if fg.var(v).marginalized]
+    assert "x0" in frozen and "x5" not in frozen
+    before = np.asarray(fg.points("x0")).copy()
+    solve_tree(fg)                     # second solve: frozen var stays put
+    np.testing.assert_array_equal(before, np.asarray(fg.points("x0")))
+    p5 = np.asarray(fg.points("x5")[:, 0])
+    assert abs(p5.mean() - 50.0) < 5.0
+
+
+def test_parametric_tree_se2_hexagonal():
+    from incrementalinference.jl_tpu.canonical import generate_hexagonal
+    fg = generate_hexagonal(graphinit=True)
+    tree = solve_tree(fg, algorithm="parametric")
+    import numpy as np
+    x6 = np.asarray(fg.var("x6").parametric_point)
+    # the hexagon closes: x6 back near the origin pose
+    assert np.linalg.norm(x6[:2]) < 1.5, x6

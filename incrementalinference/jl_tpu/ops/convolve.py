@@ -205,10 +205,19 @@ def eval_factor_core(manifold: Manifold, model, key,
     else:
         # gather the selected hypothesis variable per particle into the
         # uncertain slot (reference "unroll hypo lambda",
-        # ExplicitDiscreteMarginalizations.jl:95-120)
-        stacked = jnp.stack(var_points)                    # (nvars, n, pd)
+        # ExplicitDiscreteMarginalizations.jl:95-120).  Only the *uncertain*
+        # candidates stack — they share a manifold; certain vars may live on
+        # different manifolds (SE2 pose ↔ R² landmarks).
+        from .hypo import parse_multihypo
+        _, uncertain, _ = parse_multihypo(spec.multihypo)
+        cand = jnp.stack([var_points[i] for i in uncertain])  # (U, n, pd_u)
+        # remap factor-var gather ids → positions in the candidate stack
+        lookup = [0] * nvars
+        for pos, i in enumerate(uncertain):
+            lookup[i] = pos
+        gidx = jnp.asarray(lookup, jnp.int32)[masks.gather_idx]
         gathered = jnp.take_along_axis(
-            stacked, masks.gather_idx[None, :, None], axis=0)[0]
+            cand, gidx[None, :, None], axis=0)[0]
         mech_points = []
         for slot, fvidx in enumerate(masks.mech_vars):
             if slot == masks.uncertain_slot and fvidx != sfidx:

@@ -94,3 +94,37 @@ def test_sphere_manifold_ops_and_prior():
     np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 1.0, atol=1e-4)
     d = np.asarray(S.dist(jnp.asarray(pts), p0))
     assert np.mean(d < 0.2) > 0.9
+
+
+def test_se2_multihypo_landmark_association():
+    """SE(2) pose sees one of two known landmarks (BASELINE config #4:
+    SE(2) multimodal MM-iSAM with multihypo data association)."""
+    from incrementalinference.jl_tpu import ContinuousEuclid, Prior, initfg, solve_tree
+    from incrementalinference.jl_tpu.canonical import _Pose2Point2Bearingless
+    from incrementalinference.jl_tpu.distributions import MvNormal as MvN
+
+    se2 = SE2()
+    pose2 = VariableType("Pose2", se2)
+    fg = initfg()
+    fg.add_variable("la", ContinuousEuclid(2))
+    fg.add_factor(["la"], Prior(MvN([10.0, 0.0], [0.1, 0.1])))
+    fg.add_variable("lb", ContinuousEuclid(2))
+    fg.add_factor(["lb"], Prior(MvN([0.0, 10.0], [0.1, 0.1])))
+    fg.add_variable("x0", pose2)
+    # the robot sees *a* landmark 2m ahead, unknown which
+    fg.add_factor(["x0", "la", "lb"],
+                  _Pose2Point2Bearingless(MvN([2.0, 0.0], [0.1, 0.1])),
+                  multihypo=[1.0, 0.5, 0.5])
+    solve_tree(fg)
+    p = np.asarray(fg.points("x0"))
+    # bimodal pose posterior: near (8,0) facing +x OR near (0,8) facing +y
+    d_a = np.linalg.norm(p[:, :2] - np.array([8.0, 0.0]), axis=1)
+    d_b = np.linalg.norm(p[:, :2] - np.array([0.0, 8.0]), axis=1)
+    close = (d_a < 4.0) | (d_b < 4.0)
+    # orientation must point at the selected landmark
+    assert np.mean(d_a < 4.0) > 0.1 and np.mean(d_b < 4.0) > 0.1, (
+        np.mean(d_a < 4.0), np.mean(d_b < 4.0))
+    assert np.mean(close) > 0.5
+    # landmarks stay pinned
+    la = np.asarray(fg.points("la"))
+    assert np.linalg.norm(la.mean(0) - [10.0, 0.0]) < 1.0

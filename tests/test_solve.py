@@ -259,3 +259,28 @@ def test_parametric_tree_se2_hexagonal():
     x6 = np.asarray(fg.var("x6").parametric_point)
     # the hexagon closes: x6 back near the origin pose
     assert np.linalg.norm(x6[:2]) < 1.5, x6
+
+
+def test_incremental_growth_recycling_soak():
+    """Growing map solved in chunks: recycled-clique count grows with the
+    map and per-step estimates stay accurate (BASELINE config #5 scaled
+    down for CI)."""
+    from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                             Normal, Prior, initfg)
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)))
+    tree = None
+    i = 0
+    recycled = []
+    for step in range(3):
+        for _ in range(6):
+            i += 1
+            fg.add_variable(f"x{i}", ContinuousScalar)
+            fg.add_factor([f"x{i-1}", f"x{i}"],
+                          LinearRelative(Normal(1.0, 0.1)))
+        tree = solve_tree(fg, old_tree=tree)
+        recycled.append(sum(c.is_recycled for c in tree.cliques.values()))
+        err = abs(float(np.asarray(fg.points(f"x{i}")).mean()) - i)
+        assert err < 0.5, (step, err)
+    assert recycled[1] > 0 and recycled[2] > recycled[1], recycled

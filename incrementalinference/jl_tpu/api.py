@@ -52,6 +52,7 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                skip_cliques: Sequence[int] = (),
                delay_cliques: Optional[Dict[int, float]] = None,
                mesh=None, distribute: str = "particles",
+               precompile: bool = False,
                verbose: bool = False) -> BayesTree:
     """Nonparametric MM-iSAM solve over the Bayes tree (reference
     solveTree!, SolverAPI.jl:326-493): init → freeze → tree build (with
@@ -96,6 +97,13 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                     points=shard_particles(mesh, b.points))
 
     tree = build_tree_reset(fg, order=order, old_tree=old_tree)
+    if precompile:
+        # thread-parallel XLA compilation of the distinct update structures
+        # (first-solve wall-clock; no effect when caches are warm)
+        from .parallel.precompile import precompile_updates
+        n = precompile_updates(fg, tree)
+        if verbose:
+            logger.info("precompiled %d structures", n)
     if verbose:
         logger.info("tree: %d cliques, depth %d, build %.3fs",
                     tree.num_cliques(), len(tree.levels()), tree.build_time)

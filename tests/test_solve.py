@@ -284,3 +284,11 @@ def test_incremental_growth_recycling_soak():
         err = abs(float(np.asarray(fg.points(f"x{i}")).mean()) - i)
         assert err < 0.5, (step, err)
     assert recycled[1] > 0 and recycled[2] > recycled[1], recycled
+
+
+def test_precompile_option():
+    fg = generate_kaess(graphinit=True)
+    tree = solve_tree(fg, precompile=True)
+    assert tree.num_cliques() >= 1
+    from incrementalinference.jl_tpu.parallel import precompile_updates
+    assert precompile_updates(fg, tree) >= 1

@@ -1,5 +1,10 @@
 """Incremental SE(2) SLAM: odometry arcs, a landmark, loop closure,
-clique recycling, persistence, and a parametric cross-check."""
+clique recycling, persistence, and a parametric cross-check.
+
+Note: the first run on a fresh machine pays one-time XLA compiles for the
+SE(2) kernel structures (minutes on TPU); subsequent runs hit the
+persistent compilation cache and complete in seconds.
+"""
 
 import jax.numpy as jnp
 import numpy as np

@@ -96,3 +96,27 @@ def test_parametric_tree_solve_matches_batch():
         assert abs(est - truth) < 0.05, (v, est, truth)
         cov = float(np.asarray(fg.var(v).parametric_cov)[0, 0])
         assert np.isfinite(cov) and cov > 0
+
+
+def test_covariance_consistent_with_particle_spread():
+    """On a linear-Gaussian chain the two stacks must agree: nonparametric
+    particle std ≈ parametric marginal std (cross-validation of the
+    solvers against each other)."""
+    from incrementalinference.jl_tpu import solve_tree
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 1.0)))
+    for i in range(1, 4):
+        fg.add_variable(f"x{i}", ContinuousScalar)
+        fg.add_factor([f"x{i-1}", f"x{i}"], LinearRelative(Normal(2.0, 1.0)))
+    solve_tree(fg)
+    solve_graph_parametric(fg)
+    for i in range(4):
+        p_std = float(np.asarray(fg.points(f"x{i}")[:, 0]).std())
+        q_std = float(np.sqrt(np.asarray(
+            fg.var(f"x{i}").parametric_cov)[0, 0]))
+        assert 0.4 * q_std < p_std < 2.5 * q_std, (i, p_std, q_std)
+        p_mean = float(np.asarray(fg.points(f"x{i}")[:, 0]).mean())
+        q_mean = float(np.asarray(fg.var(f"x{i}").parametric_point)[0])
+        assert abs(p_mean - q_mean) < 3.0 * max(q_std, 0.5), (i, p_mean,
+                                                              q_mean)

@@ -142,6 +142,10 @@ def _gibbs_solve(sub: FactorGraph, clique: Clique, variables: List[str],
         for vl in variables:
             if sub.var(vl).marginalized:
                 continue
+            if not sub.factors_of(vl):
+                # factor-less (orphaned) variable: nothing to update and it
+                # must not be marked initialized by a passthrough write
+                continue
             local_product_and_update(sub, vl, solve_key=solve_key)
 
 

@@ -73,10 +73,13 @@ class SolverParams:
     # dtype for belief/particle arrays ("float32" is TPU-native).
     dtype: str = "float32"
     # Batch same-structure variable updates across same-level cliques into
-    # one vmapped kernel (lock-step Gibbs; statistics match the sequential
-    # path). The fault-injection/device-distribution paths fall back to the
-    # sequential sweep.
-    batch_cliques: bool = False
+    # one vmapped kernel over a per-level stacked particle store (lock-step
+    # Gibbs; statistics match the sequential path). "auto" batches levels
+    # with >= batch_min_width cliques (measured 1.7x at 64 cliques x N=256;
+    # neutral below ~8). The fault-injection/device-distribution paths use
+    # the sequential sweep.
+    batch_cliques: object = "auto"
+    batch_min_width: int = 8
 
     def replace(self, **kw: Any) -> "SolverParams":
         return dataclasses.replace(self, **kw)

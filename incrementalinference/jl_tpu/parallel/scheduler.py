@@ -314,9 +314,37 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
     levels = tree.levels()
     up_msgs: Dict[int, LikelihoodMessage] = {}
 
-    if up and getattr(fg.params, "batch_cliques", False) and not skip_set \
-            and not delay_cliques and not dev_of:
+    bc = getattr(fg.params, "batch_cliques", False)
+    min_width = getattr(fg.params, "batch_min_width", 8)
+
+    def _batch_level(level):
+        if bc is True:
+            return True
+        if bc == "auto":
+            return len(level) >= min_width
+        return False
+
+    if up and bc and not skip_set and not delay_cliques and not dev_of:
         for level in reversed(levels):
+            if not _batch_level(level):
+                for cid in level:
+                    cl = tree.clique(cid)
+                    child_msgs = [up_msgs[ch] for ch in cl.children
+                                  if ch in up_msgs]
+                    tr = trace_for(cid)
+                    if fg.params.record_cliques:
+                        tr.child_msgs = list(child_msgs)
+                    try:
+                        up_msgs[cid] = up_solve_clique(
+                            fg, tree, cl, child_msgs, solve_key, trace=tr)
+                    except Exception as e:          # noqa: BLE001
+                        cl.status = CliqStatus.ERROR_STATUS
+                        tr.log("error", str(e))
+                        errors.append((cid, e))
+                        up_msgs[cid] = LikelihoodMessage(
+                            sender=cid, status=CliqStatus.ERROR_STATUS,
+                            direction="up")
+                continue
             cls = [tree.clique(cid) for cid in level]
             child_msgs_of = {cl.cid: [up_msgs[ch] for ch in cl.children
                                       if ch in up_msgs] for cl in cls}
@@ -497,7 +525,10 @@ def up_solve_level(fg: FactorGraph, tree: BayesTree, cliques: List[Clique],
         active.append(cl)
 
     if active:
-        _lockstep_gibbs(fg, subs, active, solve_key)
+        if getattr(fg.params, "batch_stacked", True):
+            _lockstep_gibbs_stacked(fg, subs, active, solve_key)
+        else:
+            _lockstep_gibbs(fg, subs, active, solve_key)
 
     for cl in active:
         t = traces.get(cl.cid) or CliqueTrace(cl.cid)
@@ -506,3 +537,144 @@ def up_solve_level(fg: FactorGraph, tree: BayesTree, cliques: List[Clique],
         transfer_update_subgraph(fg, subs[cl.cid], cl.frontals, solve_key)
         t.log("up_done", "batched level solve")
     return out
+
+
+def _clique_class_signature(sub: FactorGraph, clique: Clique, solve_key: str):
+    """Canonical isomorphism signature of a clique's local solve structure:
+    cliques with equal signatures run their whole Gibbs schedules stacked."""
+    from jax import tree_util
+
+    from ..ops.convolve import make_conv_spec
+
+    local = {v: i for i, v in enumerate(clique.all_vars)}
+    sig = []
+    params = sub.params
+    seq = list(clique.direct_vars) + [v for _ in range(params.gibbs_iters)
+                                      for v in clique.iter_vars]
+    for var in seq:
+        fs = _canonical_factors(sub, var)
+        fsig = []
+        for f in fs:
+            spec = make_conv_spec(sub, f, var)
+            fsig.append((tree_util.tree_structure(f.model),
+                         tuple(local[v] for v in f.variables
+                               if v in local), spec))
+        v = sub.var(var)
+        sig.append((local[var], v.N, v.manifold, tuple(fsig)))
+    return tuple(sig)
+
+
+def _canonical_factors(sub: FactorGraph, var: str):
+    from ..ops.graphops import _solvable_factors
+    fs = _solvable_factors(sub, sub.factors_of(var))
+    fs.sort(key=lambda f: (type(f.model).__name__, len(f.variables),
+                           f.variables.index(var)
+                           if var in f.variables else -1,
+                           f.multihypo or (), f.nullhypo))
+    return fs
+
+
+def _lockstep_gibbs_stacked(fg: FactorGraph, subs: Dict[int, FactorGraph],
+                            cliques: List[Clique], solve_key: str) -> None:
+    """Stacked-store lock-step Gibbs: isomorphic cliques keep their variable
+    particles in (B, N, pd) stacks for the whole schedule — stacking happens
+    once per level, every Gibbs round is one vmapped kernel per class
+    (SURVEY.md §7.6 batched clique kernels, second generation)."""
+    import jax.numpy as jnp
+
+    from ..beliefs import make_belief
+    from ..ops.convolve import make_conv_spec, static_dim_mask
+    from ..ops.fused import _fused_fn_batched
+    from ..ops.graphops import _ipc_of
+
+    # group cliques by local structure
+    classes: Dict = {}
+    for cl in cliques:
+        sig = _clique_class_signature(subs[cl.cid], cl, solve_key)
+        classes.setdefault(sig, []).append(cl)
+
+    for sig, members in classes.items():
+        if len(members) == 1:
+            # singleton: plain sequential fused path
+            cl = members[0]
+            sub = subs[cl.cid]
+            _gibbs_solve(sub, cl, list(cl.direct_vars), 1, solve_key)
+            if cl.iter_vars:
+                _gibbs_solve(sub, cl, cl.iter_vars,
+                             sub.params.gibbs_iters, solve_key)
+            continue
+
+        B = len(members)
+        rep = members[0]
+        rep_sub = subs[rep.cid]
+        var_order = rep.all_vars                     # local ids by position
+        # one-time stack of every clique variable's points: (B, N, pd)
+        store = {i: jnp.stack([subs[m.cid].points(m.all_vars[i], solve_key)
+                               for m in members])
+                 for i in range(len(var_order))}
+        bw_out: Dict[int, jnp.ndarray] = {}
+        ipc_out: Dict[int, jnp.ndarray] = {}
+
+        params = rep_sub.params
+        seq = list(rep.direct_vars) + [v for _ in range(params.gibbs_iters)
+                                       for v in rep.iter_vars]
+        local = {v: i for i, v in enumerate(var_order)}
+
+        # per-round templates from the representative
+        for var in seq:
+            li = local[var]
+            fs = _canonical_factors(rep_sub, var)
+            if not fs:
+                continue
+            specs, masks, models_stacked, nested = [], [], [], []
+            manifold = rep_sub.var(var).manifold
+            for f in fs:
+                spec = make_conv_spec(rep_sub, f, var)
+                specs.append(spec)
+                masks.append(static_dim_mask(manifold, spec.partial_dims))
+                # stack this factor's model across members (same label
+                # exists in every isomorphic sub by construction)
+                models_stacked.append(jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[subs[m.cid].factor(_match_factor(subs[m.cid],
+                                                       m, rep, f)).model
+                      for m in members]))
+                nested.append(tuple(store[local[v]] for v in f.variables))
+            fn = _fused_fn_batched(manifold, tuple(specs), tuple(masks),
+                                   rep_sub.var(var).N)
+            keys = jax.random.split(fg.next_key(), B)
+            pts, bw = fn(tuple(models_stacked), tuple(nested), store[li],
+                         keys)
+            store[li] = pts
+            bw_out[li] = bw
+            ipc_out[li] = _ipc_of(tuple(masks))
+
+        # unstack once: write every member's beliefs back
+        for b, m in enumerate(members):
+            sub = subs[m.cid]
+            for i, vname_rep in enumerate(var_order):
+                if i not in bw_out:
+                    continue
+                var_name = m.all_vars[i]
+                sub.set_belief(var_name, store[i][b], solve_key=solve_key,
+                               bw=bw_out[i][b], ipc=ipc_out[i])
+
+
+def _match_factor(sub: FactorGraph, member: Clique, rep: Clique, rep_factor):
+    """Map a representative clique's factor to the member's corresponding
+    factor via local variable positions."""
+    local_rep = {v: i for i, v in enumerate(rep.all_vars)}
+    want = tuple(local_rep[v] for v in rep_factor.variables
+                 if v in local_rep)
+    want_type = type(rep_factor.model).__name__
+    local_mem = {v: i for i, v in enumerate(member.all_vars)}
+    for fl in sub.lsf():
+        f = sub.factor(fl)
+        if type(f.model).__name__ != want_type:
+            continue
+        got = tuple(local_mem[v] for v in f.variables if v in local_mem)
+        if got == want and (f.multihypo or ()) == \
+                (rep_factor.multihypo or ()) and \
+                f.nullhypo == rep_factor.nullhypo:
+            return fl
+    raise KeyError(f"no isomorphic factor for {rep_factor.label}")

@@ -292,3 +292,22 @@ def test_precompile_option():
     assert tree.num_cliques() >= 1
     from incrementalinference.jl_tpu.parallel import precompile_updates
     assert precompile_updates(fg, tree) >= 1
+
+
+def test_auto_batched_wide_level():
+    """'auto' clique batching fires on wide levels and matches per-branch
+    ground truth (stacked-store lock-step executor)."""
+    from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                             Normal, Prior, initfg)
+    from incrementalinference.jl_tpu.config import SolverParams
+    fg = initfg(SolverParams(batch_cliques="auto", batch_min_width=4))
+    for b in range(12):
+        fg.add_variable(f"b{b}x0", ContinuousScalar)
+        fg.add_factor([f"b{b}x0"], Prior(Normal(float(10 * b), 0.3)))
+        fg.add_variable(f"b{b}x1", ContinuousScalar)
+        fg.add_factor([f"b{b}x0", f"b{b}x1"],
+                      LinearRelative(Normal(1.0, 0.3)))
+    solve_tree(fg)
+    for b in range(12):
+        m = float(np.asarray(fg.points(f"b{b}x1")).mean())
+        assert abs(m - (10 * b + 1)) < 1.5, (b, m)

@@ -65,6 +65,31 @@ def extra_metrics():
     print(f"# linestep100 parametric batch: {time.time() - t0:.2f}s",
           file=sys.stderr)
 
+    # clique-solves/s on one chip (the BASELINE.json north-star unit):
+    # a wide 64-branch forest = 128 clique solves per full sweep pair
+    from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                             Normal, Prior, initfg)
+    from incrementalinference.jl_tpu.config import SolverParams
+
+    def wide(params):
+        fg = initfg(params)
+        for b in range(64):
+            fg.add_variable(f"b{b}x0", ContinuousScalar)
+            fg.add_factor([f"b{b}x0"], Prior(Normal(float(b), 0.5)))
+            fg.add_variable(f"b{b}x1", ContinuousScalar)
+            fg.add_factor([f"b{b}x0", f"b{b}x1"],
+                          LinearRelative(Normal(1.0, 0.5)))
+        return fg
+
+    pr = SolverParams(batch_cliques="auto")
+    tree = solve_tree(wide(pr))                     # warm
+    t0 = time.time()
+    tree = solve_tree(wide(pr))
+    dt = time.time() - t0
+    nsolves = 2 * tree.num_cliques()                # up + down
+    print(f"# clique-solves/s (1 chip, wide64): {nsolves / dt:.0f}",
+          file=sys.stderr)
+
 
 def main():
     dev = jax.devices()[0]

@@ -110,6 +110,12 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
 
     import os as _os
 
+    if mesh is not None and getattr(params, "batch_cliques", False):
+        # stacked clique batching eagerly stacks particle arrays, which
+        # aborts on multi-device-sharded inputs — sequential sweeps under
+        # a mesh (the particle axis is already data-parallel there)
+        fg.params = params = params.replace(batch_cliques=False)
+
     do_up = params.upsolve if up is None else up
     do_down = params.downsolve if down is None else down
     traces = solve_tree_sweeps(fg, tree, solve_key=solve_key,

@@ -40,3 +40,19 @@ def test_different_seed_differs():
     b = generate_kaess(graphinit=True, params=SolverParams(seed=2))
     assert not np.array_equal(np.asarray(a.points("x1")),
                               np.asarray(b.points("x1")))
+
+
+def test_fourdoor_collapse_across_seeds():
+    """Mode collapse is not a lucky seed: with 3 different seeds the second
+    sighting kills the {100, 300} modes and the third pins x1≈0."""
+    from incrementalinference.jl_tpu import solve_tree
+    from incrementalinference.jl_tpu.config import SolverParams
+    for seed in (7, 21, 99):
+        fg, steps = fourdoor_sequence(SolverParams(seed=seed))
+        tree = None
+        for s in steps:
+            s()
+            tree = solve_tree(fg, old_tree=tree)
+        p = np.asarray(fg.points("x1")[:, 0])
+        assert abs(p.mean()) < 15.0, (seed, p.mean())
+        assert np.mean(np.abs(p) < 20.0) > 0.75, seed

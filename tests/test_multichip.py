@@ -82,3 +82,25 @@ def test_sharded_tree_solve_end_to_end():
     p3 = np.asarray(fg.points("x3")[:, 0])
     m3 = np.mean(np.abs(p3 - 0) < 20) + np.mean(np.abs(p3 - 100) < 20)
     assert m3 > 0.7, m3
+
+
+def test_sharded_solve_wide_graph_no_abort():
+    """Particle-sharded solve of a wide graph: clique batching must yield
+    to the mesh path (eager stacking of sharded arrays aborts XLA:CPU)."""
+    import numpy as np
+    from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                             Normal, Prior, initfg, solve_tree)
+    from incrementalinference.jl_tpu.config import SolverParams
+    from incrementalinference.jl_tpu.parallel.mesh import make_mesh
+
+    fg = initfg(SolverParams(N=128, batch_cliques="auto", batch_min_width=2))
+    for b in range(6):
+        fg.add_variable(f"b{b}x0", ContinuousScalar)
+        fg.add_factor([f"b{b}x0"], Prior(Normal(float(b), 0.5)))
+        fg.add_variable(f"b{b}x1", ContinuousScalar)
+        fg.add_factor([f"b{b}x0", f"b{b}x1"],
+                      LinearRelative(Normal(1.0, 0.5)))
+    solve_tree(fg, mesh=make_mesh(8))
+    for b in range(6):
+        m = float(np.asarray(fg.points(f"b{b}x1")).mean())
+        assert abs(m - (b + 1)) < 1.5, (b, m)

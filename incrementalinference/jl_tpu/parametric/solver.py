@@ -349,11 +349,13 @@ def _solve_step(prob: "ParametricProblem", x: jnp.ndarray, p0s: jnp.ndarray,
 def _cov_step(prob: "ParametricProblem", p0s: jnp.ndarray):
     zero = jnp.zeros((prob.total_dof,))
     _, J = prob.res_jac(zero, p0s)
-    Jf = J[:, prob.free_idx]
+    S = jax.nn.one_hot(prob.free_idx, prob.total_dof, dtype=J.dtype)
+    Jf = J @ S.T
     H = Jf.T @ Jf
     cov_free = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
-    cov = jnp.zeros((prob.total_dof, prob.total_dof))
-    return cov.at[jnp.ix_(prob.free_idx, prob.free_idx)].set(cov_free)
+    # place the free block by one-hot matmuls — a 2-D scatter here costs
+    # minutes of TPU compile time (same pathology as the jacobian assembly)
+    return S.T @ cov_free @ S
 
 
 def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s: jnp.ndarray,
@@ -362,6 +364,9 @@ def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s: jnp.ndarray,
     Manopt.LevenbergMarquardt! role, ParametricManopt.jl:307-377)."""
 
     free = prob.free_idx
+    # one-hot selector: scatters/gathers by index arrays compile
+    # pathologically on TPU — matmul forms replace them throughout
+    S = jax.nn.one_hot(free, prob.total_dof)          # (f, D)
 
     def cost(x):
         r = prob.residuals(x, p0s)
@@ -370,12 +375,12 @@ def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s: jnp.ndarray,
     def body(carry):
         x, lam, c, it, done = carry
         r, J = prob.res_jac(x, p0s)
-        Jf = J[:, free]
+        Jf = J @ S.T
         g = Jf.T @ r
         H = Jf.T @ Jf
         step = jnp.linalg.solve(
             H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8)), g)
-        x_new = x.at[free].add(-step)
+        x_new = x - step @ S
         c_new = cost(x_new)
         improve = c_new < c
         x = jnp.where(improve, x_new, x)

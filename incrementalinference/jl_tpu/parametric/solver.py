@@ -80,7 +80,9 @@ class ParametricProblem:
         for v in frozen:
             i = self.slot[v]
             free[self.offsets[i]:self.offsets[i + 1]] = False
-        self.free_idx = jnp.asarray(np.nonzero(free)[0])
+        # kept as host numpy: inside jit these become CONSTANT index arrays
+        # (traced-index gathers compile pathologically on TPU)
+        self.free_idx = np.nonzero(free)[0]
 
         # linearization points: parametric point > belief mean > identity
         p0 = []
@@ -121,11 +123,11 @@ class ParametricProblem:
             models = jax.tree.map(lambda *xs: jnp.stack(xs), *[f.model for f in fs]) \
                 if len(fs) > 1 else jax.tree.map(lambda x: jnp.asarray(x)[None], fs[0].model)
             slots_py = [[self.slot[v] for v in f.variables] for f in fs]
-            slots = jnp.asarray(slots_py, jnp.int32)
+            slots = np.asarray(slots_py, np.int32)
             ptdims = tuple(self.manifolds[s].point_dim for s in slots_py[0])
             tdofs = tuple(self.manifolds[s].dof for s in slots_py[0])
             arg_manifolds = tuple(self.manifolds[s] for s in slots_py[0])
-            col_ids = jnp.asarray([
+            col_ids = np.asarray([
                 np.concatenate([np.arange(self.offsets[s],
                                           self.offsets[s] + self.dofs[s])
                                 for s in srow]).astype(np.int32)
@@ -294,14 +296,19 @@ class ParametricProblem:
 # ---------------------------------------------------------------------------
 
 def _group_flatten(g: _Group):
-    return ((g.models, g.meas, g.sqrt_inv, g.var_slots, g.col_ids, g.mix),
-            (g.ptdims, g.tdofs, g.arg_manifolds, g.row_base))
+    return ((g.models, g.meas, g.sqrt_inv, g.mix),
+            (g.ptdims, g.tdofs, g.arg_manifolds, g.row_base,
+             tuple(map(tuple, np.asarray(g.var_slots))),
+             tuple(map(tuple, np.asarray(g.col_ids)))))
 
 
 def _group_unflatten(aux, ch):
     g = object.__new__(_Group)
-    g.models, g.meas, g.sqrt_inv, g.var_slots, g.col_ids, g.mix = ch
-    g.ptdims, g.tdofs, g.arg_manifolds, g.row_base = aux
+    g.models, g.meas, g.sqrt_inv, g.mix = ch
+    (g.ptdims, g.tdofs, g.arg_manifolds, g.row_base,
+     slots, cols) = aux
+    g.var_slots = np.asarray(slots, np.int32)
+    g.col_ids = np.asarray(cols, np.int32)
     return g
 
 
@@ -309,18 +316,19 @@ jax.tree_util.register_pytree_node(_Group, _group_flatten, _group_unflatten)
 
 
 def _prob_flatten(p: "ParametricProblem"):
-    children = (p.groups, p.p0, p.free_idx)
+    children = (p.groups, p.p0)
     aux = (p.manifolds if isinstance(p.manifolds, tuple)
            else tuple(p.manifolds),
            tuple(p.dofs), tuple(int(o) for o in p.offsets), p.total_dof,
-           p.n_residuals)
+           p.n_residuals, tuple(int(i) for i in p.free_idx))
     return children, aux
 
 
 def _prob_unflatten(aux, ch):
     p = object.__new__(ParametricProblem)
-    p.groups, p.p0, p.free_idx = ch
-    manifolds, dofs, offsets, total_dof, n_res = aux
+    p.groups, p.p0 = ch
+    manifolds, dofs, offsets, total_dof, n_res, free = aux
+    p.free_idx = np.asarray(free, np.int64)
     p.manifolds = list(manifolds)
     p.dofs = list(dofs)
     p.offsets = np.asarray(offsets)

@@ -81,14 +81,16 @@ def extra_metrics():
                           LinearRelative(Normal(1.0, 0.5)))
         return fg
 
-    pr = SolverParams(batch_cliques="auto")
+    # sequential path: bounded compile footprint (the stacked B=64 kernel
+    # is a multi-minute one-time compile; measure it offline instead)
+    pr = SolverParams(batch_cliques=False)
     tree = solve_tree(wide(pr))                     # warm
     t0 = time.time()
     tree = solve_tree(wide(pr))
     dt = time.time() - t0
     nsolves = 2 * tree.num_cliques()                # up + down
-    print(f"# clique-solves/s (1 chip, wide64): {nsolves / dt:.0f}",
-          file=sys.stderr)
+    print(f"# clique-solves/s (1 chip, wide64 sequential): "
+          f"{nsolves / dt:.0f}", file=sys.stderr)
 
 
 def main():
@@ -102,17 +104,19 @@ def main():
     val = min(times)
     print(f"# solves: {['%.2f' % t for t in times]}", file=sys.stderr)
 
-    try:
-        extra_metrics()
-    except Exception as e:                  # extras never break the headline
-        print(f"# extra metrics failed: {e}", file=sys.stderr)
-
+    # headline FIRST: the driver must get its JSON line even if the
+    # slower extras (which may recompile) run into a timeout
     print(json.dumps({
         "metric": "linestep20_mmisam_solve_wall",
         "value": round(val, 3),
         "unit": "s",
         "vs_baseline": round(90.0 / max(val, 1e-9), 2),
-    }))
+    }), flush=True)
+
+    try:
+        extra_metrics()
+    except Exception as e:                  # extras never break the headline
+        print(f"# extra metrics failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -114,10 +114,14 @@ def kde_logpdf(manifold: Manifold, belief: Belief,
 
 
 def kde_sample(manifold: Manifold, belief: Belief, key, n: int) -> jnp.ndarray:
-    """Draw n samples from the KDE (uniform kernel choice + tangent noise)."""
+    """Draw n samples from the KDE (uniform kernel choice + tangent noise).
+    Kernel selection is a one-hot matmul — data-dependent gathers compile
+    pathologically on the TPU backend."""
     kidx, knoise = jax.random.split(key)
     idx = jax.random.randint(kidx, (n,), 0, belief.points.shape[0])
-    centers = belief.points[idx]
+    sel = jax.nn.one_hot(idx, belief.points.shape[0],
+                         dtype=belief.points.dtype)
+    centers = sel @ belief.points
     X = belief.bw * jax.random.normal(knoise, (n, belief.bw.shape[-1]))
     return manifold.exp(centers, X)
 

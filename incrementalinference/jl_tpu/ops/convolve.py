@@ -211,13 +211,15 @@ def eval_factor_core(manifold: Manifold, model, key,
         from .hypo import parse_multihypo
         _, uncertain, _ = parse_multihypo(spec.multihypo)
         cand = jnp.stack([var_points[i] for i in uncertain])  # (U, n, pd_u)
-        # remap factor-var gather ids → positions in the candidate stack
+        # remap factor-var gather ids → positions in the candidate stack,
+        # then select via one-hot (data-dependent gathers compile
+        # pathologically on TPU)
         lookup = [0] * nvars
         for pos, i in enumerate(uncertain):
             lookup[i] = pos
-        gidx = jnp.asarray(lookup, jnp.int32)[masks.gather_idx]
-        gathered = jnp.take_along_axis(
-            cand, gidx[None, :, None], axis=0)[0]
+        gidx = jnp.asarray(lookup, jnp.int32)[masks.gather_idx]   # (n,)
+        sel = jax.nn.one_hot(gidx, len(uncertain), dtype=cand.dtype)
+        gathered = jnp.einsum("nu,unp->np", sel, cand)
         mech_points = []
         for slot, fvidx in enumerate(masks.mech_vars):
             if slot == masks.uncertain_slot and fvidx != sfidx:

@@ -104,10 +104,14 @@ def pair_product_tangent(muA: jnp.ndarray, precA: jnp.ndarray,
     k_row, k_col = jax.random.split(key)
     row_ls = jax.scipy.special.logsumexp(logW, axis=1)      # (Na,)
     ia = jax.random.categorical(k_row, row_ls, shape=(n_out,))
-    ib = jax.random.categorical(k_col, logW[ia], axis=-1)   # (n_out,)
+    # all index selections as one-hot matmuls: data-dependent gathers
+    # compile pathologically on the TPU backend
+    selA = jax.nn.one_hot(ia, na, dtype=muA.dtype)          # (n_out, Na)
+    ib = jax.random.categorical(k_col, selA @ logW, axis=-1)
+    selB = jax.nn.one_hot(ib, nb, dtype=muB.dtype)
 
-    sA, sB = muA[ia], muB[ib]
-    qA, qB = precA[ia], precB[ib]
+    sA, sB = selA @ muA, selB @ muB
+    qA, qB = selA @ precA, selB @ precB
     prec = qA + qB
     mu = jnp.where(prec > 0, (qA * sA + qB * sB) /
                    jnp.maximum(prec, 1e-30), 0.0)
@@ -124,9 +128,11 @@ def product_cascade_tangent(tangs, precs, key, n_out: int):
     keys = jax.random.split(key, len(tangs))
     mu, prec = tangs[0], precs[0]
     if mu.shape[0] != n_out and len(tangs) == 1:
-        # single density: subsample kernels uniformly
-        sel = jax.random.randint(keys[0], (n_out,), 0, mu.shape[0])
-        mu, prec = mu[sel], prec[sel]
+        # single density: subsample kernels uniformly (one-hot matmul)
+        sel = jax.nn.one_hot(
+            jax.random.randint(keys[0], (n_out,), 0, mu.shape[0]),
+            mu.shape[0], dtype=mu.dtype)
+        mu, prec = sel @ mu, sel @ prec
     for j in range(1, len(tangs)):
         mu, prec = pair_product_tangent(mu, prec, tangs[j], precs[j],
                                         keys[j], n_out)

@@ -128,3 +128,24 @@ def test_se2_multihypo_landmark_association():
     # landmarks stay pinned
     la = np.asarray(fg.points("la"))
     assert np.linalg.norm(la.mean(0) - [10.0, 0.0]) < 1.0
+
+
+def test_hexagonal_nonparam_vs_parametric():
+    """SE(2) hexagonal: the nonparametric posterior means must sit near the
+    parametric optimum (cross-validation of the conv+product stack on a
+    curved manifold with a loop closure)."""
+    from incrementalinference.jl_tpu import solve_tree
+    from incrementalinference.jl_tpu.canonical import generate_hexagonal
+    from incrementalinference.jl_tpu.parametric import solve_graph_parametric
+
+    fg = generate_hexagonal(graphinit=True)
+    solve_tree(fg)
+    fg2 = generate_hexagonal(graphinit=True)
+    solve_graph_parametric(fg2)
+
+    se2 = fg.var("x3").manifold
+    for v in ("x1", "x3", "x6"):
+        mu_np = fg.var(v).manifold.mean(fg.points(v))
+        mu_p = fg2.var(v).parametric_point
+        d = float(se2.dist(mu_np, mu_p))
+        assert d < 1.5, (v, d, np.asarray(mu_np), np.asarray(mu_p))

@@ -37,5 +37,7 @@ from .parametric import (autoinit_parametric, solve_conditionals_parametric,
                          solve_graph_parametric)
 from .serialization import load_graph, load_tree, save_graph, save_tree
 from .tether import accumulate_factor_means, solve_factor_parametric
+from .utils import (compare_beliefs, compare_graphs, compare_variables,
+                    select_factor_type)
 
 __version__ = "0.1.0"

@@ -71,3 +71,38 @@ def test_factor_arity_mismatch_errors():
     fg.add_variable("a", ContinuousScalar)
     with pytest.raises(ValueError):
         fg.add_factor(["a"], Prior(Normal(0, 1)), multihypo=[1.0, 0.5])
+
+
+def test_graph_without_priors_manual_anchor():
+    """Relative-only graphs have gauge freedom (reference testHasPriors913):
+    nothing auto-inits until an anchor is supplied; manual init of one
+    variable lets the rest chain."""
+    from incrementalinference.jl_tpu.graphinit import init_variable
+    fg = initfg()
+    fg.add_variable("a", ContinuousScalar)
+    fg.add_variable("b", ContinuousScalar)
+    fg.add_factor(["a", "b"], LinearRelative(Normal(10.0, 0.5)))
+    assert not fg.var("a").is_initialized()
+    assert not fg.var("b").is_initialized()
+    # anchor a by hand; the solve (incl. init cycles) completes
+    init_variable(fg, "a", Normal(0.0, 0.5))
+    solve_tree(fg)
+    assert fg.var("b").is_initialized()
+    assert abs(float(np.asarray(fg.points("b")).mean()) - 10.0) < 2.0
+
+
+def test_mixed_particle_counts():
+    """Variables with different N solve together (reference
+    testVariousNSolveSize): convolutions tile to the max count."""
+    fg = initfg()
+    fg.add_variable("a", ContinuousScalar, N=60)
+    fg.add_factor(["a"], Prior(Normal(0.0, 1.0)))
+    fg.add_variable("b", ContinuousScalar, N=100)
+    fg.add_factor(["a", "b"], LinearRelative(Normal(10.0, 1.0)))
+    fg.add_variable("c", ContinuousScalar, N=40)
+    fg.add_factor(["b", "c"], LinearRelative(Normal(10.0, 1.0)))
+    solve_tree(fg)
+    assert fg.points("a").shape[0] == 60
+    assert fg.points("b").shape[0] == 100
+    assert fg.points("c").shape[0] == 40
+    assert abs(float(np.asarray(fg.points("c")).mean()) - 20.0) < 3.0

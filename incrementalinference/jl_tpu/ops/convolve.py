@@ -142,6 +142,7 @@ def make_conv_spec(fg, factor, solvefor: str, inflate: bool = True) -> ConvSpec:
     params = fg.params
     model = factor.model
     linear = getattr(model, "linear_residual", False)
+    quasi = getattr(model, "quasi_linear_residual", False)
     return ConvSpec(
         is_prior=factor.is_prior,
         sfidx=factor.variables.index(solvefor),
@@ -149,7 +150,7 @@ def make_conv_spec(fg, factor, solvefor: str, inflate: bool = True) -> ConvSpec:
         partial_dims=getattr(model, "partial", None),
         multihypo=factor.multihypo,
         nullhypo=factor.nullhypo,
-        iters=3 if linear else params.conv_iters,
+        iters=3 if linear else (8 if quasi else params.conv_iters),
         cycles=params.inflate_cycles if inflate else 1,
         inflation=params.inflation if inflate else 0.0,
         spread_nh=params.spread_nh,

@@ -63,3 +63,28 @@ def test_nullhypo_through_tree():
     # main mode at 10 with ≥60% of mass; spread beyond it allowed
     assert np.mean(np.abs(p - 10.0) < 5.0) > 0.6
     assert np.all(np.isfinite(p))
+
+
+def test_multihypo_with_odometry_chain():
+    """Multihypo association hanging off an odometry chain (reference
+    testMultihypoAndChain.jl): chain poses stay unimodal; the ambiguous
+    landmark sighting resolves against the two known landmarks."""
+    fg = initfg(SolverParams(N=150))
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.3)))
+    for i in (1, 2):
+        fg.add_variable(f"x{i}", ContinuousScalar)
+        fg.add_factor([f"x{i-1}", f"x{i}"], LinearRelative(Normal(5.0, 0.3)))
+    for lbl, c in (("la", 14.0), ("lb", 26.0)):
+        fg.add_variable(lbl, ContinuousScalar)
+        fg.add_factor([lbl], Prior(Normal(c, 0.1)))
+    # from x2 (=10) we see a landmark 4 ahead: la (14) fits, lb (26) doesn't
+    fg.add_factor(["x2", "la", "lb"], LinearRelative(Normal(4.0, 0.5)),
+                  multihypo=[1.0, 0.5, 0.5])
+    solve_tree(fg)
+    for i, c in ((0, 0.0), (1, 5.0), (2, 10.0)):
+        p = np.asarray(fg.points(f"x{i}")[:, 0])
+        assert np.mean(np.abs(p - c) < 3.0) > 0.7, (i, p.mean())
+    # landmarks stay pinned by their tight priors
+    assert _mass(fg, "la", 14.0, 1.0) > 0.9
+    assert _mass(fg, "lb", 26.0, 1.0) > 0.9

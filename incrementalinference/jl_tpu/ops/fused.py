@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..beliefs import loo_bandwidth
 from ..manifolds import Manifold
 from .convolve import ConvSpec, eval_factor_core
-from .product import pair_product_tangent
+from .product import (LARGE_PAIR_THRESHOLD, pair_product_tangent,
+                      pair_product_tangent_large)
 
 __all__ = ["fused_variable_update", "fused_variable_update_batched",
            "product_traceable"]
@@ -56,8 +57,12 @@ def product_traceable(manifold: Manifold, pts_list, bw_list,
         sel = jax.random.randint(keys[0], (n_out,), 0, mu.shape[0])
         mu, prec = mu[sel], prec[sel]
     for j in range(1, D):
-        mu, prec = pair_product_tangent(mu, prec, mus[j], precs[j],
-                                        keys[j], n_out)
+        if mu.shape[0] * mus[j].shape[0] >= LARGE_PAIR_THRESHOLD:
+            mu, prec = pair_product_tangent_large(mu, prec, mus[j],
+                                                  precs[j], keys[j], n_out)
+        else:
+            mu, prec = pair_product_tangent(mu, prec, mus[j], precs[j],
+                                            keys[j], n_out)
     noise = jax.random.normal(keys[-1], mu.shape) / \
         jnp.sqrt(jnp.maximum(prec, 1e-30))
     samples = jnp.where(prec > 0, mu + noise, 0.0)

@@ -134,8 +134,12 @@ def product_cascade_tangent(tangs, precs, key, n_out: int):
             mu.shape[0], dtype=mu.dtype)
         mu, prec = sel @ mu, sel @ prec
     for j in range(1, len(tangs)):
-        mu, prec = pair_product_tangent(mu, prec, tangs[j], precs[j],
-                                        keys[j], n_out)
+        if mu.shape[0] * tangs[j].shape[0] >= LARGE_PAIR_THRESHOLD:
+            mu, prec = pair_product_tangent_large(mu, prec, tangs[j],
+                                                  precs[j], keys[j], n_out)
+        else:
+            mu, prec = pair_product_tangent(mu, prec, tangs[j], precs[j],
+                                            keys[j], n_out)
     # final: one draw inside each selected product component
     noise = jax.random.normal(keys[0], mu.shape) / \
         jnp.sqrt(jnp.maximum(prec, 1e-30))
@@ -181,3 +185,37 @@ def manifold_product(manifold: Manifold, proposals: Sequence[Proposal],
             old_t = manifold.log(ref[None, :], old_points[:n_out])
             samples = jnp.where(unconstrained[None, :], old_t, samples)
     return manifold.exp(jnp.broadcast_to(ref, (n_out,) + ref.shape), samples)
+
+
+# threshold above which the pairwise weight matrix stops being materialized
+LARGE_PAIR_THRESHOLD = 1 << 21          # Na*Nb entries (~2M → 8 MB fp32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
+def pair_product_tangent_large(muA: jnp.ndarray, precA: jnp.ndarray,
+                               muB: jnp.ndarray, precB: jnp.ndarray,
+                               key, n_out: int, interpret: bool = False):
+    """Large-N exact pair product that never materializes the (Na, Nb)
+    weight matrix: row log-partitions stream through the Pallas kernel
+    (ops/kernels/pallas_product.py), then only the ``n_out`` selected rows'
+    weights are rebuilt for the column draw — O(Na·dof + n_out·Nb) memory.
+    """
+    from .kernels.pallas_product import pair_row_logsumexp
+
+    row_ls = pair_row_logsumexp(muA, precA, muB, precB,
+                                interpret=interpret)        # (Na,)
+    k_row, k_col = jax.random.split(key)
+    ia = jax.random.categorical(k_row, row_ls, shape=(n_out,))
+    selA = jax.nn.one_hot(ia, muA.shape[0], dtype=muA.dtype)
+    muA_s = selA @ muA
+    precA_s = selA @ precA
+    logW_rows = _pair_logW(muA_s, precA_s, muB, precB)      # (n_out, Nb)
+    ib = jax.random.categorical(k_col, logW_rows, axis=-1)
+    selB = jax.nn.one_hot(ib, muB.shape[0], dtype=muB.dtype)
+
+    sB = selB @ muB
+    qB = selB @ precB
+    prec = precA_s + qB
+    mu = jnp.where(prec > 0, (precA_s * muA_s + qB * sB) /
+                   jnp.maximum(prec, 1e-30), 0.0)
+    return mu, prec

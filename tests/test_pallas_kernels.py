@@ -31,3 +31,28 @@ def test_partial_dims_zero_precision():
         _pair_logW(muA, precA, muB, precB), axis=1)
     got = pair_row_logsumexp(muA, precA, muB, precB, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_large_pair_product_matches_small_path():
+    """The Pallas-backed large-N pair product agrees statistically with the
+    materialized path."""
+    from incrementalinference.jl_tpu.ops.product import (
+        pair_product_tangent, pair_product_tangent_large)
+
+    key = jax.random.PRNGKey(3)
+    muA = jnp.concatenate([jax.random.normal(key, (100, 2)),
+                           10.0 + jax.random.normal(jax.random.PRNGKey(4),
+                                                    (100, 2))])
+    muB = muA + 0.1
+    precA = jnp.ones((200, 2)) * 4.0
+    precB = jnp.ones((200, 2)) * 4.0
+    mu1, p1 = pair_product_tangent(muA, precA, muB, precB,
+                                   jax.random.PRNGKey(5), 400)
+    mu2, p2 = pair_product_tangent_large(muA, precA, muB, precB,
+                                         jax.random.PRNGKey(5), 400,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+    # both bimodal with similar mass split
+    for mu in (mu1, mu2):
+        m0 = float(jnp.mean(jnp.linalg.norm(mu, axis=1) < 5))
+        assert 0.25 < m0 < 0.75, m0

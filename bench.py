@@ -37,6 +37,9 @@ def run_once():
     fg = generate_line_step(20, graphinit=True)
     t0 = time.time()
     solve_tree(fg)
+    # block on device completion — dispatch is async and host-side wall
+    # alone would under-measure
+    jax.block_until_ready([fg.points(v) for v in fg.ls()])
     return time.time() - t0
 
 

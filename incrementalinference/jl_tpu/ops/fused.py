@@ -58,8 +58,9 @@ def product_traceable(manifold: Manifold, pts_list, bw_list,
         mu, prec = mu[sel], prec[sel]
     for j in range(1, D):
         if mu.shape[0] * mus[j].shape[0] >= LARGE_PAIR_THRESHOLD:
-            mu, prec = pair_product_tangent_large(mu, prec, mus[j],
-                                                  precs[j], keys[j], n_out)
+            mu, prec = pair_product_tangent_large(
+                mu, prec, mus[j], precs[j], keys[j], n_out,
+                interpret=jax.default_backend() == "cpu")
         else:
             mu, prec = pair_product_tangent(mu, prec, mus[j], precs[j],
                                             keys[j], n_out)

@@ -76,6 +76,13 @@ def row_logsumexp_pallas(a2, iva, ivmuA, muB, tm: int = 128, tn: int = 512,
         ivmuA = jnp.pad(ivmuA, ((0, pad_a), (0, 0)))
     pad_b = (-nb) % tn
     muBp = jnp.pad(muB, ((0, pad_b), (0, 0)))
+    # pad the feature (lane) dimension to the TPU lane width: sub-128 last
+    # dims mis-tile in compiled mode (zeros don't change the products)
+    pad_d = (-iva.shape[1]) % 128
+    if pad_d:
+        iva = jnp.pad(iva, ((0, 0), (0, pad_d)))
+        ivmuA = jnp.pad(ivmuA, ((0, 0), (0, pad_d)))
+        muBp = jnp.pad(muBp, ((0, 0), (0, pad_d)))
     muB2 = muBp * muBp
 
     grid = (a2.shape[0] // tm,)

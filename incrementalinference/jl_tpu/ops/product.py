@@ -135,8 +135,9 @@ def product_cascade_tangent(tangs, precs, key, n_out: int):
         mu, prec = sel @ mu, sel @ prec
     for j in range(1, len(tangs)):
         if mu.shape[0] * tangs[j].shape[0] >= LARGE_PAIR_THRESHOLD:
-            mu, prec = pair_product_tangent_large(mu, prec, tangs[j],
-                                                  precs[j], keys[j], n_out)
+            mu, prec = pair_product_tangent_large(
+                mu, prec, tangs[j], precs[j], keys[j], n_out,
+                interpret=jax.default_backend() == "cpu")
         else:
             mu, prec = pair_product_tangent(mu, prec, tangs[j], precs[j],
                                             keys[j], n_out)
@@ -187,8 +188,14 @@ def manifold_product(manifold: Manifold, proposals: Sequence[Proposal],
     return manifold.exp(jnp.broadcast_to(ref, (n_out,) + ref.shape), samples)
 
 
-# threshold above which the pairwise weight matrix stops being materialized
-LARGE_PAIR_THRESHOLD = 1 << 21          # Na*Nb entries (~2M → 8 MB fp32)
+# Threshold above which the pairwise weight matrix stops being materialized
+# and the Pallas streaming kernel takes over.  Effectively disabled by
+# default: the compiled kernel currently misbehaves/hangs at small feature
+# dims on real TPU hardware (interpret mode is correct — see
+# tests/test_pallas_kernels.py); the materialized matmul path is correct
+# everywhere and only becomes memory-bound beyond ~32k particles
+# (32k² × 4 B = 4 GB).  Lower this to opt in once the kernel is hardened.
+LARGE_PAIR_THRESHOLD = 1 << 31
 
 
 @functools.partial(jax.jit, static_argnames=("n_out", "interpret"))

@@ -64,8 +64,8 @@ def extra_metrics():
           file=sys.stderr)
 
     t0 = time.time()
-    solve_graph_parametric(generate_line_step(100, graphinit=False))
-    print(f"# linestep100 parametric batch: {time.time() - t0:.2f}s",
+    solve_graph_parametric(generate_line_step(30, graphinit=False))
+    print(f"# linestep30 parametric batch: {time.time() - t0:.2f}s",
           file=sys.stderr)
 
     # clique-solves/s on one chip (the BASELINE.json north-star unit):
@@ -76,7 +76,7 @@ def extra_metrics():
 
     def wide(params):
         fg = initfg(params)
-        for b in range(64):
+        for b in range(32):
             fg.add_variable(f"b{b}x0", ContinuousScalar)
             fg.add_factor([f"b{b}x0"], Prior(Normal(float(b), 0.5)))
             fg.add_variable(f"b{b}x1", ContinuousScalar)
@@ -92,7 +92,7 @@ def extra_metrics():
     tree = solve_tree(wide(pr))
     dt = time.time() - t0
     nsolves = 2 * tree.num_cliques()                # up + down
-    print(f"# clique-solves/s (1 chip, wide64 sequential): "
+    print(f"# clique-solves/s (1 chip, wide32 sequential): "
           f"{nsolves / dt:.0f}", file=sys.stderr)
 
 

@@ -80,6 +80,12 @@ class SolverParams:
     # the sequential sweep.
     batch_cliques: object = "auto"
     batch_min_width: int = 8
+    # iSAM2-style wildfire gate for incremental down-solves: a recycled
+    # (UPRECYCLED) clique skips its down-solve when the incoming down
+    # message moved less than ``wildfire_tol`` bandwidth-normalized units
+    # since the previous solve (0.0 = off, always re-derive — the
+    # reference's behavior, CliqueStateMachine.jl down states).
+    wildfire_tol: float = 0.0
 
     def replace(self, **kw: Any) -> "SolverParams":
         return dataclasses.replace(self, **kw)

@@ -17,7 +17,8 @@ __all__ = ["factor_can_init", "doautoinit", "init_variable", "init_all",
            "reset_initial_values", "ensure_solvable"]
 
 
-def factor_can_init(fg, factor_label: str, target: str) -> bool:
+def factor_can_init(fg, factor_label: str, target: str,
+                    solve_key: str = "default") -> bool:
     """Can ``factor`` contribute an init proposal for ``target``?  All other
     connected variables must already be initialized (reference
     factorCanInitFromOtherVars, GraphInit.jl:61-114; multihypo carve-out:
@@ -31,7 +32,7 @@ def factor_can_init(fg, factor_label: str, target: str) -> bool:
     for i, vl in enumerate(f.variables):
         if vl == target:
             continue
-        if fg.var(vl).is_initialized():
+        if fg.var(vl).is_initialized(solve_key):
             continue
         # multihypo carve-out: uninitialized *uncertain* siblings are allowed
         if f.multihypo is not None and f.multihypo[i] < 1.0 - 1e-9:
@@ -47,7 +48,7 @@ def doautoinit(fg, label: str, solve_key: str = "default") -> bool:
     if v.is_initialized(solve_key):
         return True
     usable = [fl for fl in fg.factors_of(label)
-              if factor_can_init(fg, fl, label)]
+              if factor_can_init(fg, fl, label, solve_key)]
     if not usable:
         return False
     belief, ipc = propagate_belief(fg, label, usable, solve_key=solve_key)

@@ -77,7 +77,8 @@ def delete_msg_factors(subfg, labels: List[str] | None = None) -> None:
                 subfg._var_factors[vl].remove(fl)
 
 
-def prep_msg_up(subfg, clique, status: CliqStatus) -> LikelihoodMessage:
+def prep_msg_up(subfg, clique, status: CliqStatus,
+                solve_key: str = "default") -> LikelihoodMessage:
     """Separator beliefs → up message; with ``use_msg_likelihoods`` also
     attach differential likelihoods between consecutive separator variables
     (reference prepCliqueMsgUp + addLikelihoodsDifferentialCHILD!,
@@ -86,7 +87,7 @@ def prep_msg_up(subfg, clique, status: CliqStatus) -> LikelihoodMessage:
 
     msg = LikelihoodMessage(sender=clique.cid, status=status, direction="up")
     for vlbl in clique.separator:
-        msg.beliefs[vlbl] = subfg.get_belief(vlbl)
+        msg.beliefs[vlbl] = subfg.get_belief(vlbl, solve_key)
 
     if subfg.params.use_msg_likelihoods and len(clique.separator) >= 2:
         seps = sorted(clique.separator)
@@ -94,8 +95,8 @@ def prep_msg_up(subfg, clique, status: CliqStatus) -> LikelihoodMessage:
             ma = subfg.var(va).manifold
             if ma != subfg.var(vb).manifold:
                 continue
-            pa = subfg.points(va)
-            pb = subfg.points(vb)
+            pa = subfg.points(va, solve_key)
+            pb = subfg.points(vb, solve_key)
             n = min(pa.shape[0], pb.shape[0])
             # per-particle tangent differences = deconv of an implicit
             # relative factor between the two solved separator beliefs
@@ -105,12 +106,13 @@ def prep_msg_up(subfg, clique, status: CliqStatus) -> LikelihoodMessage:
     return msg
 
 
-def prep_msg_down(subfg, clique, child, status: CliqStatus) -> LikelihoodMessage:
+def prep_msg_down(subfg, clique, child, status: CliqStatus,
+                  solve_key: str = "default") -> LikelihoodMessage:
     """Beliefs of a child's separator vars → down message (reference
     postDownSolve_ separator pass-through, CliqueStateMachine.jl:866-914)."""
     msg = LikelihoodMessage(sender=clique.cid, status=status,
                             direction="down")
     for vlbl in child.separator:
         if vlbl in subfg.variables:
-            msg.beliefs[vlbl] = subfg.get_belief(vlbl)
+            msg.beliefs[vlbl] = subfg.get_belief(vlbl, solve_key)
     return msg

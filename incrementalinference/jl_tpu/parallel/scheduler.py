@@ -110,6 +110,37 @@ def transfer_update_subgraph(fg: FactorGraph, sub: FactorGraph,
         v.ppe[solve_key] = calc_ppe(v.manifold, b)
 
 
+def _msg_summary(msg: LikelihoodMessage) -> dict:
+    """Compact per-variable summary (mean + particle-spread scale) of a down
+    message for the wildfire comparison."""
+    import numpy as np
+
+    out = {}
+    for vlbl, b in msg.beliefs.items():
+        pts = np.asarray(b.points)
+        mean = pts.mean(axis=0)
+        scale = float(pts.std(axis=0).mean())
+        out[vlbl] = (mean, max(scale, 1e-9))
+    return out
+
+
+def _wildfire_unchanged(new: dict, old: Optional[dict], tol: float) -> bool:
+    """True when every separator mean moved < tol spread-normalized units —
+    the incremental down message carries no new information worth
+    re-solving for (iSAM2 wildfire-threshold analogue)."""
+    import numpy as np
+
+    if old is None or set(new) != set(old):
+        return False
+    for vlbl, (mn, sn) in new.items():
+        mo, so = old[vlbl]
+        if mn.shape != mo.shape:
+            return False
+        if float(np.linalg.norm(mn - mo)) / max(sn, so) > tol:
+            return False
+    return True
+
+
 def _cycle_init_by_var_order(sub: FactorGraph, clique: Clique,
                              solve_key: str = "default",
                              max_cycles: int = 10) -> bool:
@@ -190,7 +221,7 @@ def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
         # still init it downward — reference tryDownInit path)
         t.log("no_init")
         clique.status = CliqStatus.NO_INIT
-        msg = prep_msg_up(sub, clique, CliqStatus.NO_INIT)
+        msg = prep_msg_up(sub, clique, CliqStatus.NO_INIT, solve_key)
         transfer_update_subgraph(fg, sub, clique.frontals, solve_key)
         return msg
 
@@ -204,7 +235,7 @@ def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
     t.log("up_gibbs", f"direct={len(solvable)} iter={len(clique.iter_vars)}")
 
     clique.status = CliqStatus.UPSOLVED
-    msg = prep_msg_up(sub, clique, CliqStatus.UPSOLVED)
+    msg = prep_msg_up(sub, clique, CliqStatus.UPSOLVED, solve_key)
     transfer_update_subgraph(fg, sub, clique.frontals, solve_key)
     t.log("up_done")
     return msg
@@ -231,7 +262,8 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
     if clique.is_marginalized:
         t.log("marginalized", "skip down-solve")
         sub = build_clique_subgraph(fg, clique)
-        return {ch.cid: prep_msg_down(sub, clique, ch, clique.status)
+        return {ch.cid: prep_msg_down(sub, clique, ch, clique.status,
+                                      solve_key)
                 for ch in tree.children(clique.cid)}
 
     sub = build_clique_subgraph(fg, clique)
@@ -269,7 +301,8 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
 
     clique.status = CliqStatus.DOWNSOLVED
     transfer_update_subgraph(fg, sub, clique.frontals, solve_key)
-    out = {ch.cid: prep_msg_down(sub, clique, ch, CliqStatus.DOWNSOLVED)
+    out = {ch.cid: prep_msg_down(sub, clique, ch, CliqStatus.DOWNSOLVED,
+                                 solve_key)
            for ch in tree.children(clique.cid)}
     t.log("down_done")
     return out
@@ -393,6 +426,12 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
 
     if down:
         down_msgs: Dict[int, LikelihoodMessage] = {}
+        # cliques whose down pass left their beliefs untouched: a recycled
+        # child below such a clique sees the identical down message it saw
+        # last solve, so its own down-solve can be skipped too (reference
+        # incremental recycling semantics, CliqueStateMachine.jl:110-132)
+        down_unchanged: set = set()
+        wtol = getattr(fg.params, "wildfire_tol", 0.0)
         for level in levels:
             for cid in level:
                 cl = tree.clique(cid)
@@ -401,6 +440,38 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                     tr.down_msg = down_msgs.get(cid)
                 if cid in skip_set or cl.status == CliqStatus.ERROR_STATUS:
                     continue
+                incoming = down_msgs.get(cid)
+                summary = (_msg_summary(incoming)
+                           if wtol > 0.0 and incoming is not None else None)
+                sig = cl.signature()
+                parent_unchanged = (cl.parent is None
+                                    or cl.parent in down_unchanged)
+                skip_recycled = False
+                if (wtol > 0.0 and cl.is_recycled
+                        and cl.status == CliqStatus.UPRECYCLED):
+                    # default (wtol=0) matches the reference: recycled
+                    # cliques still re-run their down pass, only
+                    # MARGINALIZED skips (CliqueStateMachine.jl:110-132)
+                    if parent_unchanged:
+                        # exact: parent's down pass left beliefs untouched
+                        tr.log("recycle", "skip down-solve")
+                        skip_recycled = True
+                    elif summary is not None and _wildfire_unchanged(
+                            summary, tree.down_cache.get(sig), wtol):
+                        # wildfire: down message statistically unchanged
+                        tr.log("recycle", "wildfire skip down-solve")
+                        skip_recycled = True
+                if summary is not None:
+                    tree.down_cache[sig] = summary
+                if skip_recycled:
+                    cl.status = CliqStatus.DOWNSOLVED
+                    for ch in tree.children(cid):
+                        down_msgs[ch.cid] = prep_msg_down(
+                            fg, cl, ch, CliqStatus.DOWNSOLVED, solve_key)
+                    down_unchanged.add(cid)
+                    continue
+                if cl.is_marginalized:
+                    down_unchanged.add(cid)
                 child_up = [up_msgs[ch] for ch in cl.children
                             if ch in up_msgs]
                 try:
@@ -518,7 +589,7 @@ def up_solve_level(fg: FactorGraph, tree: BayesTree, cliques: List[Clique],
         if not ok:
             t.log("no_init")
             cl.status = CliqStatus.NO_INIT
-            out[cl.cid] = prep_msg_up(sub, cl, CliqStatus.NO_INIT)
+            out[cl.cid] = prep_msg_up(sub, cl, CliqStatus.NO_INIT, solve_key)
             transfer_update_subgraph(fg, sub, cl.frontals, solve_key)
             continue
         subs[cl.cid] = sub
@@ -533,7 +604,8 @@ def up_solve_level(fg: FactorGraph, tree: BayesTree, cliques: List[Clique],
     for cl in active:
         t = traces.get(cl.cid) or CliqueTrace(cl.cid)
         cl.status = CliqStatus.UPSOLVED
-        out[cl.cid] = prep_msg_up(subs[cl.cid], cl, CliqStatus.UPSOLVED)
+        out[cl.cid] = prep_msg_up(subs[cl.cid], cl, CliqStatus.UPSOLVED,
+                                  solve_key)
         transfer_update_subgraph(fg, subs[cl.cid], cl.frontals, solve_key)
         t.log("up_done", "batched level solve")
     return out

@@ -77,6 +77,9 @@ class BayesTree:
         self.elimination_order: List[str] = []
         self.conditionals: List[Conditional] = []
         self.build_time: float = 0.0
+        # previous-solve down-message summaries keyed by clique signature —
+        # consulted by the wildfire down-solve gate (SolverParams.wildfire_tol)
+        self.down_cache: Dict[Tuple, dict] = {}
 
     @property
     def root_ids(self) -> List[int]:
@@ -233,6 +236,8 @@ def build_tree_reset(fg, order: Optional[Sequence[str]] = None,
     (reference buildTreeReset! + attemptTreeSimilarClique,
     JunctionTreeUtils.jl:908-937, :1801-1849)."""
     tree = build_tree(fg, order=order, method=method)
+    if old_tree is not None:
+        tree.down_cache = dict(getattr(old_tree, "down_cache", {}))
     if old_tree is not None and fg.params.incremental:
         old_by_sig = {c.signature(): c for c in old_tree.cliques.values()}
         for cl in tree.cliques.values():

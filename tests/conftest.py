@@ -42,7 +42,8 @@ def pytest_collection_modifyitems(config, items):
              "test_serialization", "test_debugging", "test_pallas_kernels"}
     cases = {"test_solve", "test_parametric", "test_multihypo_tree",
              "test_manifold_solves", "test_model_families", "test_multichip",
-             "test_deconv_gradients", "test_extensions"}
+             "test_deconv_gradients", "test_extensions",
+             "test_solvekey_wildfire"}
     keep = basic if group == "basic_functional_group" else cases
     import pytest as _pytest
     skip = _pytest.mark.skip(reason=f"not in {group}")

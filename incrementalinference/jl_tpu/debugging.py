@@ -15,7 +15,8 @@ from .tree.bayestree import BayesTree, CliqStatus
 
 __all__ = ["print_clique_history", "print_history_sequential",
            "tree_to_dot", "save_tree_dot", "replay_clique_up",
-           "graph_to_dot", "save_graph_dot"]
+           "graph_to_dot", "save_graph_dot", "clique_assoc_matrix",
+           "spy_clique_matrix", "animate_csm"]
 
 
 def print_clique_history(traces: Dict[int, CliqueTrace],
@@ -119,4 +120,139 @@ def save_graph_dot(fg, path: str = "/tmp/iitpu/fg.dot") -> str:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(graph_to_dot(fg))
+    return path
+
+
+def clique_assoc_matrix(fg, tree: BayesTree, cid: int):
+    """Clique association matrix: potential-factor rows × clique-variable
+    columns, plus one pseudo row per child up-message (reference
+    compCliqAssocMatrices! cliqAssocMat/cliqMsgMat,
+    JunctionTreeUtils.jl:1294-1340).  Returns (row_labels, col_labels, M)
+    with M a bool ndarray."""
+    import numpy as np
+
+    cl = tree.clique(cid)
+    cols = cl.all_vars
+    col_idx = {v: j for j, v in enumerate(cols)}
+    rows, mat = [], []
+    for fl in cl.potentials:
+        row = np.zeros(len(cols), bool)
+        for v in fg.factor(fl).variables:
+            if v in col_idx:
+                row[col_idx[v]] = True
+        rows.append(fl)
+        mat.append(row)
+    for ch in tree.children(cid):
+        row = np.zeros(len(cols), bool)
+        for v in ch.separator:
+            if v in col_idx:
+                row[col_idx[v]] = True
+        rows.append(f"msg:cliq{ch.cid}")
+        mat.append(row)
+    M = (np.stack(mat) if mat else np.zeros((0, len(cols)), bool))
+    return rows, cols, M
+
+
+def spy_clique_matrix(fg, tree: BayesTree, cid: int,
+                      path: Optional[str] = None):
+    """Spy plot of a clique's association matrix (reference spyCliqMat,
+    src/services/AdditionalUtils.jl — Gadfly there, matplotlib here).
+    Returns the figure; saves a PNG when ``path`` is given."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows, cols, M = clique_assoc_matrix(fg, tree, cid)
+    fig, ax = plt.subplots(
+        figsize=(1.2 + 0.5 * len(cols), 1.0 + 0.35 * max(1, len(rows))))
+    ax.imshow(M, cmap="Greys", aspect="auto", vmin=0, vmax=1)
+    ax.set_xticks(range(len(cols)), cols, rotation=45, ha="right")
+    ax.set_yticks(range(len(rows)), rows)
+    cl = tree.clique(cid)
+    nfr = len(cl.frontals)
+    if nfr < len(cols):
+        ax.axvline(nfr - 0.5, color="tab:red", lw=1.0)
+    ax.set_title(f"clique {cid} association matrix")
+    fig.tight_layout()
+    if path is not None:
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return fig
+
+
+# matplotlib color names for the animation (same palette as tree_to_dot)
+_MPL_STATUS_COLOR = {
+    CliqStatus.NULL: "lightgray", CliqStatus.NO_INIT: "orange",
+    CliqStatus.INITIALIZED: "green", CliqStatus.UPSOLVED: "lightblue",
+    CliqStatus.MARGINALIZED: "blue", CliqStatus.DOWNSOLVED: "lightgreen",
+    CliqStatus.UPRECYCLED: "violet", CliqStatus.ERROR_STATUS: "red",
+}
+
+# trace step → clique status at that instant (scheduler event vocabulary)
+_STEP_STATUS = {
+    "build_subgraph": CliqStatus.INITIALIZED,
+    "add_msg_factors": CliqStatus.INITIALIZED,
+    "no_init": CliqStatus.NO_INIT,
+    "up_gibbs": CliqStatus.INITIALIZED,
+    "up_done": CliqStatus.UPSOLVED,
+    "recycle": CliqStatus.UPRECYCLED,
+    "marginalized": CliqStatus.MARGINALIZED,
+    "down_init": CliqStatus.UPSOLVED,
+    "down_start": CliqStatus.UPSOLVED,
+    "down_gibbs": CliqStatus.UPSOLVED,
+    "down_done": CliqStatus.DOWNSOLVED,
+    "skip": CliqStatus.NULL,
+    "error": CliqStatus.ERROR_STATUS,
+}
+
+
+def animate_csm(tree: BayesTree, traces: Dict[int, CliqueTrace],
+                path: str = "/tmp/iitpu/csm.gif", fps: int = 4) -> str:
+    """Render the recorded solve as an animated GIF: one frame per trace
+    event, cliques colored by their status at that instant (reference
+    animateCSM/makeCsmMovie, TreeDebugTools.jl:596-840 — dot+ffmpeg there,
+    matplotlib+Pillow here).  Returns the written path."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import PillowWriter
+
+    # layered layout from the level schedule
+    pos = {}
+    for d, level in enumerate(tree.levels()):
+        for i, cid in enumerate(sorted(level)):
+            pos[cid] = (i - (len(level) - 1) / 2.0, -d)
+
+    events = sorted((ts, c, step) for c, tr in traces.items()
+                    for ts, step, _ in tr.events)
+    status = {cid: CliqStatus.NULL for cid in tree.cliques}
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    writer = PillowWriter(fps=fps)
+    with writer.saving(fig, path, dpi=80):
+        frames = events or [(0.0, None, None)]
+        for ts, cid, step in frames:
+            if cid is not None and step in _STEP_STATUS:
+                status[cid] = _STEP_STATUS[step]
+            ax.clear()
+            ax.set_axis_off()
+            for c in tree.cliques.values():
+                if c.parent is not None:
+                    x0, y0 = pos[c.parent]
+                    x1, y1 = pos[c.cid]
+                    ax.plot([x0, x1], [y0, y1], "-", color="gray", zorder=1)
+            for c, (x, y) in pos.items():
+                ax.scatter([x], [y], s=600, zorder=2,
+                           color=_MPL_STATUS_COLOR[status[c]],
+                           edgecolors="black")
+                ax.annotate(str(c), (x, y), ha="center", va="center",
+                            zorder=3, fontsize=8)
+            ax.set_title(f"cliq{cid}: {step}" if cid is not None else "CSM")
+            writer.grab_frame()
+    plt.close(fig)
     return path

@@ -80,3 +80,37 @@ def test_graph_to_dot_and_helix():
     assert xy.shape == (len(T), 2)
     import numpy as np
     assert np.all(np.isfinite(yaw))
+
+
+def test_spy_clique_matrix(tmp_path):
+    from incrementalinference.jl_tpu.canonical import generate_kaess
+    from incrementalinference.jl_tpu.debugging import (clique_assoc_matrix,
+                                                       spy_clique_matrix)
+    from incrementalinference.jl_tpu.tree.bayestree import build_tree
+
+    fg = generate_kaess(graphinit=True)
+    tree = build_tree(fg)
+    cid = next(iter(tree.cliques))
+    rows, cols, M = clique_assoc_matrix(fg, tree, cid)
+    cl = tree.clique(cid)
+    assert cols == cl.all_vars
+    assert M.shape == (len(rows), len(cols))
+    # every potential row covers at least one clique variable
+    assert M[:len(cl.potentials)].any(axis=1).all()
+    out = tmp_path / "spy.png"
+    spy_clique_matrix(fg, tree, cid, path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_animate_csm(tmp_path):
+    from incrementalinference.jl_tpu import solve_tree
+    from incrementalinference.jl_tpu.canonical import generate_kaess
+    from incrementalinference.jl_tpu.debugging import animate_csm
+
+    fg = generate_kaess(graphinit=True)
+    fg.params.record_cliques = True
+    tree = solve_tree(fg)
+    out = tmp_path / "csm.gif"
+    p = animate_csm(tree, tree.traces, path=str(out))
+    assert p == str(out)
+    assert out.exists() and out.stat().st_size > 100

@@ -95,6 +95,35 @@ def extra_metrics():
     print(f"# clique-solves/s (1 chip, wide32 sequential): "
           f"{nsolves / dt:.0f}", file=sys.stderr)
 
+    # incremental growth with the wildfire down-gate: re-solve cost per
+    # appended pose on a long chain (reference has no analogue — recycled
+    # cliques always redo their down pass there)
+    def grown(n, params):
+        fg = initfg(params)
+        fg.add_variable("x0", ContinuousScalar)
+        fg.add_factor(["x0"], Prior(Normal(0.0, 1.0)))
+        for i in range(n):
+            fg.add_variable(f"x{i+1}", ContinuousScalar)
+            fg.add_factor([f"x{i}", f"x{i+1}"],
+                          LinearRelative(Normal(10.0, 1.0)))
+        return fg
+
+    for label, wt in (("reference-semantics", 0.0), ("wildfire", 0.8)):
+        params = SolverParams(incremental=True, wildfire_tol=wt,
+                              batch_cliques=False)
+        fg = grown(30, params)
+        tr = solve_tree(fg)
+        t0 = time.time()
+        steps = 4
+        for s in range(steps):
+            n = 30 + s
+            fg.add_variable(f"x{n+1}", ContinuousScalar)
+            fg.add_factor([f"x{n}", f"x{n+1}"],
+                          LinearRelative(Normal(10.0, 1.0)))
+            tr = solve_tree(fg, old_tree=tr)
+        print(f"# incremental step ({label}): "
+              f"{(time.time() - t0) / steps:.3f}s/step", file=sys.stderr)
+
 
 def main():
     dev = jax.devices()[0]

@@ -24,8 +24,8 @@ from .models import (CircularCircular, DERelative, EuclidDistance,
                      PartialPriorPassThrough, Prior, PriorCircular)
 from .ops import (approx_conv_belief, eval_factor, local_product,
                   manifold_product, propagate_belief)
-from .api import (fifo_freeze, solve_cliq_down, solve_cliq_up, solve_graph,
-                  solve_tree, warmup)
+from .api import (fifo_freeze, set_ppe, solve_cliq_down, solve_cliq_up,
+                  solve_graph, solve_tree, warmup)
 from .tree import (BayesTree, CliqStatus, build_tree, build_tree_reset,
                    get_elimination_order)
 from . import canonical

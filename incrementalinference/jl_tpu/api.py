@@ -19,7 +19,21 @@ from .parallel.scheduler import (down_solve_clique, solve_tree_sweeps,
 from .tree.bayestree import BayesTree, build_tree_reset
 
 __all__ = ["solve_tree", "solve_graph", "solve_cliq_up", "solve_cliq_down",
-           "fifo_freeze", "warmup"]
+           "fifo_freeze", "set_ppe", "warmup"]
+
+
+def set_ppe(fg: FactorGraph, label: str, solve_key: str = "default"):
+    """Compute and store the posterior point estimate for one variable from
+    its current belief (reference setPPE!/setVariablePosteriorEstimates!,
+    src/services/FGOSUtils.jl:237-274 calcPPE storage path).  Returns the
+    stored PPE dict (mean / max / suggested)."""
+    from .beliefs import ppe as _calc_ppe
+
+    v = fg.var(label)
+    b = fg.get_belief(label, solve_key)
+    est = _calc_ppe(v.manifold, b)
+    v.ppe[solve_key] = est
+    return est
 
 logger = logging.getLogger("iitpu.api")
 

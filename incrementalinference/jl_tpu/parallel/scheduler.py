@@ -37,7 +37,7 @@ from .messages import (LikelihoodMessage, add_msg_factors, delete_msg_factors,
 
 __all__ = ["build_clique_subgraph", "transfer_update_subgraph",
            "up_solve_clique", "down_solve_clique", "solve_tree_sweeps",
-           "CliqueTrace"]
+           "cliq_var_init_order_up", "CliqueTrace"]
 
 logger = logging.getLogger("iitpu.scheduler")
 
@@ -141,15 +141,32 @@ def _wildfire_unchanged(new: dict, old: Optional[dict], tol: float) -> bool:
     return True
 
 
+def cliq_var_init_order_up(sub: FactorGraph,
+                           variables: Optional[Sequence[str]] = None
+                           ) -> List[str]:
+    """Clique up-init variable order (reference getCliqVarInitOrderUp,
+    TreeBasedInitialization.jl:19-57): prior-attached variables first, then
+    everything else, both by ascending connected-factor count (stable)."""
+    labels = list(variables) if variables is not None else sub.ls()
+    nf = {v: len(sub.factors_of(v)) for v in labels}
+    sortedids = sorted(labels, key=lambda v: nf[v])
+    prior_attached = set()
+    for fl in sub.lsf():
+        f = sub.factor(fl)
+        if getattr(f.model, "is_prior", False):
+            prior_attached.update(f.variables)
+    order = [v for v in sortedids if v in prior_attached]
+    order += [v for v in sortedids if v not in prior_attached]
+    return order
+
+
 def _cycle_init_by_var_order(sub: FactorGraph, clique: Clique,
                              solve_key: str = "default",
                              max_cycles: int = 10) -> bool:
     """Repeat auto-init over the clique's variables until no change
     (reference cycleInitByVarOrder!, SolveTree.jl:263-295; ordering per
-    getCliqVarInitOrderUp — most-connected singletons first,
-    TreeBasedInitialization.jl:19-57)."""
-    order = sorted(clique.all_vars,
-                   key=lambda v: -len(sub.factors_of(v)))
+    getCliqVarInitOrderUp, TreeBasedInitialization.jl:19-57)."""
+    order = cliq_var_init_order_up(sub, clique.all_vars)
     for _ in range(max_cycles):
         changed = False
         for vl in order:

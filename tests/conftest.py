@@ -39,7 +39,8 @@ def pytest_collection_modifyitems(config, items):
         return
     basic = {"test_manifolds", "test_distributions", "test_product",
              "test_convolve", "test_tree", "test_native", "test_graph",
-             "test_serialization", "test_debugging", "test_pallas_kernels"}
+             "test_serialization", "test_debugging", "test_pallas_kernels",
+             "test_init_order", "test_manual_init"}
     cases = {"test_solve", "test_parametric", "test_multihypo_tree",
              "test_manifold_solves", "test_model_families", "test_multichip",
              "test_deconv_gradients", "test_extensions",

@@ -80,6 +80,15 @@ class SolverParams:
     # the sequential sweep.
     batch_cliques: object = "auto"
     batch_min_width: int = 8
+    # Trace a clique's whole Gibbs schedule (direct vars once, iter vars ×
+    # gibbs_iters) into ONE jitted dispatch, cached per clique-structure
+    # signature (isomorphic cliques share the compile; remaining Gibbs
+    # rounds ride a lax.scan so compile cost is ~2 rounds). Falls back to
+    # the per-variable fused path when the structure is unsupported.
+    # "auto" = on for accelerator backends (3x headline win on TPU v5e:
+    # 0.11 s → 0.033 s LineStep(20)), off on CPU where dispatch is cheap
+    # and the big chain programs trip an XLA:CPU cache-serialization bug.
+    fuse_clique: object = "auto"
     # iSAM2-style wildfire gate for incremental down-solves: a recycled
     # (UPRECYCLED) clique skips its down-solve when the incoming down
     # message moved less than ``wildfire_tol`` bandwidth-normalized units

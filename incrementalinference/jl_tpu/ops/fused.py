@@ -28,7 +28,7 @@ from .product import (LARGE_PAIR_THRESHOLD, pair_product_tangent,
                       pair_product_tangent_large)
 
 __all__ = ["fused_variable_update", "fused_variable_update_batched",
-           "product_traceable"]
+           "fused_clique_gibbs", "product_traceable"]
 
 
 def product_traceable(manifold: Manifold, pts_list, bw_list,
@@ -140,3 +140,74 @@ def fused_variable_update(manifold: Manifold,
     fn = _fused_fn(manifold, tuple(specs), tuple(masks), n_out)
     return fn(tuple(models), tuple(tuple(v) for v in var_points_nested),
               old_points, key)
+
+
+@functools.lru_cache(maxsize=512)
+def _fused_chain_fn(direct_steps: Tuple, iter_steps: Tuple, n_rounds: int):
+    """Whole-clique Gibbs schedule as ONE jitted dispatch.
+
+    Steps are static per-update plans — tuples of
+    (target_local_idx, manifold, specs, masks, n_out, factor_var_idx)
+    where factor_var_idx maps each factor's variables into the clique-local
+    points store.  The reference's fmcmc! outer loop
+    (SolveTree.jl:89-142) costs one device dispatch per variable update;
+    here direct vars run once, the first Gibbs round is traced inline, and
+    the remaining ``n_rounds - 1`` rounds ride a lax.scan over the SAME
+    round body — so compile cost is ~2 rounds regardless of gibbsIters and
+    runtime is a single XLA program, cached per clique-structure signature
+    (isomorphic cliques — every chain/LineStep middle clique — share one
+    compilation)."""
+    iter_touched = tuple(step[0] for step in iter_steps)
+
+    def _apply(step, models, store, key):
+        li, manifold, specs, masks, n_out, fvidx = step
+        nested = tuple(tuple(store[j] for j in idxs) for idxs in fvidx)
+        update = _make_update(manifold, specs, masks, n_out)
+        pts, bw = update(models, nested, store[li], key)
+        return store[:li] + (pts,) + store[li + 1:], bw
+
+    def _round(models_iter, store, key):
+        keys = jax.random.split(key, max(1, len(iter_steps)))
+        bws = {}
+        for s, step in enumerate(iter_steps):
+            store, bw = _apply(step, models_iter[s], store, keys[s])
+            bws[step[0]] = bw
+        return store, tuple(bws[li] for li in iter_touched)
+
+    def clique_chain(models_direct, models_iter, store, key):
+        # NOTE: keep this function name distinctive — tests skip persistent
+        # compile-cache WRITES for it (XLA:CPU executable serialization
+        # segfaults on these large scan-bearing programs; see
+        # tests/conftest.py). TPU serialization is unaffected.
+        kd, ki0, kr = jax.random.split(key, 3)
+        store = tuple(store)
+        dbws = []
+        keys = jax.random.split(kd, max(1, len(direct_steps)))
+        for s, step in enumerate(direct_steps):
+            store, bw = _apply(step, models_direct[s], store, keys[s])
+            dbws.append(bw)
+        ibws = ()
+        if iter_steps:
+            store, ibws = _round(models_iter, store, ki0)
+            if n_rounds > 1:
+                def body(carry, k):
+                    st, _ = carry
+                    st, bws = _round(models_iter, st, k)
+                    return (st, bws), None
+
+                ks = jax.random.split(kr, n_rounds - 1)
+                (store, ibws), _ = jax.lax.scan(body, (store, ibws), ks)
+        return store, tuple(dbws), ibws
+
+    return jax.jit(clique_chain)
+
+
+def fused_clique_gibbs(direct_steps, iter_steps, n_rounds,
+                       models_direct, models_iter, store, key):
+    """Run a prepared whole-clique Gibbs chain (see scheduler
+    ``_gibbs_solve_chain`` for the host-side plan builder).  Returns
+    (store, direct_bws aligned to direct_steps, iter_bws aligned to the
+    iter-step target order)."""
+    fn = _fused_chain_fn(tuple(direct_steps), tuple(iter_steps),
+                         int(n_rounds))
+    return fn(tuple(models_direct), tuple(models_iter), tuple(store), key)

@@ -141,6 +141,16 @@ def _wildfire_unchanged(new: dict, old: Optional[dict], tol: float) -> bool:
     return True
 
 
+def _use_chain(params) -> bool:
+    """Resolve the fuse_clique knob: True/False explicit, "auto" enables
+    the whole-clique chain on accelerator backends only (SolverParams
+    docstring has the rationale)."""
+    fc = getattr(params, "fuse_clique", "auto")
+    if fc is True or fc is False:
+        return fc
+    return jax.default_backend() != "cpu"
+
+
 def cliq_var_init_order_up(sub: FactorGraph,
                            variables: Optional[Sequence[str]] = None
                            ) -> List[str]:
@@ -197,6 +207,101 @@ def _gibbs_solve(sub: FactorGraph, clique: Clique, variables: List[str],
             local_product_and_update(sub, vl, solve_key=solve_key)
 
 
+def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
+                       direct: List[str], iter_vars: List[str],
+                       solve_key: str = "default") -> bool:
+    """Whole-clique Gibbs schedule as ONE jitted dispatch
+    (ops/fused.py:_fused_chain_fn).  The sequential path costs one device
+    dispatch per variable update (~dozens per clique); here the full
+    schedule — direct vars once, iter vars × gibbs_iters — is a single
+    XLA program cached per clique-structure signature.  Returns False when
+    the clique's structure needs the general path (mixed particle counts,
+    factors reaching outside the clique store)."""
+    from ..ops.convolve import make_conv_spec, static_dim_mask
+    from ..ops.fused import fused_clique_gibbs
+    from ..ops.graphops import _ipc_of
+
+    params = sub.params
+    live = [v for v in clique.all_vars]
+    local = {v: i for i, v in enumerate(live)}
+
+    def updatable(vl):
+        return not sub.var(vl).marginalized and sub.factors_of(vl)
+
+    dvs = [v for v in direct if updatable(v)]
+    ivs = [v for v in iter_vars if updatable(v)]
+    if not dvs and not ivs:
+        return True
+
+    store = [sub.points(v, solve_key) for v in live]
+    n_set = {p.shape[0] for p in store}
+    if len(n_set) != 1:
+        return False
+
+    def build_step(var):
+        """One static update plan, or None (no factors) / False (needs
+        the general path)."""
+        v = sub.var(var)
+        factors = _canonical_factors(sub, var)
+        if not factors:
+            return None
+        specs, masks, models, fvidx = [], [], [], []
+        for f in factors:
+            if any(lbl not in local for lbl in f.variables):
+                return False
+            cache = getattr(f, "_conv_cache", None)
+            if cache is None:
+                cache = f._conv_cache = {}
+            pkey = (var, params.inflate_cycles, params.inflation,
+                    params.spread_nh, params.conv_iters,
+                    params.conv_damping)
+            entry = cache.get(pkey)
+            if entry is None:
+                spec = make_conv_spec(sub, f, var)
+                entry = cache[pkey] = (
+                    spec, static_dim_mask(v.manifold, spec.partial_dims))
+            spec, mask = entry
+            specs.append(spec)
+            masks.append(mask)
+            models.append(f.model)
+            fvidx.append(tuple(local[lbl] for lbl in f.variables))
+        if v.N != store[local[var]].shape[0]:
+            return False
+        step = (local[var], v.manifold, tuple(specs), tuple(masks),
+                v.N, tuple(fvidx))
+        return step, tuple(models), tuple(masks)
+
+    direct_steps, models_direct = [], []
+    iter_steps, models_iter = [], []
+    touched = {}
+    for var in dvs + ivs:
+        built = build_step(var)
+        if built is None:
+            continue
+        if built is False:
+            return False
+        step, models, masks = built
+        if var in dvs:
+            direct_steps.append(step)
+            models_direct.append(models)
+        else:
+            iter_steps.append(step)
+            models_iter.append(models)
+        touched[step[0]] = masks
+    if not direct_steps and not iter_steps:
+        return True
+
+    new_store, dbws, ibws = fused_clique_gibbs(
+        direct_steps, iter_steps, params.gibbs_iters,
+        models_direct, models_iter, store, sub.next_key())
+    bw_of = {step[0]: bw for step, bw in zip(direct_steps, dbws)}
+    bw_of.update({step[0]: bw for step, bw in zip(iter_steps, ibws)})
+    for li, masks in touched.items():
+        sub.set_belief(live[li], new_store[li], solve_key=solve_key,
+                       bw=bw_of[li], ipc=_ipc_of(masks))
+    return True
+
+
 def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
                     child_msgs: List[LikelihoodMessage],
                     solve_key: str = "default",
@@ -245,11 +350,15 @@ def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
     # Gibbs partitions (reference upGibbsCliqueDensity order:
     # direct-frontal-msg → msgskip → itervars ×gibbsIters → direct priors)
     solvable = [v for v in clique.direct_vars]
-    _gibbs_solve(sub, clique, solvable, 1, solve_key)
-    if clique.iter_vars:
-        _gibbs_solve(sub, clique, clique.iter_vars, params.gibbs_iters,
-                     solve_key)
-    t.log("up_gibbs", f"direct={len(solvable)} iter={len(clique.iter_vars)}")
+    fused = _use_chain(params) and _gibbs_solve_chain(
+        sub, clique, solvable, clique.iter_vars, solve_key)
+    if not fused:
+        _gibbs_solve(sub, clique, solvable, 1, solve_key)
+        if clique.iter_vars:
+            _gibbs_solve(sub, clique, clique.iter_vars, params.gibbs_iters,
+                         solve_key)
+    t.log("up_gibbs", f"direct={len(solvable)} iter={len(clique.iter_vars)}"
+                      f"{' fused-chain' if fused else ''}")
 
     clique.status = CliqStatus.UPSOLVED
     msg = prep_msg_up(sub, clique, CliqStatus.UPSOLVED, solve_key)
@@ -309,12 +418,16 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
     # solve frontals: iterate those with cross-frontal coupling
     iter_frontals = [v for v in clique.iter_vars if v in clique.frontals]
     direct_frontals = [v for v in clique.frontals if v not in iter_frontals]
-    _gibbs_solve(sub, clique, direct_frontals, 1, solve_key)
-    if iter_frontals:
-        _gibbs_solve(sub, clique, iter_frontals, params.gibbs_iters,
-                     solve_key)
+    fused = _use_chain(params) and _gibbs_solve_chain(
+        sub, clique, direct_frontals, iter_frontals, solve_key)
+    if not fused:
+        _gibbs_solve(sub, clique, direct_frontals, 1, solve_key)
+        if iter_frontals:
+            _gibbs_solve(sub, clique, iter_frontals, params.gibbs_iters,
+                         solve_key)
     t.log("down_gibbs", f"direct={len(direct_frontals)} "
-                        f"iter={len(iter_frontals)}")
+                        f"iter={len(iter_frontals)}"
+                        f"{' fused-chain' if fused else ''}")
 
     clique.status = CliqStatus.DOWNSOLVED
     transfer_update_subgraph(fg, sub, clique.frontals, solve_key)

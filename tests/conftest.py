@@ -29,6 +29,25 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+# XLA:CPU segfaults (deep in LoadedExecutable.serialize) when writing the
+# large scan-bearing whole-clique chain kernels to the persistent cache —
+# skip persistent WRITES for those programs only (they recompile per test
+# process; everything else stays cached). TPU executables serialize fine.
+import jax._src.compilation_cache as _cc  # noqa: E402
+
+_orig_put_executable = _cc.put_executable_and_time
+
+
+def _safe_put_executable(cache_key, module_name, executable, backend,
+                         compile_time):
+    if "clique_chain" in module_name:
+        return
+    return _orig_put_executable(cache_key, module_name, executable, backend,
+                                compile_time)
+
+
+_cc.put_executable_and_time = _safe_put_executable
+
 
 def pytest_collection_modifyitems(config, items):
     """Test-group gating à la the reference's IIF_TEST_GROUP env variable
@@ -44,7 +63,7 @@ def pytest_collection_modifyitems(config, items):
     cases = {"test_solve", "test_parametric", "test_multihypo_tree",
              "test_manifold_solves", "test_model_families", "test_multichip",
              "test_deconv_gradients", "test_extensions",
-             "test_solvekey_wildfire"}
+             "test_solvekey_wildfire", "test_fused_chain"}
     keep = basic if group == "basic_functional_group" else cases
     import pytest as _pytest
     skip = _pytest.mark.skip(reason=f"not in {group}")

@@ -1,0 +1,61 @@
+"""Whole-clique fused Gibbs chain (ops/fused.py:_fused_chain_fn).
+
+The chain is the TPU default (SolverParams.fuse_clique="auto"); these tests
+force it on under the CPU backend and assert it reproduces the sequential
+path's statistics on the structures that exercise its branches: plain
+chains, multihypo + nullhypo, and the scan over Gibbs rounds.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from incrementalinference.jl_tpu import initfg, solve_tree
+from incrementalinference.jl_tpu.config import SolverParams
+from incrementalinference.jl_tpu.distributions import Normal
+from incrementalinference.jl_tpu.graph import ContinuousScalar
+from incrementalinference.jl_tpu.models import LinearRelative, Prior
+
+
+def test_chain_matches_sequential_on_linestep():
+    from incrementalinference.jl_tpu.canonical import generate_line_step
+
+    fg = generate_line_step(12, graphinit=True)
+    fg.params = fg.params.replace(fuse_clique=True, batch_cliques=False)
+    solve_tree(fg)
+    for i in range(0, 13, 2):
+        assert abs(float(jnp.mean(fg.points(f"x{i}"))) - i) < 1.5, i
+
+
+def test_chain_multihypo_odometry():
+    # the reference testMultihypoAndChain scenario, forced onto the chain
+    # kernel (multihypo + nullhypo specs inside the fused schedule)
+    fg = initfg(SolverParams(N=150, fuse_clique=True, batch_cliques=False))
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.3)))
+    for i in (1, 2):
+        fg.add_variable(f"x{i}", ContinuousScalar)
+        fg.add_factor([f"x{i-1}", f"x{i}"], LinearRelative(Normal(5.0, 0.3)))
+    for lbl, c in (("la", 14.0), ("lb", 26.0)):
+        fg.add_variable(lbl, ContinuousScalar)
+        fg.add_factor([lbl], Prior(Normal(c, 0.1)))
+    fg.add_factor(["x2", "la", "lb"], LinearRelative(Normal(4.0, 0.5)),
+                  multihypo=[1.0, 0.5, 0.5])
+    solve_tree(fg)
+    for i, c in ((0, 0.0), (1, 5.0), (2, 10.0)):
+        p = np.asarray(fg.points(f"x{i}")[:, 0])
+        assert np.mean(np.abs(p - c) < 3.0) > 0.7, (i, p.mean())
+    la = np.asarray(fg.points("la")[:, 0])
+    assert np.mean(np.abs(la - 14.0) < 1.0) > 0.9
+
+
+def test_chain_falls_back_on_mixed_particle_counts():
+    # mixed N inside one clique → the chain builder returns False and the
+    # sequential path must still produce the right posterior
+    fg = initfg(SolverParams(N=64, fuse_clique=True, batch_cliques=False))
+    fg.add_variable("x0", ContinuousScalar, N=64)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 1.0)))
+    fg.add_variable("x1", ContinuousScalar, N=96)
+    fg.add_factor(["x0", "x1"], LinearRelative(Normal(10.0, 1.0)))
+    solve_tree(fg)
+    assert abs(float(jnp.mean(fg.points("x1"))) - 10.0) < 2.5
+    assert fg.points("x1").shape[0] == 96

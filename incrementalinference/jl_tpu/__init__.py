@@ -21,9 +21,10 @@ from .models import (CircularCircular, DERelative, EuclidDistance,
                      HeatmapGridDensity, LevelSetGridNormal, LinearRelative,
                      ManifoldFactor, ManifoldPrior, MetaPrior, Mixture,
                      MixtureFluxModels, MsgPrior, PartialPrior,
-                     PartialPriorPassThrough, Prior, PriorCircular)
+                     PartialPriorPassThrough, Prior, PriorCircular,
+                     FactorModel, PriorModel, register_factor_model)
 from .ops import (approx_conv_belief, eval_factor, local_product,
-                  manifold_product, propagate_belief)
+                  manifold_product, propagate_belief, sample_factor)
 from .api import (fifo_freeze, set_ppe, solve_cliq_down, solve_cliq_up,
                   solve_graph, solve_tree, warmup)
 from .tree import (BayesTree, CliqStatus, build_tree, build_tree_reset,
@@ -38,6 +39,6 @@ from .parametric import (autoinit_parametric, solve_conditionals_parametric,
 from .serialization import load_graph, load_tree, save_graph, save_tree
 from .tether import accumulate_factor_means, solve_factor_parametric
 from .utils import (compare_beliefs, compare_graphs, compare_variables,
-                    select_factor_type)
+                    incr_suffix, select_factor_type)
 
 __version__ = "0.1.0"

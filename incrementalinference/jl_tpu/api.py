@@ -157,6 +157,12 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
             logger.warning("could not write trace dump to %s",
                            params.logpath)
 
+    # per-variable solvedCount bookkeeping (reference
+    # setVariablePosteriorEstimates! path bumping VND.solvedCount)
+    for v in fg.variables.values():
+        if v.solvable and v.is_initialized(solve_key):
+            v.solved_count[solve_key] = v.get_solved_count(solve_key) + 1
+
     fg.solve_count += 1
     if verbose:
         logger.info("solve_tree done in %.3fs", time.time() - t0)

@@ -76,10 +76,19 @@ class Variable:
     parametric_point: Optional[jnp.ndarray] = None
     parametric_cov: Optional[jnp.ndarray] = None
     marginalized: bool = False
+    # times each solveKey was written by a solver (reference VND solvedCount
+    # / getSolvedCount / isSolved, DFG services)
+    solved_count: Dict[str, int] = field(default_factory=dict)
 
     @property
     def manifold(self) -> Manifold:
         return self.vartype.manifold
+
+    def get_solved_count(self, solve_key: str = "default") -> int:
+        return self.solved_count.get(solve_key, 0)
+
+    def is_solved(self, solve_key: str = "default") -> bool:
+        return self.get_solved_count(solve_key) > 0
 
     def belief(self, solve_key: str = "default") -> Belief:
         return self.beliefs[solve_key]
@@ -110,6 +119,11 @@ class Factor:
     @property
     def is_prior(self) -> bool:
         return len(self.variables) == 1 and getattr(self.model, "is_prior", False)
+
+    @property
+    def is_multihypo(self) -> bool:
+        """Reference isMultihypo (src/services/FGOSUtils.jl:303-313)."""
+        return self.multihypo is not None
 
 
 class FactorGraph:

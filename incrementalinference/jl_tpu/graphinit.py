@@ -7,7 +7,11 @@ ensureSolvable! (:469-485).
 
 from __future__ import annotations
 
+import logging
+
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 from .beliefs import Belief, ppe as calc_ppe
 from .models.factors import MetaPrior, GenericMarginal
@@ -92,15 +96,25 @@ def reset_initial_values(fg, solve_key: str = "default",
                           ipc=b.ipc, initialized=True)
 
 
-def ensure_solvable(fg) -> list:
-    """Variables with solvable=0 that could be bumped (reference
-    ensureSolvable!, GraphInit.jl:469-485)."""
-    bumped = []
+def ensure_solvable(fg, solvable_target: int = 1,
+                    solvable_fallback: int = 0) -> list:
+    """Demote solvable variables with no connected solvable factor to
+    ``solvable_fallback`` so tree solves skip them (reference
+    ensureSolvable!, GraphInit.jl:469-485).  Returns the demoted labels."""
+    blank = []
     for lbl, v in fg.variables.items():
-        if v.solvable == 0:
-            v.solvable = 1
-            bumped.append(lbl)
-    return bumped
+        if v.solvable != solvable_target:
+            continue
+        has_fact = any(fg.factor(fl).solvable >= solvable_target
+                       for fl in fg.factors_of(lbl))
+        if not has_fact:
+            v.solvable = solvable_fallback
+            blank.append(lbl)
+    if blank:
+        logger.warning("solve disallows solvable variables without any "
+                       "connected solvable factors -- forcing solvable=0 "
+                       "on %s", blank)
+    return blank
 
 
 def init_all(fg, solve_key: str = "default", max_passes: int = 10) -> bool:

@@ -6,7 +6,8 @@ from .densities import (HeatmapGridDensity, LevelSetGridNormal,
 from .factors import (CircularCircular, EuclidDistance, FactorModel, GaussianJoint,
                       GenericMarginal, LinearRelative, ManifoldFactor,
                       ManifoldPrior, MetaPrior, Mixture, MsgPrior,
-                      PartialPrior, Prior, PriorCircular, PriorModel)
+                      PartialPrior, Prior, PriorCircular, PriorModel,
+                      register_factor_model)
 from .flux import (FluxModelsDistribution, MixtureFluxModels, mlp_apply,
                    mlp_init)
 from .ode import DERelative, rk4_integrate
@@ -15,7 +16,7 @@ __all__ = [
     "FactorModel", "PriorModel", "Prior", "LinearRelative", "EuclidDistance",
     "Mixture", "PriorCircular", "CircularCircular", "PartialPrior",
     "MsgPrior", "MetaPrior", "GenericMarginal", "ManifoldFactor",
-    "ManifoldPrior", "GaussianJoint",
+    "ManifoldPrior", "GaussianJoint", "register_factor_model",
     "HeatmapGridDensity", "LevelSetGridNormal", "PartialPriorPassThrough",
     "FluxModelsDistribution", "MixtureFluxModels", "mlp_init", "mlp_apply",
     "DERelative", "rk4_integrate",

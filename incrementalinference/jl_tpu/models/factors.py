@@ -435,6 +435,30 @@ def _register_model(cls, children: tuple, aux: tuple = ()):
     return cls
 
 
+def register_factor_model(cls, children: tuple = ("Z",), aux: tuple = ()):
+    """Register a user-defined :class:`FactorModel` subclass so it flows
+    through jit boundaries and packed serialization.
+
+    The reference lets users define factors by subtyping
+    ``AbstractManifoldMinimize`` + ``getSample``/functor methods (e.g.
+    test/testCalcFactorHypos.jl:11-30, test/testSpecialSampler.jl); here a
+    custom factor is a ``FactorModel`` subclass with ``sample``/``residual``
+    (and ``sample_points`` for priors), registered once:
+
+        class MyFactor(FactorModel):
+            def __init__(self, Z): self.Z = Z
+            @property
+            def zdim(self): return self.Z.dim
+            def sample(self, key, n): return self.Z.sample(key, (n,))
+            def residual(self, z, x1, x2): return x2 - (x1 + z)
+        register_factor_model(MyFactor)
+
+    ``children`` are array-ish fields traced as pytree leaves; ``aux`` are
+    static (hashable) fields baked into the compiled kernel signature.
+    """
+    return _register_model(cls, tuple(children), tuple(aux))
+
+
 _register_model(Prior, ("Z",))
 _register_model(LinearRelative, ("Z",))
 _register_model(EuclidDistance, ("Z",))

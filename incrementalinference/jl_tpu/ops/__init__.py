@@ -1,7 +1,7 @@
 """Numerics core: batched convolution, KDE products, hypothesis masks."""
 
 from .convolve import (add_entropy, approx_conv_belief, batched_gauss_newton,
-                       eval_factor, proposal_from_factor)
+                       eval_factor, proposal_from_factor, sample_factor)
 from .graphops import local_product, local_product_and_update, propagate_belief
 from .deconv import approx_deconv, approx_deconv_belief, mmd
 from .gradients import (FactorGradientsCached, calc_perturbation_from_variable,
@@ -11,7 +11,7 @@ from .product import Proposal, manifold_product, pair_product_tangent
 
 __all__ = [
     "batched_gauss_newton", "add_entropy", "eval_factor",
-    "approx_conv_belief", "proposal_from_factor",
+    "approx_conv_belief", "proposal_from_factor", "sample_factor",
     "propagate_belief", "local_product", "local_product_and_update",
     "manifold_product", "pair_product_tangent", "Proposal",
     "draw_hypotheses", "build_masks", "parse_multihypo",

@@ -296,6 +296,16 @@ def eval_factor(fg, factor, solvefor: str, key=None,
     return pts, dim_mask
 
 
+def sample_factor(fg, factor, n: int | None = None, key=None) -> jnp.ndarray:
+    """Draw ``n`` fresh measurement rows ``(n, zdim)`` from a factor's
+    measurement model (reference sampleFactor,
+    src/services/SolverUtilities.jl:50-96)."""
+    if isinstance(factor, str):
+        factor = fg.factor(factor)
+    key = key if key is not None else fg.next_key()
+    return factor.model.sample(key, int(n or fg.params.N))
+
+
 def approx_conv_belief(fg, factor_label: str, target: str, key=None,
                        solve_key: str = "default",
                        n: int | None = None) -> Belief:

@@ -138,5 +138,9 @@ def solve_tree_parametric(fg: FactorGraph,
                     "max": fv.parametric_point,
                     "suggested": fv.parametric_point}
 
+    for v in fg.variables.values():
+        if v.solvable and v.parametric_point is not None:
+            v.solved_count["parametric"] = \
+                v.get_solved_count("parametric") + 1
     fg.solve_count += 1
     return tree

@@ -168,6 +168,51 @@ def local_product_and_update(fg, target: str, key=None,
     return belief
 
 
+def find_shortest_path_dijkstra(fg, frm: str, to: str, type_factors=(),
+                                initialized: bool = False,
+                                solve_key: str = "default") -> list:
+    """Shortest variable–factor–variable path between two variables,
+    optionally restricted to factors of given model classes and/or to
+    initialized variables (reference findShortestPathDijkstra via DFG;
+    used by the joint-message machinery, TreeMessageUtils.jl:126-205).
+
+    Returns the alternating ``[var, factor, var, …]`` label list, or ``[]``
+    when no path exists under the restriction.
+    """
+    import networkx as nx
+
+    type_factors = tuple(type_factors)
+    g = nx.Graph()
+    for vl in fg.ls():
+        if initialized and not fg.var(vl).is_initialized(solve_key):
+            continue
+        g.add_node(vl)
+    for fl in fg.lsf():
+        f = fg.factor(fl)
+        if type_factors and not isinstance(f.model, type_factors):
+            continue
+        if any(v not in g for v in f.variables):
+            continue
+        for v in f.variables:
+            g.add_edge(fl, v)
+    try:
+        return list(nx.shortest_path(g, frm, to))
+    except (nx.NetworkXNoPath, nx.NodeNotFound):
+        return []
+
+
+def is_path_factors_homogeneous(fg, frm: str, to: str):
+    """Whether every factor on the shortest ``frm``→``to`` path shares one
+    model type; returns ``(is_homogeneous, [type_names])`` (reference
+    isPathFactorsHomogeneous, used by addLikelihoodsDifferentialCHILD!,
+    TreeMessageUtils.jl:279-335)."""
+    path = find_shortest_path_dijkstra(fg, frm, to)
+    ftypes = [type(fg.factor(lbl).model).__name__
+              for lbl in path[1::2]]
+    uniq = sorted(set(ftypes))
+    return len(uniq) == 1, uniq
+
+
 def approx_conv_path(fg, start: str, target: str, key=None,
                      solve_key: str = "default",
                      n: int | None = None):

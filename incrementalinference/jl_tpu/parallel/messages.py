@@ -11,16 +11,30 @@ blocks rides for collectives (SURVEY.md §2.9.5).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from ..beliefs import Belief, make_belief
 from ..models.factors import MsgPrior, MsgRelativeLikelihood
 from ..tree.bayestree import CliqStatus
 
-__all__ = ["LikelihoodMessage", "add_msg_factors", "delete_msg_factors",
-           "prep_msg_up", "prep_msg_down"]
+__all__ = ["LikelihoodMessage", "JointMsg", "add_msg_factors",
+           "delete_msg_factors", "prep_msg_up", "prep_msg_down",
+           "generate_msg_joint"]
 
 MSG_TAG = "__LIKELIHOODMESSAGE__"
+
+
+@dataclass
+class JointMsg:
+    """Joint up-message payload (reference _MsgJointLikelihood,
+    TreeMessageUtils.jl:446): deconv-derived relative likelihoods between
+    separator pairs plus one anchoring prior per disconnected separator
+    subgraph class."""
+
+    # [(var_a, var_b, Belief over the tangent difference)]
+    relatives: list = field(default_factory=list)
+    # {var: Belief} — class-anchor priors
+    priors: Dict[str, Belief] = field(default_factory=dict)
 
 
 @dataclass
@@ -32,16 +46,50 @@ class LikelihoodMessage:
     beliefs: Dict[str, Belief] = field(default_factory=dict)
     # direction hint (reference :UPWARD_DIFFERENTIAL / :DOWNWARD_COMMON)
     direction: str = "up"
-    # joint differential likelihoods: [(var_a, var_b, Belief-over-diff)]
-    # (reference LikelihoodMessage.jointmsg::_MsgJointLikelihood)
-    joint: list = field(default_factory=list)
+    # joint differential payload (reference LikelihoodMessage.jointmsg)
+    jointmsg: Optional[JointMsg] = None
+    # whether the sending clique carried any prior potentials (reference
+    # LikelihoodMessage.hasPriors; gates joint-prior placement)
+    has_priors: bool = False
 
 
 def add_msg_factors(subfg, msg: LikelihoodMessage) -> List[str]:
-    """Insert message beliefs as MsgPrior factors — plus, on the joint-
-    likelihood path, differential relative factors between separator pairs
-    (reference addMsgFactors!, TreeMessageUtils.jl:542-594)."""
+    """Insert a message into a clique subgraph as factors (reference
+    addMsgFactors!, TreeMessageUtils.jl:542-594).
+
+    Default path: one MsgPrior per separator belief.  Joint path (upward +
+    ``use_msg_likelihoods`` + jointmsg present): the deconv-derived relative
+    likelihoods (:__UPWARD_DIFFERENTIAL__) plus class-anchor priors
+    (:__UPWARD_COMMON__), the latter only when the sender saw priors or the
+    variable would otherwise be factor-less (addLikelihoodPriorCommon!,
+    TreeMessageUtils.jl:454-470)."""
     added = []
+    use_joint = (subfg.params.use_msg_likelihoods and msg.direction == "up"
+                 and msg.jointmsg is not None and msg.beliefs)
+    if use_joint:
+        jm = msg.jointmsg
+        for va, vb, diff_belief in jm.relatives:
+            if va not in subfg.variables or vb not in subfg.variables:
+                continue
+            manifold = subfg.var(va).manifold
+            f = subfg.add_factor(
+                [va, vb], MsgRelativeLikelihood(diff_belief, manifold),
+                label=f"{va}{vb}_{MSG_TAG}J_{msg.sender}_{msg.direction}",
+                graphinit=False, tags=(MSG_TAG, "__UPWARD_DIFFERENTIAL__"))
+            added.append(f.label)
+        for vlbl, belief in jm.priors.items():
+            if vlbl not in subfg.variables:
+                continue
+            if not (msg.has_priors or len(subfg.factors_of(vlbl)) == 0):
+                continue
+            manifold = subfg.var(vlbl).manifold
+            f = subfg.add_factor(
+                [vlbl], MsgPrior(belief, manifold),
+                label=f"{vlbl}_{MSG_TAG}_{msg.sender}_{msg.direction}",
+                graphinit=False, tags=(MSG_TAG, "__UPWARD_COMMON__"))
+            added.append(f.label)
+        return added
+
     for vlbl, belief in msg.beliefs.items():
         if vlbl not in subfg.variables:
             continue
@@ -49,15 +97,6 @@ def add_msg_factors(subfg, msg: LikelihoodMessage) -> List[str]:
         f = subfg.add_factor(
             [vlbl], MsgPrior(belief, manifold),
             label=f"{vlbl}_{MSG_TAG}_{msg.sender}_{msg.direction}",
-            graphinit=False, tags=(MSG_TAG,))
-        added.append(f.label)
-    for va, vb, diff_belief in msg.joint:
-        if va not in subfg.variables or vb not in subfg.variables:
-            continue
-        manifold = subfg.var(va).manifold
-        f = subfg.add_factor(
-            [va, vb], MsgRelativeLikelihood(diff_belief, manifold),
-            label=f"{va}{vb}_{MSG_TAG}J_{msg.sender}_{msg.direction}",
             graphinit=False, tags=(MSG_TAG,))
         added.append(f.label)
     return added
@@ -77,32 +116,140 @@ def delete_msg_factors(subfg, labels: List[str] | None = None) -> None:
                 subfg._var_factors[vl].remove(fl)
 
 
-def prep_msg_up(subfg, clique, status: CliqStatus,
-                solve_key: str = "default") -> LikelihoodMessage:
-    """Separator beliefs → up message; with ``use_msg_likelihoods`` also
-    attach differential likelihoods between consecutive separator variables
-    (reference prepCliqueMsgUp + addLikelihoodsDifferentialCHILD!,
-    TreeMessageUtils.jl:667-703, :279-335)."""
+def _subfg_has_priors(subfg) -> bool:
+    """Whether the clique subgraph carries any prior potential — INCLUDING
+    message priors inserted from child messages, so the flag propagates up
+    a branch ("true only if a prior occurred here or lower down in tree
+    branch", reference prepCliqueMsgUp lsfPriors(subfg),
+    TreeMessageUtils.jl:665-682)."""
+    return any(subfg.factor(fl).is_prior for fl in subfg.lsf())
+
+
+def generate_msg_joint(subfg, clique, solve_key: str = "default",
+                       has_priors: bool | None = None) -> JointMsg:
+    """Build the joint up-message payload (reference
+    _generateMsgJointRelativesPriors, TreeMessageUtils.jl:423-447).
+
+    Relatives: for separator pairs (descending manifold dimension) whose
+    connecting factor path inside the clique subgraph is homogeneous AND of
+    the pair's default factor type, a deconv-derived relative likelihood —
+    per-particle tangent differences of the solved beliefs, the closed-form
+    deconv of LinearRelative/ManifoldFactor (addLikelihoodsDifferentialCHILD!,
+    TreeMessageUtils.jl:279-335).
+
+    Priors: separators are grouped into connectivity classes by paths
+    restricted to the default factor type (_findSubgraphsFactorType,
+    :126-205); each class contributes one anchor prior on its highest-
+    dimension / highest-adjacency variable (_calcCandidatePriorBest +
+    _generateSubgraphMsgPriors, :339-412)."""
     from ..manifolds import Euclidean
+    from ..ops.graphops import (find_shortest_path_dijkstra,
+                                is_path_factors_homogeneous)
+    from ..utils.defaults import select_factor_type
 
-    msg = LikelihoodMessage(sender=clique.cid, status=status, direction="up")
-    for vlbl in clique.separator:
-        msg.beliefs[vlbl] = subfg.get_belief(vlbl, solve_key)
+    jm = JointMsg()
+    if has_priors is None:
+        has_priors = _subfg_has_priors(subfg)
+    seps = [s for s in clique.separator
+            if subfg.var(s).is_initialized(solve_key)]
+    if not seps:
+        return jm
 
-    if subfg.params.use_msg_likelihoods and len(clique.separator) >= 2:
-        seps = sorted(clique.separator)
-        for va, vb in zip(seps[:-1], seps[1:]):
+    def _default_type(va, vb):
+        try:
+            return type(select_factor_type(subfg.var(va).vartype,
+                                           subfg.var(vb).vartype))
+        except ValueError:
+            return None
+
+    # 1. deconv-derived relatives over homogeneous same-default-type paths
+    order = sorted(seps, key=lambda s: -subfg.var(s).manifold.dof)
+    rel_count = {s: 0 for s in seps}
+    for i, va in enumerate(order):
+        for vb in order[i + 1:]:
             ma = subfg.var(va).manifold
             if ma != subfg.var(vb).manifold:
+                continue
+            is_hom, ftypes = is_path_factors_homogeneous(subfg, va, vb)
+            if not is_hom or not ftypes:
+                continue
+            dtype = _default_type(va, vb)
+            if dtype is None or dtype.__name__ != ftypes[0]:
                 continue
             pa = subfg.points(va, solve_key)
             pb = subfg.points(vb, solve_key)
             n = min(pa.shape[0], pb.shape[0])
-            # per-particle tangent differences = deconv of an implicit
-            # relative factor between the two solved separator beliefs
             diffs = ma.log(pa[:n], pb[:n])
-            diff_belief = make_belief(Euclidean(ma.dof), diffs)
-            msg.joint.append((va, vb, diff_belief))
+            jm.relatives.append((va, vb,
+                                 make_belief(Euclidean(ma.dof), diffs)))
+            rel_count[va] += 1
+            rel_count[vb] += 1
+
+    # 2. connectivity classes under the default factor type
+    assigned: Dict[str, int] = {}
+    nclass = 0
+    for s in seps:                     # relative-less separators first
+        if rel_count[s] == 0:
+            assigned[s] = nclass
+            nclass += 1
+    remaining = [s for s in seps if s not in assigned]
+    for k, va in enumerate(remaining):
+        if va not in assigned:
+            assigned[va] = nclass
+            nclass += 1
+        for vb in remaining[k + 1:]:
+            if vb in assigned:
+                continue
+            dtype = _default_type(va, vb)
+            path = [] if dtype is None else find_shortest_path_dijkstra(
+                subfg, va, vb, type_factors=(dtype,), initialized=True,
+                solve_key=solve_key)
+            if path:
+                assigned[vb] = assigned[va]
+            else:
+                assigned[vb] = nclass
+                nclass += 1
+    classes: Dict[int, list] = {}
+    for s, c in assigned.items():
+        classes.setdefault(c, []).append(s)
+
+    # 3. one anchor prior per class on the best candidate variable —
+    # only for singleton classes unless the clique itself saw priors
+    # (_generateSubgraphMsgPriors gating, TreeMessageUtils.jl:400-407)
+    for syms in classes.values():
+        if not (len(syms) == 1 or has_priors):
+            continue
+        max_dof = max(subfg.var(s).manifold.dof for s in syms)
+        cands = [s for s in syms if subfg.var(s).manifold.dof == max_dof]
+        best = max(cands, key=lambda s: len(subfg.factors_of(s)))
+        jm.priors[best] = subfg.get_belief(best, solve_key)
+    return jm
+
+
+def prep_msg_up(subfg, clique, status: CliqStatus,
+                solve_key: str = "default") -> LikelihoodMessage:
+    """Separator beliefs → up message; with ``use_msg_likelihoods`` also
+    attach the joint differential payload (reference prepCliqueMsgUp,
+    TreeMessageUtils.jl:667-703)."""
+    msg = LikelihoodMessage(sender=clique.cid, status=status, direction="up")
+    for vlbl in clique.separator:
+        # during the tree-init dance a NO_INIT message may be sent before
+        # all separators have beliefs — carry only what exists (the
+        # reference's status-only LikelihoodMessage)
+        if solve_key in subfg.var(vlbl).beliefs:
+            msg.beliefs[vlbl] = subfg.get_belief(vlbl, solve_key)
+
+    # did this clique carry prior potentials? (reference hasPriors check,
+    # TreeMessageUtils.jl:430)
+    msg.has_priors = _subfg_has_priors(subfg)
+
+    # joint payload only on solved up-messages (the reference builds the
+    # jointmsg in postUpSolve_, after the clique upsolve — init-phase
+    # messages carry plain beliefs)
+    if (subfg.params.use_msg_likelihoods and clique.separator
+            and status == CliqStatus.UPSOLVED):
+        msg.jointmsg = generate_msg_joint(subfg, clique, solve_key,
+                                          has_priors=msg.has_priors)
     return msg
 
 

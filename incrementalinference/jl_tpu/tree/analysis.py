@@ -11,8 +11,14 @@ from typing import Dict, List
 from .bayestree import BayesTree
 from .ordering import get_elimination_order
 
-__all__ = ["nnz_tree", "nnz_sqrt_info_matrix", "tree_cost_01",
-           "tree_cost_02", "all_tree_costs"]
+__all__ = ["nnz_frontals", "nnz_clique", "nnz_tree", "nnz_sqrt_info_matrix",
+           "tree_cost_01", "tree_cost_02", "all_tree_costs"]
+
+
+def nnz_frontals(dim: int) -> int:
+    """Upper-triangular non-zeros of a dim×dim frontal block (reference
+    nnzFrontals; test/testAnalysisTools.jl:5-12)."""
+    return dim * (dim + 1) // 2
 
 
 def nnz_clique(clique) -> int:

@@ -116,6 +116,24 @@ class BayesTree:
     def num_cliques(self) -> int:
         return len(self.cliques)
 
+    def is_root(self, cid: int) -> bool:
+        """Reference isRoot(tree, CliqueId) (test/testTreeFunctions.jl:25)."""
+        return self.cliques[cid].parent is None
+
+    def delete_clique(self, cid: int) -> Clique:
+        """Remove a clique; its children become roots and its frontals are
+        unindexed (reference deleteClique!,
+        test/testTreeFunctions.jl:30-36)."""
+        cl = self.cliques.pop(cid)
+        for ch in cl.children:
+            self.cliques[ch].parent = None
+        if cl.parent is not None and cl.parent in self.cliques:
+            par = self.cliques[cl.parent]
+            par.children = [c for c in par.children if c != cid]
+        for f in cl.frontals:
+            self.frontal_to_clique.pop(f, None)
+        return cl
+
     def __repr__(self):
         return (f"BayesTree({len(self.cliques)} cliques, "
                 f"depth={len(self.levels())})")

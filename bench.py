@@ -113,10 +113,15 @@ def extra_metrics():
                               batch_cliques=False)
         fg = grown(30, params)
         tr = solve_tree(fg)
+        # one untimed growth step warms the incremental kernel structures
+        # (incl. the one-time wildfire-gate jit compile)
+        fg.add_variable("x31", ContinuousScalar)
+        fg.add_factor(["x30", "x31"], LinearRelative(Normal(10.0, 1.0)))
+        tr = solve_tree(fg, old_tree=tr)
         t0 = time.time()
         steps = 4
         for s in range(steps):
-            n = 30 + s
+            n = 31 + s
             fg.add_variable(f"x{n+1}", ContinuousScalar)
             fg.add_factor([f"x{n}", f"x{n+1}"],
                           LinearRelative(Normal(10.0, 1.0)))

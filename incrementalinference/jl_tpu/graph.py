@@ -218,6 +218,10 @@ class FactorGraph:
         return self.variables.pop(label)
 
     # -- queries (reference ls/lsf/getNeighbors) --------------------------
+    def exists(self, label: str) -> bool:
+        """Reference DFG exists(fg, label) — variable or factor."""
+        return label in self.variables or label in self.factors
+
     def ls(self, tags: Iterable[str] = ()) -> List[str]:
         tags = set(tags)
         return [v for v, var in self.variables.items()

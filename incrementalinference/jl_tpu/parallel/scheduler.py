@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from ..beliefs import ppe as calc_ppe
 from ..graph import FactorGraph, Variable
@@ -111,32 +112,41 @@ def transfer_update_subgraph(fg: FactorGraph, sub: FactorGraph,
 
 
 def _msg_summary(msg: LikelihoodMessage) -> dict:
-    """Compact per-variable summary (mean + particle-spread scale) of a down
-    message for the wildfire comparison."""
-    import numpy as np
+    """Per-variable raw particle references of a down message for the
+    wildfire comparison.
 
-    out = {}
-    for vlbl, b in msg.beliefs.items():
-        pts = np.asarray(b.points)
-        mean = pts.mean(axis=0)
-        scale = float(pts.std(axis=0).mean())
-        out[vlbl] = (mean, max(scale, 1e-9))
-    return out
+    Deliberately does NO math: jax arrays are immutable so keeping the
+    reference is free, and any eager per-clique reduction here costs a
+    device round-trip per op — on a tunneled TPU that serialized the whole
+    down sweep and cost more than the solves the gate skips.  All the math
+    runs in ONE jitted call per candidate variable inside
+    :func:`_wildfire_unchanged`."""
+    return {vlbl: b.points for vlbl, b in msg.beliefs.items()}
+
+
+@jax.jit
+def _wildfire_stat(pts_new, pts_old):
+    """Spread-normalized mean displacement between two particle sets —
+    the wildfire gate statistic, one fused device call."""
+    mn = jnp.mean(pts_new, axis=0)
+    mo = jnp.mean(pts_old, axis=0)
+    sn = jnp.mean(jnp.std(pts_new, axis=0))
+    so = jnp.mean(jnp.std(pts_old, axis=0))
+    return jnp.linalg.norm(mn - mo) / jnp.maximum(jnp.maximum(sn, so), 1e-9)
 
 
 def _wildfire_unchanged(new: dict, old: Optional[dict], tol: float) -> bool:
     """True when every separator mean moved < tol spread-normalized units —
     the incremental down message carries no new information worth
     re-solving for (iSAM2 wildfire-threshold analogue)."""
-    import numpy as np
-
     if old is None or set(new) != set(old):
         return False
-    for vlbl, (mn, sn) in new.items():
-        mo, so = old[vlbl]
-        if mn.shape != mo.shape:
+    for vlbl, pn in new.items():
+        po = old[vlbl]
+        if pn.shape != po.shape:
             return False
-        if float(np.linalg.norm(mn - mo)) / max(sn, so) > tol:
+        # the only device sync on the gate path, per candidate variable
+        if float(_wildfire_stat(pn, po)) > tol:
             return False
     return True
 

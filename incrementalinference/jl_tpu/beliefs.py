@@ -145,6 +145,39 @@ def _ppe_core(manifold: Manifold, points: jnp.ndarray, bw: jnp.ndarray):
     return mu, pmax
 
 
+def is_partial(belief: Belief) -> bool:
+    """Whether the belief constrains only a subset of tangent dims — some
+    infoPerCoord entries are zero (reference isPartial on beliefs,
+    test/testpartialconstraint.jl:106)."""
+    import numpy as _np
+    ipc = _np.asarray(belief.ipc)
+    return bool((ipc <= 0).any())
+
+
+@functools.partial(jax.jit, static_argnames=("manifold",))
+def _ppe_core_batched(manifold: Manifold, points: jnp.ndarray,
+                      bw: jnp.ndarray):
+    return jax.vmap(_ppe_core, in_axes=(None, 0, 0))(manifold, points, bw)
+
+
+def ppe_batched(manifold: Manifold, beliefs):
+    """calcPPE for several same-shape beliefs in ONE device call — the
+    per-clique frontal write-back otherwise costs one dispatch per variable
+    (transferUpdateSubGraph!, SubGraphFunctions.jl:131+)."""
+    for b in beliefs:
+        sh = getattr(b.points, "sharding", None)
+        if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+            # eager stack of multi-device-sharded arrays corrupts/aborts
+            # XLA:CPU (same hazard as the guard in ppe()) — take the safe
+            # one-at-a-time path, which localizes each block first
+            return [ppe(manifold, b) for b in beliefs]
+    pts = jnp.stack([b.points for b in beliefs])
+    bws = jnp.stack([b.bw for b in beliefs])
+    mus, pmaxs = _ppe_core_batched(manifold, pts, bws)
+    return [{"mean": mus[i], "max": pmaxs[i], "suggested": pmaxs[i]}
+            for i in range(len(beliefs))]
+
+
 def ppe(manifold: Manifold, belief: Belief):
     """Posterior point estimates (reference calcPPE → MeanMaxPPE,
     src/services/FGOSUtils.jl:237-274): suggested=max-density particle,

@@ -84,6 +84,52 @@ def save_tree_dot(tree: BayesTree, path: str = "/tmp/iitpu/bt.dot") -> str:
     return path
 
 
+def _tex_label(name: str) -> str:
+    """x1 → $x_{1}$, lm20 → $lm_{20}$ (reference generateTexTree label
+    styling, JunctionTreeUtils.jl:685-751)."""
+    import re
+    m = re.match(r"([A-Za-z]+)(\d*)$", name)
+    if not m:
+        return name
+    base, sub = m.groups()
+    return f"$ {base}_{{{sub}}} $" if sub else f"$ {base} $"
+
+
+def generate_tex_tree(tree: BayesTree,
+                      path: str = "/tmp/iitpu/bt.tex") -> str:
+    """Standalone TikZ LaTeX rendering of the Bayes tree with math-styled
+    frontal/separator labels (reference generateTexTree via dot2tex,
+    JunctionTreeUtils.jl:685-751; test/testTexTreeIllustration.jl).
+    Returns the written path; compile with pdflatex."""
+    import os
+
+    lines = [r"\documentclass[tikz,border=6pt]{standalone}",
+             r"\usetikzlibrary{graphs,graphdrawing}",
+             r"\usegdlibrary{trees}",
+             r"\begin{document}",
+             r"\begin{tikzpicture}[every node/.style="
+             r"{draw,ellipse,align=center}]",
+             r"\graph[tree layout, sibling distance=14mm, "
+             r"level distance=18mm]{"]
+    def node(c):
+        fr = ",\\,".join(_tex_label(v) for v in c.frontals)
+        sep = ",\\,".join(_tex_label(v) for v in c.separator)
+        body = fr + (f" $\\mid$ {sep}" if sep else "")
+        return f'c{c.cid}/"{body}"'
+
+    edges = []
+    for c in tree.cliques.values():
+        edges.append(node(c) + ";")
+        if c.parent is not None:
+            edges.append(f"c{c.parent} -> c{c.cid};")
+    lines += ["  " + e for e in edges]
+    lines += ["};", r"\end{tikzpicture}", r"\end{document}"]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
+
+
 def replay_clique_up(fg, tree: BayesTree, cid: int,
                      traces: Dict[int, CliqueTrace],
                      solve_key: str = "default"):

@@ -125,6 +125,12 @@ class Factor:
         """Reference isMultihypo (src/services/FGOSUtils.jl:303-313)."""
         return self.multihypo is not None
 
+    @property
+    def is_partial(self) -> bool:
+        """Reference isPartial (test/testPartialFactors.jl) — the factor
+        constrains only a subset of the target's tangent dims."""
+        return getattr(self.model, "partial", None) is not None
+
 
 class FactorGraph:
     """The in-memory factor graph (reference ``initfg``/LocalDFG)."""
@@ -134,14 +140,26 @@ class FactorGraph:
         self.variables: Dict[str, Variable] = {}
         self.factors: Dict[str, Factor] = {}
         self._var_factors: Dict[str, List[str]] = {}
-        self._key = jax.random.PRNGKey(self.params.seed)
+        self._seed = int(self.params.seed) & 0xFFFFFFFF
+        self._key_ctr = 0
         self._factor_counter = itertools.count()
         self.solve_count = 0
 
-    # -- RNG plumbing: one root key, split per request --------------------
+    # -- RNG plumbing: host-side counter-derived threefry keys ------------
     def next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+        """Fresh PRNG key per call WITHOUT any eager device op — any (2,)
+        uint32 array is a valid threefry key, so deriving (seed, counter)
+        on host avoids the jax.random.split RPC per request (on a tunneled
+        TPU each eager op costs a round trip; this was a per-clique-solve
+        overhead).  Deterministic per (params.seed, call index)."""
+        import numpy as _np
+        self._key_ctr += 1
+        return _np.array([self._seed, self._key_ctr], dtype=_np.uint32)
+
+    def reseed(self, seed: int) -> None:
+        """Restart the key stream from a new 32-bit seed."""
+        self._seed = int(seed) & 0xFFFFFFFF
+        self._key_ctr = 0
 
     # -- construction -----------------------------------------------------
     def add_variable(self, label: str, vartype: VariableType,

@@ -116,6 +116,19 @@ def delete_msg_factors(subfg, labels: List[str] | None = None) -> None:
                 subfg._var_factors[vl].remove(fl)
 
 
+def _localize(pts):
+    """Pull a multi-device-sharded particle block to one device before any
+    EAGER op — eager slicing/logs on sharded arrays hard-abort XLA:CPU
+    (same guard as beliefs.ppe)."""
+    sh = getattr(pts, "sharding", None)
+    if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+        import numpy as _np
+
+        import jax.numpy as _jnp
+        return _jnp.asarray(_np.asarray(pts))
+    return pts
+
+
 def _subfg_has_priors(subfg) -> bool:
     """Whether the clique subgraph carries any prior potential — INCLUDING
     message priors inserted from child messages, so the flag propagates up
@@ -176,8 +189,8 @@ def generate_msg_joint(subfg, clique, solve_key: str = "default",
             dtype = _default_type(va, vb)
             if dtype is None or dtype.__name__ != ftypes[0]:
                 continue
-            pa = subfg.points(va, solve_key)
-            pb = subfg.points(vb, solve_key)
+            pa = _localize(subfg.points(va, solve_key))
+            pb = _localize(subfg.points(vb, solve_key))
             n = min(pa.shape[0], pb.shape[0])
             diffs = ma.log(pa[:n], pb[:n])
             jm.relatives.append((va, vb,

@@ -69,7 +69,9 @@ def build_clique_subgraph(fg: FactorGraph, clique: Clique,
     (async dispatch), the mesh equivalent of the reference's per-clique
     worker processes (SolveTree.jl WORKERPOOL)."""
     sub = FactorGraph(fg.params)
-    sub._key = fg.next_key()
+    k = fg.next_key()
+    # independent deterministic key stream per subgraph, derived on host
+    sub.reseed((int(k[0]) * 0x9E3779B1 + int(k[1])) & 0xFFFFFFFF)
     for vl in clique.all_vars:
         v = fg.var(vl)
         beliefs = dict(v.beliefs)
@@ -99,7 +101,11 @@ def transfer_update_subgraph(fg: FactorGraph, sub: FactorGraph,
                              labels: List[str],
                              solve_key: str = "default") -> None:
     """Write solved beliefs + PPE back to the main graph (reference
-    transferUpdateSubGraph!, SubGraphFunctions.jl:131+)."""
+    transferUpdateSubGraph!, SubGraphFunctions.jl:131+).  PPEs for
+    same-shape frontals compute in one batched device call."""
+    from ..beliefs import ppe_batched
+
+    groups: Dict[Tuple, List[Tuple[str, object]]] = {}
     for vl in labels:
         sv = sub.var(vl)
         if solve_key not in sv.beliefs:
@@ -107,8 +113,16 @@ def transfer_update_subgraph(fg: FactorGraph, sub: FactorGraph,
         b = sv.beliefs[solve_key]
         fg.set_belief(vl, b.points, solve_key=solve_key, bw=b.bw, ipc=b.ipc,
                       initialized=sv.is_initialized(solve_key))
-        v = fg.var(vl)
-        v.ppe[solve_key] = calc_ppe(v.manifold, b)
+        groups.setdefault((sv.manifold, b.points.shape),
+                          []).append((vl, b))
+    for (manifold, _), entries in groups.items():
+        if len(entries) == 1:
+            vl, b = entries[0]
+            fg.var(vl).ppe[solve_key] = calc_ppe(manifold, b)
+        else:
+            ppes = ppe_batched(manifold, [b for _, b in entries])
+            for (vl, _), pd in zip(entries, ppes):
+                fg.var(vl).ppe[solve_key] = pd
 
 
 def _msg_summary(msg: LikelihoodMessage) -> dict:
@@ -217,6 +231,37 @@ def _gibbs_solve(sub: FactorGraph, clique: Clique, variables: List[str],
             local_product_and_update(sub, vl, solve_key=solve_key)
 
 
+#: structural plan cache for whole-clique chains: the per-variable step
+#: plans (specs/masks/local indices) depend only on the clique's symbolic
+#: structure, not on particle data, so re-solves of the same structure
+#: (incremental updates, repeated solves, regenerated canonical graphs)
+#: skip the ~1 ms/clique Python plan build entirely.
+_CHAIN_PLAN_CACHE: Dict[Tuple, Tuple] = {}
+_CHAIN_PLAN_CACHE_MAX = 4096
+
+
+def _chain_plan_key(sub: FactorGraph, live: List[str], dvs: List[str],
+                    ivs: List[str], params, solve_key: str):
+    """Cheap structural key for the chain plan: variable layout, each
+    factor's symbolic form (model treedef captures component structure),
+    and the solver knobs baked into ConvSpecs."""
+    try:
+        vars_part = tuple((v, sub.var(v).vartype.name, sub.var(v).N)
+                          for v in live)
+        fact_part = []
+        for fl in sub.lsf():
+            f = sub.factor(fl)
+            fact_part.append((fl, f.variables, f.multihypo, f.nullhypo,
+                              f.solvable,
+                              jax.tree_util.tree_structure(f.model)))
+    except Exception:          # unhashable model structure → no caching
+        return None
+    return (vars_part, tuple(fact_part), tuple(dvs), tuple(ivs),
+            params.inflate_cycles, params.inflation, params.spread_nh,
+            params.conv_iters, params.conv_damping, params.gibbs_iters,
+            solve_key)
+
+
 def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
                        direct: List[str], iter_vars: List[str],
                        solve_key: str = "default") -> bool:
@@ -248,58 +293,87 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
     if len(n_set) != 1:
         return False
 
-    def build_step(var):
-        """One static update plan, or None (no factors) / False (needs
-        the general path)."""
-        v = sub.var(var)
-        factors = _canonical_factors(sub, var)
-        if not factors:
-            return None
-        specs, masks, models, fvidx = [], [], [], []
-        for f in factors:
-            if any(lbl not in local for lbl in f.variables):
+    pkey_struct = _chain_plan_key(sub, live, dvs, ivs, params, solve_key)
+    if pkey_struct is not None:
+        # belief particle counts are data (may differ from Variable.N)
+        pkey_struct = pkey_struct + (tuple(p.shape[0] for p in store),)
+    cached = (_CHAIN_PLAN_CACHE.get(pkey_struct)
+              if pkey_struct is not None else None)
+    if cached is not None:
+        if cached is False:
+            return False
+        (direct_steps, iter_steps, direct_labels, iter_labels,
+         touched) = cached
+        models_direct = [tuple(sub.factor(fl).model for fl in fls)
+                         for fls in direct_labels]
+        models_iter = [tuple(sub.factor(fl).model for fl in fls)
+                       for fls in iter_labels]
+        if not direct_steps and not iter_steps:
+            return True
+    else:
+        def build_step(var):
+            """One static update plan, or None (no factors) / False (needs
+            the general path)."""
+            v = sub.var(var)
+            factors = _canonical_factors(sub, var)
+            if not factors:
+                return None
+            specs, masks, models, fvidx, labels = [], [], [], [], []
+            for f in factors:
+                if any(lbl not in local for lbl in f.variables):
+                    return False
+                cache = getattr(f, "_conv_cache", None)
+                if cache is None:
+                    cache = f._conv_cache = {}
+                pkey = (var, params.inflate_cycles, params.inflation,
+                        params.spread_nh, params.conv_iters,
+                        params.conv_damping)
+                entry = cache.get(pkey)
+                if entry is None:
+                    spec = make_conv_spec(sub, f, var)
+                    entry = cache[pkey] = (
+                        spec, static_dim_mask(v.manifold, spec.partial_dims))
+                spec, mask = entry
+                specs.append(spec)
+                masks.append(mask)
+                models.append(f.model)
+                labels.append(f.label)
+                fvidx.append(tuple(local[lbl] for lbl in f.variables))
+            if v.N != store[local[var]].shape[0]:
                 return False
-            cache = getattr(f, "_conv_cache", None)
-            if cache is None:
-                cache = f._conv_cache = {}
-            pkey = (var, params.inflate_cycles, params.inflation,
-                    params.spread_nh, params.conv_iters,
-                    params.conv_damping)
-            entry = cache.get(pkey)
-            if entry is None:
-                spec = make_conv_spec(sub, f, var)
-                entry = cache[pkey] = (
-                    spec, static_dim_mask(v.manifold, spec.partial_dims))
-            spec, mask = entry
-            specs.append(spec)
-            masks.append(mask)
-            models.append(f.model)
-            fvidx.append(tuple(local[lbl] for lbl in f.variables))
-        if v.N != store[local[var]].shape[0]:
-            return False
-        step = (local[var], v.manifold, tuple(specs), tuple(masks),
-                v.N, tuple(fvidx))
-        return step, tuple(models), tuple(masks)
+            step = (local[var], v.manifold, tuple(specs), tuple(masks),
+                    v.N, tuple(fvidx))
+            return step, tuple(models), tuple(masks), tuple(labels)
 
-    direct_steps, models_direct = [], []
-    iter_steps, models_iter = [], []
-    touched = {}
-    for var in dvs + ivs:
-        built = build_step(var)
-        if built is None:
-            continue
-        if built is False:
-            return False
-        step, models, masks = built
-        if var in dvs:
-            direct_steps.append(step)
-            models_direct.append(models)
-        else:
-            iter_steps.append(step)
-            models_iter.append(models)
-        touched[step[0]] = masks
-    if not direct_steps and not iter_steps:
-        return True
+        direct_steps, models_direct, direct_labels = [], [], []
+        iter_steps, models_iter, iter_labels = [], [], []
+        touched = {}
+        for var in dvs + ivs:
+            built = build_step(var)
+            if built is None:
+                continue
+            if built is False:
+                if pkey_struct is not None:
+                    _CHAIN_PLAN_CACHE[pkey_struct] = False
+                return False
+            step, models, masks, labels = built
+            if var in dvs:
+                direct_steps.append(step)
+                models_direct.append(models)
+                direct_labels.append(labels)
+            else:
+                iter_steps.append(step)
+                models_iter.append(models)
+                iter_labels.append(labels)
+            touched[step[0]] = masks
+        if pkey_struct is not None:
+            if len(_CHAIN_PLAN_CACHE) >= _CHAIN_PLAN_CACHE_MAX:
+                _CHAIN_PLAN_CACHE.clear()
+            _CHAIN_PLAN_CACHE[pkey_struct] = (
+                tuple(direct_steps), tuple(iter_steps),
+                tuple(direct_labels), tuple(iter_labels), dict(touched))
+        if not direct_steps and not iter_steps:
+            return True
 
     new_store, dbws, ibws = fused_clique_gibbs(
         direct_steps, iter_steps, params.gibbs_iters,

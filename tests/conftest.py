@@ -6,6 +6,20 @@ Multi-chip sharding paths are exercised against
 NOTE: this image half-imports jax at interpreter startup and pins
 ``JAX_PLATFORMS=axon`` in the env, so plain env mutation is ignored — the
 platform must be forced through ``jax.config`` (see .claude/skills/verify).
+
+## Why full-suite runs shard into per-file subprocesses
+
+XLA:CPU segfaults (inside LLVM ``backend_compile_and_load``, occasionally
+inside executable serialization) once a single process has JIT-compiled
+enough programs — the crash point moves with the test set, consistent with
+cumulative JITted-code volume crossing a code-model displacement limit
+rather than any specific program being bad (bisected 2026-08-19: the
+pre-session suite passes cold; adding ~20 tests makes later compiles
+segfault at varying sites).  ``pytest tests/`` therefore re-dispatches each
+test FILE into its own subprocess, capping per-process compile volume, and
+retries a crashed child (the persistent jit cache makes retries converge:
+entries written before a crash are reused).  Single-file invocations run
+inline as usual.
 """
 
 import os
@@ -19,9 +33,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# persistent compile cache: repeated test runs skip XLA recompilation
-# dedicated dir: executables compiled by axon-coupled processes abort
-# here (machine-feature mismatch) — never share caches across configs
+# persistent compile cache: repeated test runs and crash-retry children
+# skip XLA recompilation.  Dedicated dir: executables compiled by
+# axon-coupled processes abort here (machine-feature mismatch) — never
+# share caches across configs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-pytest")
 # keep only the jit-level cache: XLA:CPU AOT entries are machine-feature
 # sensitive and poison across process configurations (SIGILL risk)
@@ -29,24 +44,89 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-# XLA:CPU segfaults (deep in LoadedExecutable.serialize) when writing the
-# large scan-bearing whole-clique chain kernels to the persistent cache —
-# skip persistent WRITES for those programs only (they recompile per test
-# process; everything else stays cached). TPU executables serialize fine.
-import jax._src.compilation_cache as _cc  # noqa: E402
-
-_orig_put_executable = _cc.put_executable_and_time
+_SHARD_CHILD_ENV = "IITPU_SHARDED_CHILD"
 
 
-def _safe_put_executable(cache_key, module_name, executable, backend,
-                         compile_time):
-    if "clique_chain" in module_name:
-        return
-    return _orig_put_executable(cache_key, module_name, executable, backend,
-                                compile_time)
+def _is_full_suite_invocation(args, testdir):
+    targets = [a for a in args if not a.startswith("-")]
+    if not targets:
+        return True
+    for t in targets:
+        p = os.path.abspath(t.rstrip("/"))
+        if p != testdir and not os.path.isdir(p):
+            return False
+    return True
 
 
-_cc.put_executable_and_time = _safe_put_executable
+def pytest_cmdline_main(config):
+    """Shard full-suite runs into one subprocess per test file (see module
+    docstring).  Children and explicit single-file runs return None and
+    proceed normally."""
+    if os.environ.get(_SHARD_CHILD_ENV) == "1":
+        return None
+    if os.environ.get("IITPU_NO_SHARD") == "1":
+        return None
+    args = list(config.invocation_params.args)
+    testdir = os.path.dirname(os.path.abspath(__file__))
+    if not _is_full_suite_invocation(args, testdir):
+        return None
+
+    import glob
+    import re
+    import subprocess
+    import sys
+    import time
+
+    files = sorted(glob.glob(os.path.join(testdir, "test_*.py")))
+    flags_ = [a for a in args if a.startswith("-") and a not in ("-q", "-x")]
+    stop_on_fail = "-x" in args
+    env = dict(os.environ)
+    env[_SHARD_CHILD_ENV] = "1"
+
+    t0 = time.time()
+    totals = {"passed": 0, "failed": 0, "skipped": 0}
+    failed_files = []
+    for path in files:
+        name = os.path.basename(path)
+        for attempt in range(3):
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", path, "-q", *flags_],
+                env=env, capture_output=True, text=True)
+            tail = (r.stdout or "")[-4000:]
+            counts = {v: int(k) for k, v in
+                      re.findall(r"(\d+) (passed|failed|skipped|errors?)",
+                                 tail)}
+            if r.returncode == 0:
+                for k in totals:
+                    totals[k] += counts.get(k, 0)
+                print(f"{name}: {counts.get('passed', 0)} passed"
+                      + (f", {counts['skipped']} skipped"
+                         if counts.get("skipped") else ""),
+                      flush=True)
+                break
+            crashed = r.returncode < 0 or r.returncode >= 128 or \
+                "Fatal Python error" in (r.stderr or "")
+            if crashed and attempt < 2:
+                print(f"{name}: child crashed (rc={r.returncode}), "
+                      f"retry {attempt + 1}", flush=True)
+                continue
+            # genuine test failure (or persistent crash)
+            failed_files.append(name)
+            totals["passed"] += counts.get("passed", 0)
+            totals["failed"] += max(counts.get("failed", 0), 1)
+            print(f"{name}: FAILED (rc={r.returncode})", flush=True)
+            sys.stdout.write(tail + "\n")
+            sys.stdout.write((r.stderr or "")[-2000:] + "\n")
+            break
+        if failed_files and stop_on_fail:
+            break
+
+    dt = time.time() - t0
+    status = "FAILED" if failed_files else "passed"
+    print(f"[sharded suite] {totals['passed']} passed, "
+          f"{totals['failed']} failed, {totals['skipped']} skipped "
+          f"across {len(files)} files in {dt:.1f}s — {status}", flush=True)
+    return 1 if failed_files else 0
 
 
 def pytest_collection_modifyitems(config, items):

@@ -47,6 +47,20 @@ def test_tree_to_dot():
     assert dot.count("->") == tree.num_cliques() - len(tree.root_ids)
 
 
+def test_generate_tex_tree(tmp_path):
+    """LaTeX tree illustration with math-styled labels (reference
+    generateTexTree, test/testTexTreeIllustration.jl)."""
+    import os
+
+    from incrementalinference.jl_tpu.debugging import generate_tex_tree
+    fg, tree = _solved()
+    path = generate_tex_tree(tree, path=os.path.join(tmp_path, "bt.tex"))
+    tex = open(path).read()
+    assert r"\begin{tikzpicture}" in tex
+    assert "$" in tex                      # math-styled labels
+    assert tex.count("->") == tree.num_cliques() - len(tree.root_ids)
+
+
 def test_tree_costs():
     fg, tree = _solved()
     assert nnz_tree(tree) > 0

@@ -102,3 +102,25 @@ def test_derelative_in_graph():
     solve_tree(fg)
     p = np.asarray(fg.points("x1")[:, 0])
     assert abs(p.mean() - 11.0) < 1.0, p.mean()   # 5 + 2*3
+
+
+def test_derelative_decay_chain():
+    """First-order decay ODE chain: xdot = -0.2 x, x0 pinned at 1, poses 5 s
+    apart -> x_i = exp(-i) (reference testDERelative.jl first-order case,
+    nonparametric solve + parametric cross-check)."""
+    from incrementalinference.jl_tpu import solve_tree
+    from incrementalinference.jl_tpu.distributions import MvNormal
+
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(1.0, 0.01)))
+    for i in range(1, 4):
+        fg.add_variable(f"x{i}", ContinuousScalar)
+        de = DERelative(lambda t, x: -0.2 * x, t0=5.0 * (i - 1), t1=5.0 * i,
+                        Z=MvNormal([0.0], [0.01]), dim=1, steps=32)
+        fg.add_factor([f"x{i-1}", f"x{i}"], de)
+    solve_tree(fg)
+    for i in range(4):
+        truth = float(np.exp(-i))
+        m = float(np.mean(np.asarray(fg.points(f"x{i}")[:, 0])))
+        assert abs(m - truth) < 0.1, (i, m, truth)

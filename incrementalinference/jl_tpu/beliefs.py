@@ -155,9 +155,16 @@ def is_partial(belief: Belief) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("manifold",))
-def _ppe_core_batched(manifold: Manifold, points: jnp.ndarray,
-                      bw: jnp.ndarray):
-    return jax.vmap(_ppe_core, in_axes=(None, 0, 0))(manifold, points, bw)
+def _ppe_core_batched(manifold: Manifold, pts_tuple, bw_tuple):
+    # stack AND unstack inside the trace: eager stacks/slices outside the
+    # jit each cost a device round-trip (expensive behind the TPU tunnel)
+    points = jnp.stack(pts_tuple)
+    bw = jnp.stack(bw_tuple)
+    mus, pmaxs = jax.vmap(_ppe_core, in_axes=(None, 0, 0))(
+        manifold, points, bw)
+    k = len(pts_tuple)
+    return tuple(mus[i] for i in range(k)), \
+        tuple(pmaxs[i] for i in range(k))
 
 
 def ppe_batched(manifold: Manifold, beliefs):
@@ -167,15 +174,82 @@ def ppe_batched(manifold: Manifold, beliefs):
     for b in beliefs:
         sh = getattr(b.points, "sharding", None)
         if sh is not None and len(getattr(sh, "device_set", ())) > 1:
-            # eager stack of multi-device-sharded arrays corrupts/aborts
-            # XLA:CPU (same hazard as the guard in ppe()) — take the safe
+            # stacking multi-device-sharded arrays corrupts/aborts XLA:CPU
+            # (same hazard as the guard in ppe()) — take the safe
             # one-at-a-time path, which localizes each block first
             return [ppe(manifold, b) for b in beliefs]
-    pts = jnp.stack([b.points for b in beliefs])
-    bws = jnp.stack([b.bw for b in beliefs])
-    mus, pmaxs = _ppe_core_batched(manifold, pts, bws)
-    return [{"mean": mus[i], "max": pmaxs[i], "suggested": pmaxs[i]}
-            for i in range(len(beliefs))]
+    mus, pmaxs = _ppe_core_batched(manifold,
+                                   tuple(b.points for b in beliefs),
+                                   tuple(b.bw for b in beliefs))
+    return [{"mean": mu, "max": pm, "suggested": pm}
+            for mu, pm in zip(mus, pmaxs)]
+
+
+class LazyPPE(dict):
+    """calcPPE result computed on first access.
+
+    The reference computes MeanMaxPPE eagerly at updateFromSubgraph
+    (setVariablePosteriorEstimates!); here the values are identical but the
+    device call is deferred until someone reads the estimate — incremental
+    re-solve loops that never inspect PPEs then pay zero dispatches for
+    them (each dispatch costs a round trip behind the TPU tunnel)."""
+
+    def __init__(self, manifold: Manifold, belief: Belief):
+        super().__init__()
+        self._manifold = manifold
+        self._belief = belief
+        self._done = False
+
+    def _force(self):
+        if not self._done:
+            self.update(ppe(self._manifold, self._belief))
+            self._done = True
+
+    def __getitem__(self, k):
+        self._force()
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self._force()
+        return super().get(k, default)
+
+    def __contains__(self, k):
+        self._force()
+        return super().__contains__(k)
+
+    def __iter__(self):
+        self._force()
+        return super().__iter__()
+
+    def keys(self):
+        self._force()
+        return super().keys()
+
+    def items(self):
+        self._force()
+        return super().items()
+
+    def values(self):
+        self._force()
+        return super().values()
+
+    def __len__(self):
+        self._force()
+        return super().__len__()
+
+    def __repr__(self):
+        self._force()
+        return dict.__repr__(self)
+
+    def __eq__(self, other):
+        self._force()
+        return dict.__eq__(self, other)
+
+    __hash__ = None
+
+    def __reduce__(self):             # pickle/deepcopy materialize
+        self._force()
+        return (dict, (dict(self),))
 
 
 def ppe(manifold: Manifold, belief: Belief):

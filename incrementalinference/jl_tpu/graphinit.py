@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 
-from .beliefs import Belief, ppe as calc_ppe
+from .beliefs import Belief, LazyPPE
 from .models.factors import MetaPrior, GenericMarginal
 from .ops.graphops import propagate_belief
 
@@ -58,7 +58,7 @@ def doautoinit(fg, label: str, solve_key: str = "default") -> bool:
     belief, ipc = propagate_belief(fg, label, usable, solve_key=solve_key)
     fg.set_belief(label, belief.points, solve_key=solve_key,
                   bw=belief.bw, ipc=ipc, initialized=True)
-    v.ppe[solve_key] = calc_ppe(v.manifold, belief)
+    v.ppe[solve_key] = LazyPPE(v.manifold, belief)
     # preserve the init snapshot under the :graphinit solve key
     fg.set_belief(label, belief.points, solve_key="graphinit",
                   bw=belief.bw, ipc=ipc, initialized=True)
@@ -81,7 +81,7 @@ def init_variable(fg, label: str, value, solve_key: str = "default",
             pts = jnp.broadcast_to(pts, (v.N,) + pts.shape)
     b = fg.set_belief(label, pts, solve_key=solve_key, bw=bw,
                       initialized=True)
-    v.ppe[solve_key] = calc_ppe(v.manifold, b)
+    v.ppe[solve_key] = LazyPPE(v.manifold, b)
     return b
 
 

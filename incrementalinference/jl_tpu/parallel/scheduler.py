@@ -101,11 +101,10 @@ def transfer_update_subgraph(fg: FactorGraph, sub: FactorGraph,
                              labels: List[str],
                              solve_key: str = "default") -> None:
     """Write solved beliefs + PPE back to the main graph (reference
-    transferUpdateSubGraph!, SubGraphFunctions.jl:131+).  PPEs for
-    same-shape frontals compute in one batched device call."""
-    from ..beliefs import ppe_batched
+    transferUpdateSubGraph!, SubGraphFunctions.jl:131+).  PPEs are lazy —
+    identical values, computed only when read (see beliefs.LazyPPE)."""
+    from ..beliefs import LazyPPE
 
-    groups: Dict[Tuple, List[Tuple[str, object]]] = {}
     for vl in labels:
         sv = sub.var(vl)
         if solve_key not in sv.beliefs:
@@ -113,16 +112,7 @@ def transfer_update_subgraph(fg: FactorGraph, sub: FactorGraph,
         b = sv.beliefs[solve_key]
         fg.set_belief(vl, b.points, solve_key=solve_key, bw=b.bw, ipc=b.ipc,
                       initialized=sv.is_initialized(solve_key))
-        groups.setdefault((sv.manifold, b.points.shape),
-                          []).append((vl, b))
-    for (manifold, _), entries in groups.items():
-        if len(entries) == 1:
-            vl, b = entries[0]
-            fg.var(vl).ppe[solve_key] = calc_ppe(manifold, b)
-        else:
-            ppes = ppe_batched(manifold, [b for _, b in entries])
-            for (vl, _), pd in zip(entries, ppes):
-                fg.var(vl).ppe[solve_key] = pd
+        fg.var(vl).ppe[solve_key] = LazyPPE(sv.manifold, b)
 
 
 def _msg_summary(msg: LikelihoodMessage) -> dict:

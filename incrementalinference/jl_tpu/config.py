@@ -89,6 +89,15 @@ class SolverParams:
     # 0.11 s → 0.033 s LineStep(20)), off on CPU where dispatch is cheap
     # and the big chain programs trip an XLA:CPU cache-serialization bug.
     fuse_clique: object = "auto"
+    # EXPERIMENTAL: fuse RUNS of single-child cliques (chain segments of
+    # the tree) into one jitted dispatch for the whole segment up sweep,
+    # substituting the inter-clique up-message in-trace.  Measured on TPU
+    # v5e (LineStep(20)): the merged 10-clique program compiles 15x slower
+    # AND executes ~10x slower than the per-clique fused chains — XLA's
+    # scheduling of the small per-clique programs beats the monolith — so
+    # the default stays OFF ("auto" == False until that inverts on some
+    # backend).  Statistics are identical either way (covered by tests).
+    fuse_sweep: object = "auto"
     # iSAM2-style wildfire gate for incremental down-solves: a recycled
     # (UPRECYCLED) clique skips its down-solve when the incoming down
     # message moved less than ``wildfire_tol`` bandwidth-normalized units

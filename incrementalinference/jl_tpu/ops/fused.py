@@ -142,21 +142,11 @@ def fused_variable_update(manifold: Manifold,
               old_points, key)
 
 
-@functools.lru_cache(maxsize=512)
-def _fused_chain_fn(direct_steps: Tuple, iter_steps: Tuple, n_rounds: int):
-    """Whole-clique Gibbs schedule as ONE jitted dispatch.
-
-    Steps are static per-update plans — tuples of
-    (target_local_idx, manifold, specs, masks, n_out, factor_var_idx)
-    where factor_var_idx maps each factor's variables into the clique-local
-    points store.  The reference's fmcmc! outer loop
-    (SolveTree.jl:89-142) costs one device dispatch per variable update;
-    here direct vars run once, the first Gibbs round is traced inline, and
-    the remaining ``n_rounds - 1`` rounds ride a lax.scan over the SAME
-    round body — so compile cost is ~2 rounds regardless of gibbsIters and
-    runtime is a single XLA program, cached per clique-structure signature
-    (isomorphic cliques — every chain/LineStep middle clique — share one
-    compilation)."""
+def _make_clique_chain(direct_steps: Tuple, iter_steps: Tuple,
+                       n_rounds: int):
+    """Un-jitted whole-clique Gibbs body — reused by the per-clique jit
+    (:func:`_fused_chain_fn`) and by the multi-clique segment fusion
+    (:func:`fused_up_segment`)."""
     iter_touched = tuple(step[0] for step in iter_steps)
 
     def _apply(step, models, store, key):
@@ -174,11 +164,7 @@ def _fused_chain_fn(direct_steps: Tuple, iter_steps: Tuple, n_rounds: int):
             bws[step[0]] = bw
         return store, tuple(bws[li] for li in iter_touched)
 
-    def clique_chain(models_direct, models_iter, store, key):
-        # NOTE: keep this function name distinctive — tests skip persistent
-        # compile-cache WRITES for it (XLA:CPU executable serialization
-        # segfaults on these large scan-bearing programs; see
-        # tests/conftest.py). TPU serialization is unaffected.
+    def chain_body(models_direct, models_iter, store, key):
         kd, ki0, kr = jax.random.split(key, 3)
         store = tuple(store)
         dbws = []
@@ -198,6 +184,91 @@ def _fused_chain_fn(direct_steps: Tuple, iter_steps: Tuple, n_rounds: int):
                 ks = jax.random.split(kr, n_rounds - 1)
                 (store, ibws), _ = jax.lax.scan(body, (store, ibws), ks)
         return store, tuple(dbws), ibws
+
+    return chain_body
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_segment_fn(seg_static: Tuple, n_rounds: int):
+    """One jitted dispatch for a CHAIN of cliques (a run of single-clique
+    tree levels): each clique's Gibbs chain is traced in sequence, with the
+    inter-clique up-message — a MsgPrior over the child's solved separator
+    belief — substituted IN-TRACE from the child's output store instead of
+    round-tripping through the host (the static-schedule replacement for
+    the reference's channel rendezvous, SolverAPI.jl:59-97, now without a
+    device dispatch per clique).
+
+    seg_static: per clique
+      (direct_steps, iter_steps, msg_subs) where msg_subs is a tuple of
+      (which, step_idx, factor_idx, child_slot, manifold) marking plan
+      positions whose MsgPrior model must be rebuilt from the previous
+      clique's output (points=store[child_slot], bw=that slot's bw or a
+      fresh LOO bandwidth when the child did not update it)."""
+    from ..beliefs import Belief
+    from ..models.factors import MsgPrior
+
+    def segment(models_d_all, models_i_all, stores, keys):
+        prev_store = None
+        prev_bw: dict = {}
+        outs = []
+        for ci, (dsteps, isteps, msg_subs) in enumerate(seg_static):
+            models_d = [list(m) for m in models_d_all[ci]]
+            models_i = [list(m) for m in models_i_all[ci]]
+            for which, si, fi, child_slot, manifold in msg_subs:
+                pts = prev_store[child_slot]
+                bw = prev_bw.get(child_slot)
+                if bw is None:
+                    bw = loo_bandwidth(manifold, pts)
+                belief = Belief(points=pts, bw=bw,
+                                ipc=jnp.ones((manifold.dof,), pts.dtype))
+                mp = MsgPrior(belief, manifold)
+                (models_d if which == 0 else models_i)[si][fi] = mp
+            chain = _make_clique_chain(dsteps, isteps, n_rounds)
+            store, dbws, ibws = chain(
+                tuple(tuple(m) for m in models_d),
+                tuple(tuple(m) for m in models_i),
+                stores[ci], keys[ci])
+            outs.append((store, dbws, ibws))
+            prev_store = store
+            prev_bw = {step[0]: bw for step, bw in zip(dsteps, dbws)}
+            prev_bw.update({step[0]: bw
+                            for step, bw in zip(isteps, ibws)})
+        return tuple(outs)
+
+    return jax.jit(segment)
+
+
+def fused_up_segment(seg_static, n_rounds, models_d_all, models_i_all,
+                     stores, keys):
+    """Run a prepared chain-of-cliques up sweep as ONE dispatch (see
+    scheduler ``up_solve_segment`` for the host-side assembler)."""
+    fn = _fused_segment_fn(tuple(seg_static), int(n_rounds))
+    return fn(tuple(models_d_all), tuple(models_i_all), tuple(stores),
+              tuple(keys))
+
+
+@functools.lru_cache(maxsize=512)
+def _fused_chain_fn(direct_steps: Tuple, iter_steps: Tuple, n_rounds: int):
+    """Whole-clique Gibbs schedule as ONE jitted dispatch.
+
+    Steps are static per-update plans — tuples of
+    (target_local_idx, manifold, specs, masks, n_out, factor_var_idx)
+    where factor_var_idx maps each factor's variables into the clique-local
+    points store.  The reference's fmcmc! outer loop
+    (SolveTree.jl:89-142) costs one device dispatch per variable update;
+    here direct vars run once, the first Gibbs round is traced inline, and
+    the remaining ``n_rounds - 1`` rounds ride a lax.scan over the SAME
+    round body (built by :func:`_make_clique_chain`) — so compile cost is
+    ~2 rounds regardless of gibbsIters and runtime is a single XLA
+    program, cached per clique-structure signature (isomorphic cliques —
+    every chain/LineStep middle clique — share one compilation)."""
+    body = _make_clique_chain(direct_steps, iter_steps, n_rounds)
+
+    def clique_chain(models_direct, models_iter, store, key):
+        # NOTE: distinctive function name — some environments cannot
+        # serialize these scan-bearing XLA:CPU executables (see
+        # tests/conftest.py history). TPU serialization is unaffected.
+        return body(models_direct, models_iter, store, key)
 
     return jax.jit(clique_chain)
 

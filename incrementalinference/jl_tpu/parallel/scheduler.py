@@ -33,8 +33,8 @@ from ..graph import FactorGraph, Variable
 from ..graphinit import doautoinit
 from ..ops.graphops import local_product_and_update
 from ..tree.bayestree import BayesTree, Clique, CliqStatus
-from .messages import (LikelihoodMessage, add_msg_factors, delete_msg_factors,
-                       prep_msg_down, prep_msg_up)
+from .messages import (MSG_TAG, LikelihoodMessage, add_msg_factors,
+                       delete_msg_factors, prep_msg_down, prep_msg_up)
 
 __all__ = ["build_clique_subgraph", "transfer_update_subgraph",
            "up_solve_clique", "down_solve_clique", "solve_tree_sweeps",
@@ -252,19 +252,16 @@ def _chain_plan_key(sub: FactorGraph, live: List[str], dvs: List[str],
             solve_key)
 
 
-def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
-                       direct: List[str], iter_vars: List[str],
-                       solve_key: str = "default") -> bool:
-    """Whole-clique Gibbs schedule as ONE jitted dispatch
-    (ops/fused.py:_fused_chain_fn).  The sequential path costs one device
-    dispatch per variable update (~dozens per clique); here the full
-    schedule — direct vars once, iter vars × gibbs_iters — is a single
-    XLA program cached per clique-structure signature.  Returns False when
-    the clique's structure needs the general path (mixed particle counts,
-    factors reaching outside the clique store)."""
+def _build_chain_plan(sub: FactorGraph, clique: Clique,
+                      direct: List[str], iter_vars: List[str],
+                      solve_key: str = "default"):
+    """Assemble (or fetch from the structural cache) the whole-clique chain
+    plan against ``sub`` (with message factors already inserted).
+
+    Returns (plan, store, live) where plan is
+    (direct_steps, iter_steps, direct_labels, iter_labels, touched),
+    or plan=True (nothing to solve) / plan=False (general path needed)."""
     from ..ops.convolve import make_conv_spec, static_dim_mask
-    from ..ops.fused import fused_clique_gibbs
-    from ..ops.graphops import _ipc_of
 
     params = sub.params
     live = [v for v in clique.all_vars]
@@ -276,12 +273,12 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
     dvs = [v for v in direct if updatable(v)]
     ivs = [v for v in iter_vars if updatable(v)]
     if not dvs and not ivs:
-        return True
+        return True, None, live
 
     store = [sub.points(v, solve_key) for v in live]
     n_set = {p.shape[0] for p in store}
     if len(n_set) != 1:
-        return False
+        return False, None, live
 
     pkey_struct = _chain_plan_key(sub, live, dvs, ivs, params, solve_key)
     if pkey_struct is not None:
@@ -291,15 +288,10 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
               if pkey_struct is not None else None)
     if cached is not None:
         if cached is False:
-            return False
-        (direct_steps, iter_steps, direct_labels, iter_labels,
-         touched) = cached
-        models_direct = [tuple(sub.factor(fl).model for fl in fls)
-                         for fls in direct_labels]
-        models_iter = [tuple(sub.factor(fl).model for fl in fls)
-                       for fls in iter_labels]
-        if not direct_steps and not iter_steps:
-            return True
+            return False, None, live
+        if not cached[0] and not cached[1]:
+            return True, None, live
+        return cached, store, live
     else:
         def build_step(var):
             """One static update plan, or None (no factors) / False (needs
@@ -335,8 +327,8 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
                     v.N, tuple(fvidx))
             return step, tuple(models), tuple(masks), tuple(labels)
 
-        direct_steps, models_direct, direct_labels = [], [], []
-        iter_steps, models_iter, iter_labels = [], [], []
+        direct_steps, direct_labels = [], []
+        iter_steps, iter_labels = [], []
         touched = {}
         for var in dvs + ivs:
             built = build_step(var)
@@ -345,25 +337,51 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
             if built is False:
                 if pkey_struct is not None:
                     _CHAIN_PLAN_CACHE[pkey_struct] = False
-                return False
+                return False, None, live
             step, models, masks, labels = built
             if var in dvs:
                 direct_steps.append(step)
-                models_direct.append(models)
                 direct_labels.append(labels)
             else:
                 iter_steps.append(step)
-                models_iter.append(models)
                 iter_labels.append(labels)
             touched[step[0]] = masks
+        plan = (tuple(direct_steps), tuple(iter_steps),
+                tuple(direct_labels), tuple(iter_labels), dict(touched))
         if pkey_struct is not None:
             if len(_CHAIN_PLAN_CACHE) >= _CHAIN_PLAN_CACHE_MAX:
                 _CHAIN_PLAN_CACHE.clear()
-            _CHAIN_PLAN_CACHE[pkey_struct] = (
-                tuple(direct_steps), tuple(iter_steps),
-                tuple(direct_labels), tuple(iter_labels), dict(touched))
+            _CHAIN_PLAN_CACHE[pkey_struct] = plan
         if not direct_steps and not iter_steps:
-            return True
+            return True, None, live
+        return plan, store, live
+
+
+def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
+                       direct: List[str], iter_vars: List[str],
+                       solve_key: str = "default") -> bool:
+    """Whole-clique Gibbs schedule as ONE jitted dispatch
+    (ops/fused.py:_fused_chain_fn).  The sequential path costs one device
+    dispatch per variable update (~dozens per clique); here the full
+    schedule — direct vars once, iter vars × gibbs_iters — is a single
+    XLA program cached per clique-structure signature.  Returns False when
+    the clique's structure needs the general path (mixed particle counts,
+    factors reaching outside the clique store)."""
+    from ..ops.fused import fused_clique_gibbs
+    from ..ops.graphops import _ipc_of
+
+    params = sub.params
+    plan, store, live = _build_chain_plan(sub, clique, direct, iter_vars,
+                                          solve_key)
+    if plan is True:
+        return True
+    if plan is False:
+        return False
+    (direct_steps, iter_steps, direct_labels, iter_labels, touched) = plan
+    models_direct = [tuple(sub.factor(fl).model for fl in fls)
+                     for fls in direct_labels]
+    models_iter = [tuple(sub.factor(fl).model for fl in fls)
+                   for fls in iter_labels]
 
     new_store, dbws, ibws = fused_clique_gibbs(
         direct_steps, iter_steps, params.gibbs_iters,
@@ -374,6 +392,166 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
         sub.set_belief(live[li], new_store[li], solve_key=solve_key,
                        bw=bw_of[li], ipc=_ipc_of(masks))
     return True
+
+
+def _use_sweep(params) -> bool:
+    fs = getattr(params, "fuse_sweep", "auto")
+    if fs is True or fs is False:
+        return fs
+    # "auto" currently resolves to OFF: the merged segment program both
+    # compiles and runs slower than the per-clique fused chains on TPU
+    # (see SolverParams.fuse_sweep)
+    return False
+
+
+def _segment_eligible(fg, cl: Clique, solve_key: str) -> bool:
+    """A clique can join a fused chain segment when its up-solve needs no
+    host-side control flow: fully initialized, not recycled/marginalized,
+    and every variable updatable through the chain plan."""
+    if cl.is_marginalized or (cl.is_recycled
+                              and cl.status == CliqStatus.UPRECYCLED):
+        return False
+    for v in cl.all_vars:
+        if not fg.var(v).is_initialized(solve_key):
+            return False
+    return True
+
+
+def _find_up_segments(fg, tree: BayesTree, skip_set, delay_cliques,
+                      dev_of, solve_key: str,
+                      excluded: Optional[set] = None
+                      ) -> Dict[int, List[Clique]]:
+    """Maximal chains of single-child cliques eligible for one-dispatch
+    up sweeps, keyed by the BOTTOM clique's id."""
+    if fg.params.use_msg_likelihoods:
+        return {}
+    excluded = excluded or set()
+    in_chain: Dict[int, int] = {}   # cid -> segment bottom
+    segments: Dict[int, List[Clique]] = {}
+
+    def blocked(cid):
+        return (cid in skip_set or cid in delay_cliques or cid in dev_of
+                or cid in excluded)
+
+    # visit deepest-first so chains start at their true bottoms
+    order = [cid for level in reversed(tree.levels()) for cid in level]
+    for cid0 in order:
+        cl = tree.clique(cid0)
+        if cl.cid in in_chain or blocked(cl.cid) or \
+                not _segment_eligible(fg, cl, solve_key):
+            continue
+        # only start at a chain bottom: a clique whose children are all
+        # OUTSIDE any chain (their messages arrive as concrete factors)
+        chain = [cl]
+        cur = cl
+        while cur.parent is not None:
+            par = tree.clique(cur.parent)
+            if par.children != [cur.cid]:
+                break
+            if blocked(par.cid) or par.cid in in_chain or \
+                    not _segment_eligible(fg, par, solve_key):
+                break
+            chain.append(par)
+            cur = par
+        if len(chain) >= 2:
+            for c in chain:
+                in_chain[c.cid] = chain[0].cid
+            segments[chain[0].cid] = chain
+    # drop overlapping starts: a clique mid-chain could also have started
+    # its own chain; in_chain bookkeeping above already prevents that.
+    return segments
+
+
+def up_solve_segment(fg: FactorGraph, tree: BayesTree,
+                     chain: List[Clique],
+                     bottom_msgs: List[LikelihoodMessage],
+                     solve_key: str,
+                     trace_for) -> Optional[Dict[int, LikelihoodMessage]]:
+    """Solve a chain of cliques bottom-up in ONE device dispatch
+    (ops/fused.py:fused_up_segment); the inter-clique messages are
+    substituted in-trace.  Returns per-clique up messages (the down sweep
+    still consumes them), or None when any member needs the general path
+    (caller falls back to per-clique solves)."""
+    from ..ops.fused import fused_up_segment
+    from ..ops.graphops import _ipc_of
+
+    params = fg.params
+    seg_static, models_d_all, models_i_all = [], [], []
+    stores, keys, metas = [], [], []
+    prev_live: Optional[List[str]] = None
+    prev_cl: Optional[Clique] = None
+
+    for idx, cl in enumerate(chain):
+        sub = build_clique_subgraph(fg, cl)
+        msg_label_to_var: Dict[str, str] = {}
+        if idx == 0:
+            for m in bottom_msgs:
+                if m.status == CliqStatus.ERROR_STATUS:
+                    return None
+                add_msg_factors(sub, m)
+        else:
+            # placeholder internal message: same structure as the runtime
+            # message, beliefs substituted in-trace from the child output
+            pm = LikelihoodMessage(sender=prev_cl.cid,
+                                   status=CliqStatus.UPSOLVED,
+                                   direction="up")
+            for vlbl in prev_cl.separator:
+                if vlbl in fg.variables and \
+                        solve_key in fg.var(vlbl).beliefs:
+                    pm.beliefs[vlbl] = fg.get_belief(vlbl, solve_key)
+            added = add_msg_factors(sub, pm)
+            for fl in added:
+                vl = fl.split(f"_{MSG_TAG}_")[0]
+                msg_label_to_var[fl] = vl
+            if set(msg_label_to_var.values()) != set(prev_cl.separator):
+                return None          # unexpected message shape → fallback
+
+        plan, store, live = _build_chain_plan(
+            sub, cl, cl.direct_vars, cl.iter_vars, solve_key)
+        if plan is True or plan is False:
+            return None
+        dsteps, isteps, dlabels, ilabels, touched = plan
+
+        msg_subs = []
+        if idx > 0:
+            child_local = {v: i for i, v in enumerate(prev_live)}
+            for which, labels_group in ((0, dlabels), (1, ilabels)):
+                for si, fls in enumerate(labels_group):
+                    for fi, fl in enumerate(fls):
+                        vl = msg_label_to_var.get(fl)
+                        if vl is not None:
+                            msg_subs.append(
+                                (which, si, fi, child_local[vl],
+                                 sub.var(vl).manifold))
+        seg_static.append((dsteps, isteps, tuple(msg_subs)))
+        models_d_all.append(tuple(tuple(sub.factor(fl).model for fl in fls)
+                                  for fls in dlabels))
+        models_i_all.append(tuple(tuple(sub.factor(fl).model for fl in fls)
+                                  for fls in ilabels))
+        stores.append(tuple(store))
+        keys.append(fg.next_key())
+        metas.append((cl, sub, live, touched, dsteps, isteps))
+        prev_live, prev_cl = live, cl
+
+    outs = fused_up_segment(seg_static, params.gibbs_iters,
+                            models_d_all, models_i_all, stores, keys)
+
+    up_out: Dict[int, LikelihoodMessage] = {}
+    for (cl, sub, live, touched, dsteps, isteps), (store, dbws, ibws) in \
+            zip(metas, outs):
+        bw_of = {s[0]: bw for s, bw in zip(dsteps, dbws)}
+        bw_of.update({s[0]: bw for s, bw in zip(isteps, ibws)})
+        for li, masks in touched.items():
+            sub.set_belief(live[li], store[li], solve_key=solve_key,
+                           bw=bw_of[li], ipc=_ipc_of(masks))
+        cl.status = CliqStatus.UPSOLVED
+        msg = prep_msg_up(sub, cl, CliqStatus.UPSOLVED, solve_key)
+        transfer_update_subgraph(fg, sub, cl.frontals, solve_key)
+        tr = trace_for(cl.cid)
+        tr.log("up_gibbs", "fused-segment")
+        tr.log("up_done")
+        up_out[cl.cid] = msg
+    return up_out
 
 
 def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
@@ -562,15 +740,39 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
         return False
 
     if up and bc and not skip_set and not delay_cliques and not dev_of:
+        # cliques in to-be-batched levels stay out of chain segments
+        batched_cids = {cid for level in levels if _batch_level(level)
+                        for cid in level}
+        segments = (_find_up_segments(fg, tree, skip_set, delay_cliques,
+                                      dev_of, solve_key,
+                                      excluded=batched_cids)
+                    if _use_sweep(fg.params) else {})
+        seg_handled: set = set()
         for level in reversed(levels):
             if not _batch_level(level):
                 for cid in level:
+                    if cid in seg_handled:
+                        continue
                     cl = tree.clique(cid)
                     child_msgs = [up_msgs[ch] for ch in cl.children
                                   if ch in up_msgs]
                     tr = trace_for(cid)
                     if fg.params.record_cliques:
                         tr.child_msgs = list(child_msgs)
+                    if cid in segments:
+                        try:
+                            out = up_solve_segment(fg, tree, segments[cid],
+                                                   child_msgs, solve_key,
+                                                   trace_for)
+                        except Exception as e:      # noqa: BLE001
+                            logger.warning("fused segment failed (%s); "
+                                           "falling back per-clique", e)
+                            out = None
+                        if out is not None:
+                            up_msgs.update(out)
+                            seg_handled.update(
+                                c.cid for c in segments[cid])
+                            continue
                     try:
                         up_msgs[cid] = up_solve_clique(
                             fg, tree, cl, child_msgs, solve_key, trace=tr)
@@ -600,14 +802,33 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                             sender=cl.cid, status=CliqStatus.ERROR_STATUS,
                             direction="up")
     elif up:
+        segments = (_find_up_segments(fg, tree, skip_set, delay_cliques,
+                                      dev_of, solve_key)
+                    if _use_sweep(fg.params) else {})
+        seg_handled: set = set()
         for level in reversed(levels):
             for cid in level:
+                if cid in seg_handled:
+                    continue
                 cl = tree.clique(cid)
                 child_msgs = [up_msgs[ch] for ch in cl.children
                               if ch in up_msgs]
                 tr = trace_for(cid)
                 if fg.params.record_cliques:
                     tr.child_msgs = list(child_msgs)
+                if cid in segments:
+                    chain = segments[cid]
+                    try:
+                        out = up_solve_segment(fg, tree, chain, child_msgs,
+                                               solve_key, trace_for)
+                    except Exception as e:      # noqa: BLE001
+                        logger.warning("fused segment failed (%s); "
+                                       "falling back per-clique", e)
+                        out = None
+                    if out is not None:
+                        up_msgs.update(out)
+                        seg_handled.update(c.cid for c in chain)
+                        continue
                 if cid in skip_set:
                     tr.log("skip", "skip_cliques fault injection")
                     up_msgs[cid] = LikelihoodMessage(

@@ -59,3 +59,35 @@ def test_chain_falls_back_on_mixed_particle_counts():
     solve_tree(fg)
     assert abs(float(jnp.mean(fg.points("x1"))) - 10.0) < 2.5
     assert fg.points("x1").shape[0] == 96
+
+
+def test_fused_segment_matches_per_clique():
+    """EXPERIMENTAL whole-segment fusion (fuse_sweep=True): a chain of
+    cliques solved in one dispatch yields the same posterior statistics as
+    the per-clique path (inter-clique messages substituted in-trace)."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import SolverParams, solve_tree
+    from incrementalinference.jl_tpu.canonical import generate_line_step
+    import incrementalinference.jl_tpu.parallel.scheduler as sched
+
+    calls = {"seg": 0}
+    orig = sched.up_solve_segment
+
+    def counting(*a, **k):
+        calls["seg"] += 1
+        return orig(*a, **k)
+
+    sched.up_solve_segment = counting
+    try:
+        fg = generate_line_step(8, graphinit=True,
+                                params=SolverParams(N=75, fuse_sweep=True,
+                                                    fuse_clique=True))
+        solve_tree(fg)
+    finally:
+        sched.up_solve_segment = orig
+    assert calls["seg"] >= 1, "segment fusion did not engage"
+    for lbl in sorted(fg.ls()):
+        truth = float(lbl.lstrip("xlm"))
+        m = float(np.mean(np.asarray(fg.points(lbl)[:, 0])))
+        assert abs(m - truth) < 0.5, (lbl, m)

@@ -221,6 +221,30 @@ def _gibbs_solve(sub: FactorGraph, clique: Clique, variables: List[str],
             local_product_and_update(sub, vl, solve_key=solve_key)
 
 
+class _ChainPlan:
+    """Whole-clique chain plan + a cached handle to its compiled kernel
+    (avoids re-hashing the nested step tuples on every dispatch)."""
+
+    __slots__ = ("direct_steps", "iter_steps", "direct_labels",
+                 "iter_labels", "touched", "_fn")
+
+    def __init__(self, direct_steps, iter_steps, direct_labels,
+                 iter_labels, touched):
+        self.direct_steps = direct_steps
+        self.iter_steps = iter_steps
+        self.direct_labels = direct_labels
+        self.iter_labels = iter_labels
+        self.touched = touched
+        self._fn = None
+
+    def fn(self, n_rounds: int):
+        if self._fn is None:
+            from ..ops.fused import _fused_chain_fn
+            self._fn = _fused_chain_fn(self.direct_steps, self.iter_steps,
+                                       int(n_rounds))
+        return self._fn
+
+
 #: structural plan cache for whole-clique chains: the per-variable step
 #: plans (specs/masks/local indices) depend only on the clique's symbolic
 #: structure, not on particle data, so re-solves of the same structure
@@ -289,7 +313,7 @@ def _build_chain_plan(sub: FactorGraph, clique: Clique,
     if cached is not None:
         if cached is False:
             return False, None, live
-        if not cached[0] and not cached[1]:
+        if not cached.direct_steps and not cached.iter_steps:
             return True, None, live
         return cached, store, live
     else:
@@ -346,8 +370,9 @@ def _build_chain_plan(sub: FactorGraph, clique: Clique,
                 iter_steps.append(step)
                 iter_labels.append(labels)
             touched[step[0]] = masks
-        plan = (tuple(direct_steps), tuple(iter_steps),
-                tuple(direct_labels), tuple(iter_labels), dict(touched))
+        plan = _ChainPlan(tuple(direct_steps), tuple(iter_steps),
+                          tuple(direct_labels), tuple(iter_labels),
+                          dict(touched))
         if pkey_struct is not None:
             if len(_CHAIN_PLAN_CACHE) >= _CHAIN_PLAN_CACHE_MAX:
                 _CHAIN_PLAN_CACHE.clear()
@@ -377,17 +402,16 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
         return True
     if plan is False:
         return False
-    (direct_steps, iter_steps, direct_labels, iter_labels, touched) = plan
-    models_direct = [tuple(sub.factor(fl).model for fl in fls)
-                     for fls in direct_labels]
-    models_iter = [tuple(sub.factor(fl).model for fl in fls)
-                   for fls in iter_labels]
+    models_direct = tuple(tuple(sub.factor(fl).model for fl in fls)
+                          for fls in plan.direct_labels)
+    models_iter = tuple(tuple(sub.factor(fl).model for fl in fls)
+                        for fls in plan.iter_labels)
 
-    new_store, dbws, ibws = fused_clique_gibbs(
-        direct_steps, iter_steps, params.gibbs_iters,
-        models_direct, models_iter, store, sub.next_key())
-    bw_of = {step[0]: bw for step, bw in zip(direct_steps, dbws)}
-    bw_of.update({step[0]: bw for step, bw in zip(iter_steps, ibws)})
+    new_store, dbws, ibws = plan.fn(params.gibbs_iters)(
+        models_direct, models_iter, tuple(store), sub.next_key())
+    bw_of = {step[0]: bw for step, bw in zip(plan.direct_steps, dbws)}
+    bw_of.update({step[0]: bw for step, bw in zip(plan.iter_steps, ibws)})
+    touched = plan.touched
     for li, masks in touched.items():
         sub.set_belief(live[li], new_store[li], solve_key=solve_key,
                        bw=bw_of[li], ipc=_ipc_of(masks))
@@ -510,7 +534,9 @@ def up_solve_segment(fg: FactorGraph, tree: BayesTree,
             sub, cl, cl.direct_vars, cl.iter_vars, solve_key)
         if plan is True or plan is False:
             return None
-        dsteps, isteps, dlabels, ilabels, touched = plan
+        dsteps, isteps = plan.direct_steps, plan.iter_steps
+        dlabels, ilabels = plan.direct_labels, plan.iter_labels
+        touched = plan.touched
 
         msg_subs = []
         if idx > 0:

@@ -9,8 +9,9 @@ follows.
 
 from .beliefs import Belief, kde_logpdf, kde_sample, make_belief, mean_cov, ppe
 from .config import SolverParams
-from .distributions import (AliasingScalarSampler, Categorical, MvNormal,
-                            Normal, Rayleigh, Uniform)
+from .distributions import (AliasingScalarSampler, Categorical,
+                            ManifoldKernelDensity, MvNormal, Normal,
+                            Rayleigh, Uniform, manikde)
 from .graph import (Circular, ContinuousEuclid, ContinuousScalar, Factor,
                     FactorGraph, Position, Variable, VariableType, initfg)
 from .graphinit import doautoinit, init_all, init_variable

@@ -197,3 +197,68 @@ _register(Uniform, ("a", "b"))
 _register(Rayleigh, ("sigma",))
 _register(Categorical, ("p",))
 _register(AliasingScalarSampler, ("x", "weights"))
+
+
+class ManifoldKernelDensity(Distribution):
+    """A particle KDE usable anywhere a SamplableBelief goes — the user
+    side of the reference's ``manikde!`` (ApproxManifoldProducts MKD):
+    ``Prior(manikde!(ContinuousScalar, pts))``, mixture components, or
+    relative measurement densities (test/testlocalconstraintexamples.jl,
+    testMixtureLinearConditional.jl "fancy" component).
+
+    ``manifold`` must be a coordinate manifold (point_dim == dof) since
+    measurement samples are coordinate rows; use ManifoldPrior for group-
+    valued priors.
+    """
+
+    def __init__(self, manifold, points, bw=None):
+        from .beliefs import make_belief
+        if manifold.point_dim != manifold.dof:
+            raise ValueError("manikde measurement densities need a "
+                             "coordinate manifold (point_dim == dof)")
+        self.manifold = manifold
+        if hasattr(points, "points"):          # already a Belief
+            self.belief = points
+        else:
+            pts = jnp.asarray(points, jnp.float32)
+            if pts.ndim == 1:
+                pts = pts[:, None]
+            self.belief = make_belief(manifold, pts,
+                                      bw=None if bw is None
+                                      else jnp.asarray(bw, jnp.float32))
+
+    @property
+    def dim(self):
+        return self.manifold.dof
+
+    @property
+    def points(self):
+        return self.belief.points
+
+    def sample(self, key, n):
+        from .beliefs import kde_sample
+        return kde_sample(self.manifold, self.belief, key, n)
+
+    def logpdf(self, x):
+        from .beliefs import kde_logpdf
+        return kde_logpdf(self.manifold, self.belief, x)
+
+    def mean_cov(self):
+        from .beliefs import mean_cov as bmc
+        return bmc(self.manifold, self.belief.points)
+
+
+def manikde(vartype_or_manifold, points, bw=None) -> ManifoldKernelDensity:
+    """Build a KDE belief from points (reference manikde!).  Accepts a
+    VariableType (ContinuousScalar, …) or a Manifold."""
+    manifold = getattr(vartype_or_manifold, "manifold", vartype_or_manifold)
+    import numpy as _np
+    pts = _np.asarray(points, dtype=_np.float32)
+    return ManifoldKernelDensity(manifold, pts, bw=bw)
+
+
+jax.tree_util.register_pytree_node(
+    ManifoldKernelDensity,
+    lambda d: ((d.belief,), (d.manifold,)),
+    lambda aux, leaves: ManifoldKernelDensity(aux[0], leaves[0]),
+)

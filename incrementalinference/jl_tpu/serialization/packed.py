@@ -103,6 +103,11 @@ def pack_distribution(z) -> Dict:
     if isinstance(z, D.AliasingScalarSampler):
         return {"_type": "AliasingScalarSampler", "x": _arr(z.x),
                 "weights": _arr(z.weights)}
+    if isinstance(z, D.ManifoldKernelDensity):
+        # PackedManifoldKernelDensity equivalent for measurement densities
+        # (reference SerializationMKD.jl:14-40)
+        return {"_type": "ManifoldKernelDensity", "dim": z.manifold.dof,
+                "points": _arr(z.belief.points), "bw": _arr(z.belief.bw)}
     raise TypeError(f"cannot pack distribution {type(z).__name__}")
 
 
@@ -121,6 +126,11 @@ def unpack_distribution(d: Dict):
     if t == "AliasingScalarSampler":
         return D.AliasingScalarSampler(jnp.asarray(d["x"]),
                                        jnp.asarray(d["weights"]))
+    if t == "ManifoldKernelDensity":
+        from ..manifolds import Euclidean
+        return D.ManifoldKernelDensity(Euclidean(int(d["dim"])),
+                                       jnp.asarray(d["points"]),
+                                       bw=jnp.asarray(d["bw"]))
     raise TypeError(f"unknown packed distribution {t}")
 
 

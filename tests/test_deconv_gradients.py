@@ -79,3 +79,84 @@ def test_solve_factor_parametric_and_tether():
     single = solve_factor_parametric(fg, chain[0], "x1",
                                      values={"x0": jnp.asarray([100.0])})
     assert abs(float(single[0]) - 105.0) < 0.2
+
+
+def test_factor_jacobian_reference_blocks():
+    """LinearRelative on Euclidean(2): exact jacobian blocks and the
+    reference's perturbation answers (testFactorGradients.jl:14-70 —
+    perturb x1 by [1,1] -> x2 responds [1,1])."""
+    from incrementalinference.jl_tpu import ContinuousEuclid, MvNormal
+
+    fg = initfg()
+    fg.add_variable("x1", ContinuousEuclid(2))
+    fg.add_variable("x2", ContinuousEuclid(2))
+    init_variable(fg, "x1", [np.zeros(2) for _ in range(50)])
+    init_variable(fg, "x2", [np.array([10.0, 0.0]) for _ in range(50)])
+    f = fg.add_factor(["x1", "x2"],
+                      LinearRelative(MvNormal([10.0, 0.0], [1.0, 1.0])),
+                      graphinit=False)
+
+    J = np.asarray(factor_jacobian(fg, f.label))
+    # residual z - (x2 - x1): d/dx1 = +I, d/dx2 = -I
+    np.testing.assert_allclose(J, [[1, 0, -1, 0], [0, 1, 0, -1]], atol=1e-5)
+
+    cache = FactorGradientsCached(fg, f.label)
+    ret = calc_perturbation_from_variable(cache, "x1",
+                                          np.array([1.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(ret["x2"]), [1.0, 1.0], atol=1e-5)
+
+
+def test_partial_relative_perturbation():
+    """A dim-2-only relative propagates perturbations only through its
+    constrained dim (reference testFactorGradients.jl:93-132)."""
+    from incrementalinference.jl_tpu import (ContinuousEuclid, FactorModel,
+                                             register_factor_model)
+
+    class _Dim2Only(FactorModel):
+        partial = (1,)
+
+        def __init__(self, Z):
+            self.Z = Z
+
+        @property
+        def zdim(self):
+            return 1
+
+        def sample(self, key, n):
+            return self.Z.sample(key, n)
+
+        def residual(self, z, x1, x2):
+            return z - (x2[1:2] - x1[1:2])
+
+        def mean_cov(self):
+            return self.Z.mean_cov()
+
+    register_factor_model(_Dim2Only, ("Z",))
+
+    fg = initfg()
+    fg.add_variable("x1", ContinuousEuclid(2))
+    fg.add_variable("x2", ContinuousEuclid(2))
+    init_variable(fg, "x1", [np.zeros(2) for _ in range(50)])
+    init_variable(fg, "x2", [np.array([0.0, 10.0]) for _ in range(50)])
+    f = fg.add_factor(["x1", "x2"], _Dim2Only(Normal(10.0, 1.0)),
+                      graphinit=False)
+
+    cache = FactorGradientsCached(fg, f.label)
+    ret = calc_perturbation_from_variable(cache, "x1",
+                                          np.array([1.0, 1.0]))
+    # x1 influences x2 only through dim 2 (reference :115-120)
+    np.testing.assert_allclose(np.asarray(ret["x2"]), [0.0, 1.0], atol=1e-5)
+
+
+def test_eval_factor_temporary():
+    """Throwaway-graph factor evaluation lands on the measurement
+    (reference testGradientUtils.jl:7-26: B[1] ≈ [10.0])."""
+    from incrementalinference.jl_tpu import ContinuousScalar
+    from incrementalinference.jl_tpu.ops.graphops import eval_factor_temporary
+
+    pts = eval_factor_temporary(
+        LinearRelative(Normal(10.0, 0.01)),
+        [ContinuousScalar, ContinuousScalar],
+        [np.zeros(1), np.zeros(1)], n=50)
+    m = float(np.mean(np.asarray(pts)))
+    assert abs(m - 10.0) < 0.1, m

@@ -124,3 +124,51 @@ def test_derelative_decay_chain():
         truth = float(np.exp(-i))
         m = float(np.mean(np.asarray(fg.points(f"x{i}")[:, 0])))
         assert abs(m - truth) < 0.1, (i, m, truth)
+
+
+def test_flux_mixture_relative_solve_and_roundtrip(tmp_path):
+    """Mixture(LinearRelative, (NN ensemble, Normal(10,1))) drives a
+    bimodal posterior, and the graph survives save/load with identical NN
+    predictions (reference testFluxModelsDistribution.jl:83-145,
+    MixtureFluxModels usage)."""
+    import os
+
+    from incrementalinference.jl_tpu import (LinearRelative, Mixture, Prior,
+                                             SolverParams, initfg,
+                                             solve_tree)
+    from incrementalinference.jl_tpu.distributions import Normal
+    from incrementalinference.jl_tpu.serialization import (load_graph,
+                                                           save_graph)
+
+    # small ensemble that predicts ~0 (trained-free: zero-init last layer
+    # keeps outputs near 0 with small weight noise)
+    params = mlp_init(jax.random.PRNGKey(3), [4, 8, 1], n_models=16)
+    nn = FluxModelsDistribution(mlp_apply, params, jnp.ones((4,)), out_dim=1)
+    pred0 = np.asarray(nn.sample(jax.random.PRNGKey(0), 8))
+
+    fg = initfg(SolverParams(N=150))
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_variable("x1", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.1)))
+    fg.add_factor(["x0", "x1"],
+                  Mixture(LinearRelative, [nn, Normal(10.0, 1.0)],
+                          [0.5, 0.5]))
+    solve_tree(fg)
+    pts = np.asarray(fg.points("x1")[:, 0])
+    near0 = np.sum((-3.0 < pts) & (pts < 3.0))
+    near10 = np.sum((5.0 < pts) & (pts < 15.0))
+    assert near0 > 0.2 * len(pts), near0        # reference :113 bar style
+    assert near10 > 0.05 * len(pts), near10     # reference :117
+
+    # round trip: same NN predictions after load (reference :125-134)
+    path = os.path.join(tmp_path, "flux_fg.json")
+    save_graph(fg, path)
+    fg2 = load_graph(path)
+    f2 = next(fg2.factor(fl) for fl in fg2.lsf()
+              if isinstance(fg2.factor(fl).model, Mixture))
+    nn2 = f2.model.components[0]
+    pred1 = np.asarray(nn2.sample(jax.random.PRNGKey(0), 8))
+    np.testing.assert_allclose(pred0, pred1, atol=1e-6)
+    solve_tree(fg2)
+    pts2 = np.asarray(fg2.points("x1")[:, 0])
+    assert np.sum((-3.0 < pts2) & (pts2 < 3.0)) > 0.2 * len(pts2)

@@ -88,3 +88,46 @@ def test_multihypo_with_odometry_chain():
     # landmarks stay pinned by their tight priors
     assert _mass(fg, "la", 14.0, 1.0) > 0.9
     assert _mass(fg, "lb", 26.0, 1.0) > 0.9
+
+
+def test_csm_multihypo_runaway_427():
+    """Issue #427 regression: uncertain 'ghost' landmark siblings
+    (l1_0/l2_0 carry no priors) must not wedge the tree-init/solve loop
+    (reference TestCSMMultihypo.jl — asserts completion; we also check the
+    certain landmarks and poses land where the priors say)."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             SolverParams, initfg,
+                                             solve_tree)
+    from incrementalinference.jl_tpu.ops.convolve import approx_conv_belief
+
+    fg = initfg(SolverParams(N=100, limit_iters=30))
+    fg.add_variable("l1", ContinuousScalar)
+    fg.add_factor(["l1"], Prior(Normal(50.0, 0.1)))
+    fg.add_variable("l2", ContinuousScalar)
+    fg.add_factor(["l2"], Prior(Normal(-50.0, 0.1)))
+    fg.add_variable("l1_0", ContinuousScalar)
+    fg.add_variable("l2_0", ContinuousScalar)
+    fg.add_variable("x1", ContinuousScalar)
+    f1 = fg.add_factor(["x1", "l1", "l1_0"],
+                       LinearRelative(Normal(40.0, 0.25)),
+                       multihypo=[1.0, 0.5, 0.5])
+    fg.add_variable("x2", ContinuousScalar)
+    fg.add_factor(["x1", "x2"], LinearRelative(Normal(0.0, 0.1)))
+    fg.add_factor(["x2", "l2", "l2_0"],
+                  LinearRelative(Normal(-40.0, 0.25)),
+                  multihypo=[1.0, 0.5, 0.5])
+
+    # conv through the multihypo factor both directions (reference :62-63)
+    approx_conv_belief(fg, f1.label, "l1_0")
+    approx_conv_belief(fg, f1.label, "x1")
+
+    solve_tree(fg)
+    l1 = float(np.mean(np.asarray(fg.points("l1")[:, 0])))
+    assert abs(l1 - 50.0) < 1.0, l1
+    x1 = np.asarray(fg.points("x1")[:, 0])
+    # x1 = l1 - 40 = 10 under the certain-landmark hypothesis; the ghost
+    # hypothesis keeps a secondary mode, so check dominant mass
+    assert np.mean(np.abs(x1 - 10.0) < 5.0) > 0.3, x1.mean()

@@ -222,3 +222,51 @@ def test_custom_factor_multihypo_api():
     for lbl in ("x1_a", "x1_b"):
         pts = np.asarray(fg.points(lbl)[:, 0])
         assert np.mean(np.abs(pts - 10.0) < 6.0) > 0.35, (lbl, pts.mean())
+
+
+def test_manikde_prior_and_mixture_component(tmp_path):
+    """manikde! parity: a KDE belief as a Prior measurement and as a
+    Mixture component, surviving pack/unpack with identical mass
+    (reference testlocalconstraintexamples.jl:8-46,
+    testMixtureLinearConditional.jl:86-128 'fancy' component)."""
+    import os
+
+    import jax
+
+    from incrementalinference.jl_tpu import manikde
+    from incrementalinference.jl_tpu.ops.deconv import mmd
+
+    rng = np.random.default_rng(11)
+    pd = manikde(ContinuousScalar, np.zeros((100, 1)), bw=[3.0])
+
+    fg = initfg(SolverParams(N=100))
+    fg.add_variable("x1", ContinuousScalar)
+    fg.add_factor(["x1"], Prior(pd))
+    fg.add_variable("x2", ContinuousScalar)
+    f2 = fg.add_factor(["x1", "x2"], LinearRelative(Normal(50.0, 2.0)))
+
+    bel = approx_conv_belief(fg, f2.label, "x2")
+    m = float(np.mean(np.asarray(bel.points[:, 0])))
+    assert abs(m - 50.0) < 15.0                     # reference :38 bar
+    solve_tree(fg)
+    m = float(np.mean(np.asarray(fg.points("x2")[:, 0])))
+    assert abs(m - 50.0) < 15.0
+
+    # mixture with a KDE ("fancy") and a parametric ("naive") component
+    fancy = manikde(ContinuousScalar, rng.normal(0.0, 1.0, (75, 1)))
+    mr = Mixture(LinearRelative, [fancy, Normal(0.0, 10.0)], [0.4, 0.6])
+    fg.add_variable("x3", ContinuousScalar)
+    fg.add_factor(["x2", "x3"], mr)
+
+    path = os.path.join(tmp_path, "mkd_fg.json")
+    save_graph(fg, path)
+    fg2 = load_graph(path)
+    mr2 = next(fg2.factor(fl).model for fl in fg2.lsf()
+               if isinstance(fg2.factor(fl).model, Mixture))
+    a, b = mr.components[0], mr2.components[0]
+    # identical KDE after the round trip (reference mmd(A,B) < 1e-6)
+    d = float(mmd(a.points, b.points))
+    assert d < 1e-6, d
+    solve_tree(fg2)
+    m3 = float(np.mean(np.asarray(fg2.points("x3")[:, 0])))
+    assert abs(m3 - 50.0) < 20.0

@@ -24,8 +24,10 @@ from .models import (CircularCircular, DERelative, EuclidDistance,
                      MixtureFluxModels, MsgPrior, PartialPrior,
                      PartialPriorPassThrough, Prior, PriorCircular,
                      FactorModel, PriorModel, register_factor_model)
-from .ops import (approx_conv_belief, eval_factor, local_product,
-                  manifold_product, propagate_belief, sample_factor)
+from .ops import (approx_conv_belief, approx_conv_path, eval_factor,
+                  find_shortest_path_dijkstra, is_path_factors_homogeneous,
+                  local_product, manifold_product, propagate_belief,
+                  sample_factor)
 from .api import (fifo_freeze, set_ppe, solve_cliq_down, solve_cliq_up,
                   solve_graph, solve_tree, warmup)
 from .tree import (BayesTree, CliqStatus, build_tree, build_tree_reset,

@@ -12,7 +12,8 @@ from .bayestree import BayesTree
 from .ordering import get_elimination_order
 
 __all__ = ["nnz_frontals", "nnz_clique", "nnz_tree", "nnz_sqrt_info_matrix",
-           "tree_cost_01", "tree_cost_02", "all_tree_costs"]
+           "tree_cost_01", "tree_cost_02", "all_tree_costs",
+           "shrink_factor_graph"]
 
 
 def nnz_frontals(dim: int) -> int:
@@ -82,3 +83,27 @@ def all_tree_costs(fg, orders: List[List[str]] | None = None,
                     "cost02": tree_cost_02(t), "nnz": nnz_tree(t),
                     "num_cliques": t.num_cliques()})
     return out
+
+
+def shrink_factor_graph(fg, upto: int = 6):
+    """Deep-copied subgraph keeping only the first ``upto`` pose-style
+    variables (labels matching x<digits>, sorted) plus whatever else is
+    solvable — the reference's analysis helper for tree-cost studies
+    (shrinkFactorGraph, src/services/AnalysisTools.jl:18-34)."""
+    import copy
+    import re
+
+    fgs = copy.deepcopy(fg)
+    del_vars = {v for v in fgs.ls() if fgs.var(v).solvable == 0}
+    poses = sorted((v for v in fgs.ls() if re.fullmatch(r"x\d+", v)),
+                   key=lambda s: int(s[1:]))
+    del_vars.update(poses[upto:])
+    del_fcts = {fl for fl in fgs.lsf() if fgs.factor(fl).solvable == 0}
+    for v in del_vars:
+        del_fcts.update(fgs.factors_of(v))
+    for fl in del_fcts:
+        if fl in fgs.factors:
+            fgs.remove_factor(fl)
+    for v in del_vars:
+        fgs.remove_variable(v)
+    return fgs

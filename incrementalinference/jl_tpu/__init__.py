@@ -43,5 +43,15 @@ from .serialization import load_graph, load_tree, save_graph, save_tree
 from .tether import accumulate_factor_means, solve_factor_parametric
 from .utils import (compare_beliefs, compare_graphs, compare_variables,
                     incr_suffix, select_factor_type)
+from . import fgos
+from .fgos import *  # noqa: F401,F403 — graph accessor surface
+from . import datastore
+from .datastore import (BlobEntry, FolderStore, InMemoryBlobStore, add_blob,
+                        add_blob_store, add_data, delete_data,
+                        fetch_data_json, get_blob, get_blob_store, get_data,
+                        list_blob_entries, list_blob_stores,
+                        list_data_entries)
+from .tree import accessors as tree_accessors
+from .tree.accessors import *  # noqa: F401,F403 — clique accessor surface
 
 __version__ = "0.1.0"

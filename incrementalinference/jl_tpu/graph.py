@@ -68,6 +68,10 @@ class Variable:
     N: int = 100
     tags: set = field(default_factory=set)
     solvable: int = 1
+    # wall-clock creation stamp + attached blob entries (reference DFG
+    # getTimestamp / addData! data-entry API)
+    timestamp: float = 0.0
+    data: Dict[str, Any] = field(default_factory=dict)
     # per-solveKey particle beliefs (solveKey "default", snapshots, ...)
     beliefs: Dict[str, Belief] = field(default_factory=dict)
     initialized: Dict[str, bool] = field(default_factory=dict)
@@ -115,6 +119,10 @@ class Factor:
     nullhypo: float = 0.0
     tags: set = field(default_factory=set)
     solvable: int = 1
+    timestamp: float = 0.0
+    # symbolic-elimination bookkeeping (reference GenericFunctionNodeData
+    # .potentialused flag consumed by getFactorsAmongVariablesOnly)
+    potential_used: bool = False
 
     @property
     def is_prior(self) -> bool:
@@ -167,8 +175,10 @@ class FactorGraph:
                      solvable: int = 1) -> Variable:
         if label in self.variables:
             raise ValueError(f"variable {label!r} already exists")
+        import time as _time
         v = Variable(label=label, vartype=vartype,
-                     N=N or self.params.N, tags=set(tags), solvable=solvable)
+                     N=N or self.params.N, tags=set(tags), solvable=solvable,
+                     timestamp=_time.time())
         self.variables[label] = v
         self._var_factors[label] = []
         return v
@@ -195,9 +205,11 @@ class FactorGraph:
             label = "".join(variables) + f"f{next(self._factor_counter) + 1}"
         if label in self.factors:
             raise ValueError(f"factor {label!r} already exists")
+        import time as _time
         f = Factor(label=label, variables=variables, model=model,
                    multihypo=multihypo, nullhypo=float(nullhypo),
-                   tags=set(tags), solvable=solvable)
+                   tags=set(tags), solvable=solvable,
+                   timestamp=_time.time())
         self.factors[label] = f
         for vl in variables:
             self._var_factors[vl].append(label)

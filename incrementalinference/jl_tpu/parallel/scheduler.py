@@ -935,6 +935,10 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                     tr.log("error", str(e))
                     errors.append((cid, e))
 
+    # retain the sweep's up messages for post-solve introspection
+    # (reference getTreeCliqUpMsgsAll / stackCliqUpMsgsByVariable,
+    # TreeDebugTools.jl / TreeMessageUtils.jl accessors)
+    tree.up_msgs = up_msgs
     if errors:
         cids = [c for c, _ in errors]
         raise RuntimeError(

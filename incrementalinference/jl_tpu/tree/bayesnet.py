@@ -50,6 +50,9 @@ def build_bayes_net(fg, order: Sequence[str]) -> List[Conditional]:
                     sep.append(v)
             if not k.startswith("__marg"):
                 real_factors.append(k)
+                # mark consumed for getFactorsAmongVariablesOnly(unused=…)
+                # (reference potentialused flag, BayesNet.jl:154-160)
+                fg.factor(k).potential_used = True
             del active[k]
         conditionals.append(Conditional(var=var, separator=sep,
                                         factors=real_factors))

@@ -16,7 +16,9 @@ from .tree.bayestree import BayesTree, CliqStatus
 __all__ = ["print_clique_history", "print_history_sequential",
            "tree_to_dot", "save_tree_dot", "replay_clique_up",
            "graph_to_dot", "save_graph_dot", "clique_assoc_matrix",
-           "spy_clique_matrix", "animate_csm"]
+           "spy_clique_matrix", "animate_csm", "print_clique_summary",
+           "cliq_hist_filter_transitions", "filter_hist_all_to_array",
+           "hist_state_machine_transitions", "sandbox_state_machine_step"]
 
 
 def print_clique_history(traces: Dict[int, CliqueTrace],
@@ -34,6 +36,55 @@ def print_clique_history(traces: Dict[int, CliqueTrace],
     out = "\n".join(lines)
     print(out)
     return out
+
+
+def print_clique_summary(fg, tree: BayesTree, cid: int) -> str:
+    """One-glance clique summary: status, frontals/separator, per-variable
+    init state (reference printCliqSummary, TreeDebugTools.jl)."""
+    cl = tree.clique(cid)
+    lines = [f"clique {cid}: status={cl.status.value}"
+             f" recycled={cl.is_recycled} marginalized={cl.is_marginalized}",
+             f"  frontals : {cl.frontals}",
+             f"  separator: {cl.separator}",
+             f"  potentials ({len(cl.potentials)}): {cl.potentials}"]
+    for v in cl.all_vars:
+        var = fg.var(v)
+        lines.append(f"  var {v:<8} init={var.is_initialized()} "
+                     f"solved×{var.get_solved_count()}")
+    out = "\n".join(lines)
+    print(out)
+    return out
+
+
+def cliq_hist_filter_transitions(trace: CliqueTrace, step: str):
+    """Events of one clique trace matching a step name (reference
+    cliqHistFilterTransitions, TreeDebugTools.jl)."""
+    return [e for e in trace.events if e[1] == step]
+
+
+def filter_hist_all_to_array(traces: Dict[int, CliqueTrace],
+                             steps) -> list:
+    """Flatten all cliques' events matching any of ``steps`` into one
+    time-sorted array of (ts, cid, step, detail) (reference
+    filterHistAllToArray)."""
+    steps = {steps} if isinstance(steps, str) else set(steps)
+    out = [(ts, c, step, detail) for c, tr in traces.items()
+           for ts, step, detail in tr.events if step in steps]
+    out.sort()
+    return out
+
+
+def hist_state_machine_transitions(traces: Dict[int, CliqueTrace]
+                                   ) -> Dict[tuple, int]:
+    """Histogram of step→step transitions across all clique traces
+    (reference histStateMachineTransitions/histGraphStateMachineTransitions
+    — the graphviz rendering reduces to these counts)."""
+    counts: Dict[tuple, int] = {}
+    for tr in traces.values():
+        names = [s for _, s, _ in tr.events]
+        for a, b in zip(names, names[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    return counts
 
 
 def print_history_sequential(traces: Dict[int, CliqueTrace]) -> str:
@@ -141,6 +192,11 @@ def replay_clique_up(fg, tree: BayesTree, cid: int,
                          f"(run with record_cliques=True)")
     return up_solve_clique(fg, tree, tree.clique(cid), tr.child_msgs,
                            solve_key)
+
+
+# reference sandboxStateMachineStep / sandboxCliqResolveStep — re-running a
+# recorded step in isolation IS the replay above
+sandbox_state_machine_step = replay_clique_up
 
 
 def graph_to_dot(fg) -> str:

@@ -241,6 +241,19 @@ def save_graph(fg: FactorGraph, path: str, parch: bool = False) -> str:
                                  else _arr(v.parametric_point)),
             "parametric_cov": (None if v.parametric_cov is None
                                else _arr(v.parametric_cov)),
+            # reference saveDFG persists PPEs, solvedCount, timestamps and
+            # blob entries alongside the solver data
+            "timestamp": v.timestamp,
+            "solved_count": dict(v.solved_count),
+            "ppe": {k: {kk: _arr(vv) for kk, vv in est.items()}
+                    for k, est in v.ppe.items()},
+            "data": {k: {"label": e.label, "blob_id": e.blob_id,
+                         "blobstore": e.blobstore,
+                         "mime_type": e.mime_type, "hash": e.hash,
+                         "origin": e.origin,
+                         "description": e.description,
+                         "timestamp": e.timestamp}
+                     for k, e in v.data.items()},
         })
     for lbl, f in fg.factors.items():
         doc["factors"].append({
@@ -248,7 +261,7 @@ def save_graph(fg: FactorGraph, path: str, parch: bool = False) -> str:
             "model": pack_factor_model(f.model),
             "multihypo": (None if f.multihypo is None else list(f.multihypo)),
             "nullhypo": f.nullhypo, "tags": sorted(f.tags),
-            "solvable": f.solvable,
+            "solvable": f.solvable, "timestamp": f.timestamp,
         })
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as fp:
@@ -275,11 +288,19 @@ def load_graph(path: str) -> FactorGraph:
             v.parametric_point = jnp.asarray(vd["parametric_point"])
         if vd["parametric_cov"] is not None:
             v.parametric_cov = jnp.asarray(vd["parametric_cov"])
+        v.timestamp = vd.get("timestamp", 0.0)
+        v.solved_count = dict(vd.get("solved_count", {}))
+        v.ppe = {k: {kk: jnp.asarray(vv) for kk, vv in est.items()}
+                 for k, est in vd.get("ppe", {}).items()}
+        if vd.get("data"):
+            from ..datastore import BlobEntry
+            v.data = {k: BlobEntry(**e) for k, e in vd["data"].items()}
     for fd in doc["factors"]:
-        fg.add_factor(fd["variables"], unpack_factor_model(fd["model"]),
-                      multihypo=fd["multihypo"], nullhypo=fd["nullhypo"],
-                      label=fd["label"], graphinit=False, tags=fd["tags"],
-                      solvable=fd["solvable"])
+        f = fg.add_factor(fd["variables"], unpack_factor_model(fd["model"]),
+                          multihypo=fd["multihypo"], nullhypo=fd["nullhypo"],
+                          label=fd["label"], graphinit=False,
+                          tags=fd["tags"], solvable=fd["solvable"])
+        f.timestamp = fd.get("timestamp", 0.0)
     return fg
 
 

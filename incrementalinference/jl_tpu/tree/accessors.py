@@ -245,22 +245,11 @@ def set_clique_status(cliq: Clique, status: CliqStatus) -> CliqStatus:
     return cliq.status
 
 
-_STATUS_COLOR = {
-    CliqStatus.NULL: "gray",
-    CliqStatus.NO_INIT: "orange",
-    CliqStatus.INITIALIZED: "green",
-    CliqStatus.UPSOLVED: "lightblue",
-    CliqStatus.MARGINALIZED: "blue",
-    CliqStatus.DOWNSOLVED: "turquoise",
-    CliqStatus.UPRECYCLED: "purple",
-    CliqStatus.ERROR_STATUS: "red",
-}
-
-
 def get_clique_draw_color(cliq: Clique) -> str:
     """Reference ``getCliqueDrawColor`` — explicit color if set, else the
     status-derived scheme the reference paints live trees with
-    (CliqueStateMachine.jl:314-315,428)."""
+    (CliqueStateMachine.jl:314-315,428; same map as debugging.tree_to_dot)."""
+    from ..debugging import _STATUS_COLOR
     c = getattr(cliq, "draw_color", None)
     return c or _STATUS_COLOR.get(cliq.status, "gray")
 

@@ -251,7 +251,7 @@ def test_clique_status_predicates_and_color():
     assert ii.is_up_inference_complete(tree)
     assert ii.are_cliq_variables_all_initialized(fg, root)
     assert not ii.are_cliq_variables_all_marginalized(fg, root)
-    assert ii.get_clique_draw_color(root) == "turquoise"
+    assert ii.get_clique_draw_color(root) == "lightgreen"
     ii.set_clique_draw_color(root, "pink")
     assert ii.get_clique_draw_color(root) == "pink"
     ii.set_clique_status(root, CliqStatus.NULL)

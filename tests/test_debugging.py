@@ -128,3 +128,28 @@ def test_animate_csm(tmp_path):
     p = animate_csm(tree, tree.traces, path=str(out))
     assert p == str(out)
     assert out.exists() and out.stat().st_size > 100
+
+
+def test_history_filters_and_summary():
+    fg, tree = _solved()
+    traces = tree.traces
+    from incrementalinference.jl_tpu.debugging import (
+        cliq_hist_filter_transitions, filter_hist_all_to_array,
+        hist_state_machine_transitions, print_clique_summary)
+    cid = next(iter(traces))
+    ev = cliq_hist_filter_transitions(traces[cid], "up_done")
+    assert len(ev) == 1 and ev[0][1] == "up_done"
+    arr = filter_hist_all_to_array(traces, "up_done")
+    assert len(arr) == tree.num_cliques()
+    assert arr == sorted(arr)                       # time-ordered
+    counts = hist_state_machine_transitions(traces)
+    assert sum(counts.values()) > 0
+    assert all(isinstance(k, tuple) and len(k) == 2 for k in counts)
+    s = print_clique_summary(fg, tree, cid)
+    assert f"clique {cid}" in s and "frontals" in s
+
+
+def test_sandbox_step_alias():
+    from incrementalinference.jl_tpu.debugging import (
+        replay_clique_up, sandbox_state_machine_step)
+    assert sandbox_state_machine_step is replay_clique_up

@@ -153,3 +153,37 @@ def test_custom_factor_model_roundtrip(tmp_path):
     from incrementalinference.jl_tpu import solve_tree
     solve_tree(fg2)
     assert np.all(np.isfinite(np.asarray(fg2.points("l"))))
+
+
+def test_metadata_roundtrip(tmp_path):
+    """PPEs, solvedCount, timestamps and blob entries persist through
+    save/load (reference saveDFG stores the full variable record)."""
+    import incrementalinference.jl_tpu as ii
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             initfg, solve_tree)
+
+    fg = initfg(ii.SolverParams(N=40))
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)))
+    fg.add_variable("x1", ContinuousScalar)
+    fg.add_factor(["x0", "x1"], LinearRelative(Normal(10.0, 0.5)))
+    solve_tree(fg)
+    ii.add_blob_store(fg, ii.InMemoryBlobStore())
+    entry = ii.add_data(fg, "x0", "meta", b'{"sensor": "lidar"}',
+                        mime_type="application/json/octet-stream")
+
+    path = str(tmp_path / "fg_meta.json")
+    save_graph(fg, path)
+    fg2 = load_graph(path)
+
+    assert fg2.var("x0").get_solved_count() == fg.var("x0").get_solved_count() > 0
+    assert abs(fg2.var("x0").timestamp - fg.var("x0").timestamp) < 1e-6
+    fl = fg.lsf()[0]
+    assert abs(fg2.factor(fl).timestamp - fg.factor(fl).timestamp) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(fg2.var("x1").ppe["default"]["suggested"]),
+        np.asarray(fg.var("x1").ppe["default"]["suggested"]), atol=1e-6)
+    # blob ENTRY metadata rides along (blob payloads live in the store)
+    e2 = fg2.var("x0").data["meta"]
+    assert e2.blob_id == entry.blob_id and e2.hash == entry.hash

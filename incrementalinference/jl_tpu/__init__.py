@@ -13,7 +13,8 @@ from .distributions import (AliasingScalarSampler, Categorical,
                             ManifoldKernelDensity, MvNormal, Normal,
                             Rayleigh, Uniform, manikde)
 from .graph import (Circular, ContinuousEuclid, ContinuousScalar, Factor,
-                    FactorGraph, Position, Variable, VariableType, initfg)
+                    FactorGraph, Position, Position1, Position2, Position3,
+                    Position4, Variable, VariableType, initfg)
 from .graphinit import doautoinit, init_all, init_variable
 from . import manifolds
 from .manifolds import SE2, SE3, SO2, SO3, Circle, Euclidean
@@ -28,8 +29,10 @@ from .ops import (approx_conv_belief, approx_conv_path, eval_factor,
                   find_shortest_path_dijkstra, is_path_factors_homogeneous,
                   local_product, manifold_product, propagate_belief,
                   sample_factor)
-from .api import (fifo_freeze, set_ppe, solve_cliq_down, solve_cliq_up,
-                  solve_graph, solve_tree, warmup)
+from .api import (approx_cliq_marginal_up, fifo_freeze, set_ppe,
+                  solve_cliq_down, solve_cliq_up,
+                  solve_cliq_with_state_machine, solve_graph, solve_tree,
+                  warmup)
 from .tree import (BayesTree, CliqStatus, build_tree, build_tree_reset,
                    get_elimination_order)
 from . import canonical

@@ -19,6 +19,7 @@ from .parallel.scheduler import (down_solve_clique, solve_tree_sweeps,
 from .tree.bayestree import BayesTree, build_tree_reset
 
 __all__ = ["solve_tree", "solve_graph", "solve_cliq_up", "solve_cliq_down",
+           "solve_cliq_with_state_machine", "approx_cliq_marginal_up",
            "fifo_freeze", "set_ppe", "warmup"]
 
 
@@ -181,6 +182,23 @@ def solve_cliq_up(fg: FactorGraph, tree: BayesTree, frontal: str,
     test harness (reference solveCliqUp!, SolverAPI.jl:545-650)."""
     cl = tree.clique_of(frontal)
     return up_solve_clique(fg, tree, cl, child_msgs or [], solve_key)
+
+
+# reference solveCliqWithStateMachine — running one clique's solve in
+# isolation IS the harness above (the CSM itself became the static schedule)
+solve_cliq_with_state_machine = solve_cliq_up
+
+
+def approx_cliq_marginal_up(fg: FactorGraph, tree: BayesTree, frontal: str,
+                            child_msgs: Optional[List[LikelihoodMessage]]
+                            = None, solve_key: str = "default"
+                            ) -> Dict[str, object]:
+    """Reference ``approxCliqMarginalUp!`` (CliqStateMachineUtils.jl:349-410):
+    run one clique's up Gibbs and return the per-variable marginal beliefs
+    (frontals + separator) instead of just the separator message."""
+    cl = tree.clique_of(frontal)
+    up_solve_clique(fg, tree, cl, child_msgs or [], solve_key)
+    return {v: fg.get_belief(v, solve_key) for v in cl.all_vars}
 
 
 def solve_cliq_down(fg: FactorGraph, tree: BayesTree, frontal: str,

@@ -18,7 +18,10 @@ __all__ = ["print_clique_history", "print_history_sequential",
            "graph_to_dot", "save_graph_dot", "clique_assoc_matrix",
            "spy_clique_matrix", "animate_csm", "print_clique_summary",
            "cliq_hist_filter_transitions", "filter_hist_all_to_array",
-           "hist_state_machine_transitions", "sandbox_state_machine_step"]
+           "hist_state_machine_transitions", "sandbox_state_machine_step",
+           "get_cliq_subgraph_from_history", "get_graph_from_history",
+           "print_history_lanes", "draw_tree_async_loop",
+           "animate_cliq_state_machines"]
 
 
 def print_clique_history(traces: Dict[int, CliqueTrace],
@@ -199,6 +202,69 @@ def replay_clique_up(fg, tree: BayesTree, cid: int,
 sandbox_state_machine_step = replay_clique_up
 
 
+def get_cliq_subgraph_from_history(traces: Dict[int, CliqueTrace],
+                                   cid: int):
+    """Reference ``getCliqSubgraphFromHistory`` — the clique subgraph
+    snapshot captured during the recorded up-solve (record_cliques=True)."""
+    tr = traces.get(cid)
+    if tr is None or tr.subfg is None:
+        raise ValueError(f"no recorded subgraph for clique {cid} "
+                         f"(run with record_cliques=True)")
+    return tr.subfg
+
+
+# reference getGraphFromHistory — same capture, reference naming
+get_graph_from_history = get_cliq_subgraph_from_history
+
+
+def print_history_lanes(traces: Dict[int, CliqueTrace]) -> str:
+    """Side-by-side lanes, one column per clique, rows = global event order
+    (reference printCSMHistoryLogical / printHistoryLane,
+    TreeDebugTools.jl:254-511)."""
+    cids = sorted(traces)
+    events = [(ts, c, step) for c in cids
+              for ts, step, _ in traces[c].events]
+    events.sort()
+    width = max([12] + [len(s) + 2 for _, _, s in events])
+    header = "      | " + " | ".join(f"cliq{c:<{width - 4}}" for c in cids)
+    lines = [header, "-" * len(header)]
+    for i, (ts, c, step) in enumerate(events):
+        cells = [f"{step:<{width}}" if c == cc else " " * width
+                 for cc in cids]
+        lines.append(f"{i:5d} | " + " | ".join(cells))
+    out = "\n".join(lines)
+    print(out)
+    return out
+
+
+def draw_tree_async_loop(tree: BayesTree, path: str = "/tmp/iitpu/bt.dot",
+                         rate_hz: float = 2.0):
+    """Background redraw loop writing the tree's dot file at ``rate_hz``
+    while a solve mutates clique statuses (reference drawTreeAsyncLoop /
+    drawtreerate live visualization, JunctionTreeUtils.jl:648-669).
+    Returns a zero-argument stop function."""
+    import threading
+
+    stop = threading.Event()
+
+    def loop():
+        while not stop.is_set():
+            try:
+                save_tree_dot(tree, path)
+            except Exception:           # noqa: BLE001 — best-effort viz
+                pass
+            stop.wait(1.0 / max(rate_hz, 1e-3))
+
+    th = threading.Thread(target=loop, daemon=True)
+    th.start()
+
+    def stopper():
+        stop.set()
+        th.join(timeout=2.0)
+
+    return stopper
+
+
 def graph_to_dot(fg) -> str:
     """Graphviz dot of the factor graph itself (reference drawGraph/
     drawGraphCliq helpers, src/services/AdditionalUtils.jl)."""
@@ -358,3 +424,9 @@ def animate_csm(tree: BayesTree, traces: Dict[int, CliqueTrace],
             writer.grab_frame()
     plt.close(fig)
     return path
+
+
+# reference animateCliqStateMachines / animateStateMachineHistoryByTime —
+# the recorded-trace GIF renderer above serves both
+animate_cliq_state_machines = animate_csm
+animate_state_machine_history_by_time = animate_csm

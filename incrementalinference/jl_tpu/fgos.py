@@ -40,6 +40,13 @@ __all__ = [
     "get_measurements", "deconv_solve_key",
     "fastnorm", "reshape_vec2mat", "cont2disc",
     "print_variable", "print_factor", "print_graph_summary",
+    "get_variables", "get_factors", "get_solver_data", "get_bw_val",
+    "get_point_identity", "get_point_type", "get_multihypo_distribution",
+    "get_log_path", "join_log_path", "ls_types", "lsf_types",
+    "list_type_tree", "make_solver_data", "init_variable_manual",
+    "reset_init_values", "reset_factor_graph_new_tree",
+    "default_fixed_lag_on_tree", "normal_from_string",
+    "categorical_from_string", "extract_distribution",
 ]
 
 
@@ -636,3 +643,210 @@ def print_graph_summary(fg: FactorGraph) -> str:
            f"{nf} factors, solve_count={fg.solve_count}")
     print(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# object listings / solver-data views (reference getVariables/getSolverData)
+# ---------------------------------------------------------------------------
+
+def get_variables(fg: FactorGraph, regex=None, tags: Iterable[str] = (),
+                  solvable: int = 0) -> List[Variable]:
+    """Reference DFG ``getVariables`` — resolved Variable objects."""
+    return [fg.var(l) for l in
+            list_variables(fg, regex=regex, tags=tags, solvable=solvable)]
+
+
+def get_factors(fg: FactorGraph, regex=None, tags: Iterable[str] = (),
+                solvable: int = 0) -> List[Factor]:
+    """Reference DFG ``getFactors``."""
+    return [fg.factor(l) for l in
+            list_factors(fg, regex=regex, tags=tags, solvable=solvable)]
+
+
+def get_solver_data(fg: FactorGraph, label: str,
+                    solve_key: str = "default") -> dict:
+    """Reference ``getSolverData`` — one solveKey's full solver record
+    (belief arrays, init flag, solve count, PPE if stored)."""
+    v = fg.var(label)
+    return {"belief": v.beliefs.get(solve_key),
+            "initialized": v.initialized.get(solve_key, False),
+            "solved_count": v.solved_count.get(solve_key, 0),
+            "ppe": v.ppe.get(solve_key),
+            "marginalized": v.marginalized}
+
+
+def get_bw_val(fg: FactorGraph, label: str,
+               solve_key: str = "default") -> np.ndarray:
+    """Reference ``getBWVal`` — bandwidths as a host array."""
+    return np.asarray(get_bw(fg, label, solve_key))
+
+
+def get_point_identity(vartype_or_manifold):
+    """Reference ``getPointIdentity`` — the manifold's identity point."""
+    m = getattr(vartype_or_manifold, "manifold", vartype_or_manifold)
+    return m.identity()
+
+
+def get_point_type(vartype_or_manifold):
+    """Reference ``getPointType`` — (shape, dtype) of a point array."""
+    p = get_point_identity(vartype_or_manifold)
+    return tuple(p.shape), np.asarray(p).dtype
+
+
+def get_multihypo_distribution(fg: FactorGraph, factor_label: str):
+    """Reference ``getMultihypoDistribution`` (FGOSUtils.jl:303-313) —
+    Categorical over the factor's hypothesis weights (None when not
+    multihypo)."""
+    from .distributions import Categorical as _Cat
+    f = fg.factor(factor_label)
+    if f.multihypo is None:
+        return None
+    w = np.asarray(f.multihypo, dtype=float)
+    w = w / max(w.sum(), 1e-12)
+    return _Cat(w.tolist())
+
+
+def get_log_path(fg: FactorGraph) -> str:
+    """Reference ``getLogPath`` — the solve-log directory."""
+    return fg.params.logpath
+
+
+def join_log_path(fg: FactorGraph, *parts: str) -> str:
+    """Reference ``joinLogPath``."""
+    import os as _os
+    return _os.path.join(get_log_path(fg), *map(str, parts))
+
+
+def ls_types(fg: FactorGraph) -> Dict[str, List[str]]:
+    """Reference ``lsTypes`` — variable labels grouped by variable type."""
+    out: Dict[str, List[str]] = {}
+    for l in fg.ls():
+        out.setdefault(fg.var(l).vartype.name, []).append(l)
+    return out
+
+
+def lsf_types(fg: FactorGraph) -> Dict[str, List[str]]:
+    """Reference ``lsfTypes`` — factor labels grouped by model type."""
+    out: Dict[str, List[str]] = {}
+    for l in fg.lsf():
+        out.setdefault(type(fg.factor(l).model).__name__, []).append(l)
+    return out
+
+
+def list_type_tree(cls=None, indent: int = 0) -> str:
+    """Reference ``listTypeTree`` — print the factor-model class hierarchy
+    rooted at ``cls`` (default: FactorModel)."""
+    if cls is None:
+        from .models.factors import FactorModel
+        cls = FactorModel
+    lines = [" " * indent + cls.__name__]
+    for sub in sorted(cls.__subclasses__(), key=lambda c: c.__name__):
+        lines.append(list_type_tree(sub, indent + 2))
+    out = "\n".join(lines)
+    if indent == 0:
+        print(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# solver-data lifecycle (reference makeSolverData!, resetInitValues!,
+# resetFactorGraphNewTree!, defaultFixedLagOnTree!)
+# ---------------------------------------------------------------------------
+
+def make_solver_data(fg: FactorGraph, solve_key: str = "default"
+                     ) -> List[str]:
+    """Reference ``makeSolverData!`` (GraphInit.jl:21-43) — materialize
+    solver data under ``solve_key`` for every variable that lacks it
+    (identity points, uninitialized)."""
+    out = []
+    for l in fg.ls():
+        v = fg.var(l)
+        if solve_key not in v.beliefs:
+            src = v.beliefs.get("default")
+            if src is not None:
+                v.beliefs[solve_key] = src
+                v.initialized[solve_key] = v.initialized.get("default",
+                                                             False)
+            else:
+                fg.set_belief(l, v.default_points(), solve_key=solve_key,
+                              initialized=False)
+            out.append(l)
+    return out
+
+
+def init_variable_manual(fg: FactorGraph, label: str, value,
+                         solve_key: str = "default"):
+    """Reference ``initVariableManual!`` — alias of initVariable!."""
+    from .graphinit import init_variable
+    return init_variable(fg, label, value, solve_key=solve_key)
+
+
+def reset_init_values(fg: FactorGraph, solve_key: str = "default",
+                      from_key: str = "graphinit"):
+    """Reference ``resetInitValues!`` — restore the graphinit snapshot."""
+    from .graphinit import reset_initial_values
+    return reset_initial_values(fg, solve_key=solve_key, from_key=from_key)
+
+
+def reset_factor_graph_new_tree(fg: FactorGraph) -> FactorGraph:
+    """Reference ``resetFactorGraphNewTree!`` — clear per-solve elimination
+    bookkeeping so a fresh tree can be built."""
+    for f in fg.factors.values():
+        f.potential_used = False
+    return fg
+
+
+def default_fixed_lag_on_tree(fg: FactorGraph, qfl: int = 99999,
+                              limit_fixed_lag: bool = True) -> int:
+    """Reference ``defaultFixedLagOnTree!`` — enable the quasi fixed-lag
+    marginalization window."""
+    fg.params = fg.params.replace(qfl=int(qfl),
+                                  is_fixed_lag=bool(limit_fixed_lag))
+    return int(qfl)
+
+
+# ---------------------------------------------------------------------------
+# legacy string → distribution parsing (reference normalfromstring /
+# categoricalfromstring / extractdistribution)
+# ---------------------------------------------------------------------------
+
+def normal_from_string(s: str):
+    """Parse ``"Normal(mu, sigma)"`` (reference normalfromstring)."""
+    import ast
+    from .distributions import Normal as _N
+    m = re.match(r"\s*Normal\s*\((.*)\)\s*$", s)
+    if not m:
+        raise ValueError(f"not a Normal string: {s!r}")
+    mu, sigma = ast.literal_eval("(" + m.group(1) + ")")
+    return _N(float(mu), float(sigma))
+
+
+def categorical_from_string(s: str):
+    """Parse ``"Categorical([p1, p2, …])"`` (reference
+    categoricalfromstring)."""
+    import ast
+    from .distributions import Categorical as _C
+    m = re.match(r"\s*Categorical\s*\((.*)\)\s*$", s)
+    if not m:
+        raise ValueError(f"not a Categorical string: {s!r}")
+    p = ast.literal_eval(m.group(1))
+    return _C([float(x) for x in p])
+
+
+def extract_distribution(s: str):
+    """Parse any supported distribution string (reference
+    extractdistribution): Normal, MvNormal, Uniform, Rayleigh,
+    Categorical."""
+    import ast
+    from . import distributions as D
+    m = re.match(r"\s*([A-Za-z]+)\s*\((.*)\)\s*$", s)
+    if not m:
+        raise ValueError(f"unparseable distribution string: {s!r}")
+    name, argstr = m.groups()
+    ctor = {"Normal": D.Normal, "MvNormal": D.MvNormal,
+            "Uniform": D.Uniform, "Rayleigh": D.Rayleigh,
+            "Categorical": D.Categorical}.get(name)
+    if ctor is None:
+        raise ValueError(f"unknown distribution {name!r}")
+    args = ast.literal_eval("(" + argstr + ",)")
+    return ctor(*args)

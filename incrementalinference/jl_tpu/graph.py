@@ -24,6 +24,7 @@ from .manifolds import Circle, Euclidean, Manifold
 __all__ = [
     "VariableType", "Variable", "Factor", "FactorGraph", "initfg",
     "ContinuousScalar", "ContinuousEuclid", "Position", "Circular",
+    "Position1", "Position2", "Position3", "Position4",
 ]
 
 
@@ -56,6 +57,13 @@ def Position(n: int) -> VariableType:
 
 ContinuousScalar = ContinuousEuclid(1)
 Circular = VariableType("Circular", Circle())
+
+# reference exports the first few Position{N} instances by name
+# (src/Variables/DefaultVariables.jl / ExportAPI.jl Position1..Position4)
+Position1 = Position(1)
+Position2 = Position(2)
+Position3 = Position(3)
+Position4 = Position(4)
 
 
 @dataclass
@@ -123,6 +131,9 @@ class Factor:
     # symbolic-elimination bookkeeping (reference GenericFunctionNodeData
     # .potentialused flag consumed by getFactorsAmongVariablesOnly)
     potential_used: bool = False
+    # user-model per-factor cache built once at add time (reference
+    # preambleCache hook, src/services/CalcFactor.jl cache plumbing)
+    cache: Any = None
 
     @property
     def is_prior(self) -> bool:
@@ -213,6 +224,13 @@ class FactorGraph:
         self.factors[label] = f
         for vl in variables:
             self._var_factors[vl].append(label)
+
+        # reference preambleCache: a user model may build a one-time cache
+        # from the graph context (CalcFactor.jl cache construction at CCW
+        # creation); stored host-side on the factor
+        pc = getattr(model, "preamble_cache", None)
+        if callable(pc):
+            f.cache = pc(self, [self.variables[vl] for vl in variables], f)
 
         do_init = self.params.graphinit if graphinit is None else graphinit
         if do_init:

@@ -53,6 +53,9 @@ class CliqueTrace:
     # captured inputs for replay (reference repeatCSMStep!)
     child_msgs: Optional[List["LikelihoodMessage"]] = None
     down_msg: Optional["LikelihoodMessage"] = None
+    # clique subgraph snapshot (reference getCliqSubgraphFromHistory /
+    # getGraphFromHistory; belief arrays are shared, not copied)
+    subfg: Optional["FactorGraph"] = None
 
     def log(self, step: str, detail: str = ""):
         self.events.append((time.time(), step, detail))
@@ -129,14 +132,20 @@ def _msg_summary(msg: LikelihoodMessage) -> dict:
 
 
 @jax.jit
-def _wildfire_stat(pts_new, pts_old):
-    """Spread-normalized mean displacement between two particle sets —
-    the wildfire gate statistic, one fused device call."""
-    mn = jnp.mean(pts_new, axis=0)
-    mo = jnp.mean(pts_old, axis=0)
-    sn = jnp.mean(jnp.std(pts_new, axis=0))
-    so = jnp.mean(jnp.std(pts_old, axis=0))
-    return jnp.linalg.norm(mn - mo) / jnp.maximum(jnp.maximum(sn, so), 1e-9)
+def _wildfire_stat_many(news, olds):
+    """Max spread-normalized mean displacement across variable pairs — the
+    wildfire gate statistic for a whole clique in ONE fused device call
+    (per-variable calls each cost a blocking tunnel round-trip, which made
+    the gate slower than the down-solves it skips)."""
+    stats = []
+    for pts_new, pts_old in zip(news, olds):
+        mn = jnp.mean(pts_new, axis=0)
+        mo = jnp.mean(pts_old, axis=0)
+        sn = jnp.mean(jnp.std(pts_new, axis=0))
+        so = jnp.mean(jnp.std(pts_old, axis=0))
+        stats.append(jnp.linalg.norm(mn - mo) /
+                     jnp.maximum(jnp.maximum(sn, so), 1e-9))
+    return jnp.max(jnp.stack(stats))
 
 
 def _wildfire_unchanged(new: dict, old: Optional[dict], tol: float) -> bool:
@@ -145,14 +154,20 @@ def _wildfire_unchanged(new: dict, old: Optional[dict], tol: float) -> bool:
     re-solving for (iSAM2 wildfire-threshold analogue)."""
     if old is None or set(new) != set(old):
         return False
+    pairs = []
     for vlbl, pn in new.items():
         po = old[vlbl]
         if pn.shape != po.shape:
             return False
-        # the only device sync on the gate path, per candidate variable
-        if float(_wildfire_stat(pn, po)) > tol:
-            return False
-    return True
+        if pn is po:
+            continue            # identical array object — trivially unchanged
+        pairs.append((pn, po))
+    if not pairs:
+        return True
+    # the only device sync on the gate path: one per clique
+    stat = _wildfire_stat_many(tuple(p for p, _ in pairs),
+                               tuple(p for _, p in pairs))
+    return float(stat) <= tol
 
 
 def _use_chain(params) -> bool:
@@ -602,6 +617,8 @@ def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
         return msg
 
     sub = build_clique_subgraph(fg, clique, device=device)
+    if params.record_cliques:
+        t.subfg = sub
     t.log("build_subgraph", f"{len(sub.variables)} vars, "
                             f"{len(sub.factors)} factors")
 
@@ -934,6 +951,9 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                     cl.status = CliqStatus.ERROR_STATUS
                     tr.log("error", str(e))
                     errors.append((cid, e))
+        # received-down-message map (keyed by receiving clique) for
+        # getCliqDownMsgsAfterDownSolve-style introspection
+        tree.down_msgs = down_msgs
 
     # retain the sweep's up messages for post-solve introspection
     # (reference getTreeCliqUpMsgsAll / stackCliqUpMsgsByVariable,

@@ -36,6 +36,7 @@ __all__ = [
     "get_cliq_var_solve_order_up", "reset_cliq_solve",
     "reset_tree_cliques_for_up_solve", "calc_cliques_recycled",
     "get_tree_cliq_up_msgs_all", "stack_cliq_up_msgs_by_variable",
+    "get_cliq_down_msgs_after_down_solve",
     "tree_product_up", "tree_product_down",
 ]
 
@@ -375,6 +376,14 @@ def get_tree_cliq_up_msgs_all(tree: BayesTree) -> Dict[int, object]:
     """Reference ``getTreeCliqUpMsgsAll`` — per-clique up messages retained
     from the last sweep."""
     return dict(tree.up_msgs)
+
+
+def get_cliq_down_msgs_after_down_solve(tree: BayesTree, cid: int
+                                        ) -> Dict[int, object]:
+    """Reference ``getCliqDownMsgsAfterDownSolve`` — the down messages this
+    clique sent to each child during the last sweep (keyed by child cid)."""
+    return {ch: tree.down_msgs[ch] for ch in tree.clique(cid).children
+            if ch in tree.down_msgs}
 
 
 def stack_cliq_up_msgs_by_variable(tree: BayesTree

@@ -80,9 +80,10 @@ class BayesTree:
         # previous-solve down-message summaries keyed by clique signature —
         # consulted by the wildfire down-solve gate (SolverParams.wildfire_tol)
         self.down_cache: Dict[Tuple, dict] = {}
-        # up messages retained from the last sweep (reference
-        # getTreeCliqUpMsgsAll introspection)
+        # up/down messages retained from the last sweep (reference
+        # getTreeCliqUpMsgsAll / getCliqDownMsgsAfterDownSolve introspection)
         self.up_msgs: Dict[int, object] = {}
+        self.down_msgs: Dict[int, object] = {}
 
     @property
     def root_ids(self) -> List[int]:

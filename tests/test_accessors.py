@@ -329,3 +329,118 @@ def test_datastore_memory_and_hash_check():
     ii.get_blob_store(fg).put(e.blob_id, b"tampered")
     with pytest.raises(ValueError):
         ii.get_data(fg, "x1", "scan")
+
+
+# ---------------------------------------------------------------------------
+# object listings / lifecycle / string parsing (second accessor batch)
+# ---------------------------------------------------------------------------
+
+def test_object_listings_and_solver_data():
+    fg = _chain()
+    solve_tree(fg)
+    vs = ii.get_variables(fg)
+    assert [v.label for v in vs] == fg.ls()
+    fs = ii.get_factors(fg)
+    assert [f.label for f in fs] == fg.lsf()
+    sd = ii.get_solver_data(fg, "x1")
+    assert sd["initialized"] and sd["solved_count"] > 0
+    assert sd["belief"] is fg.get_belief("x1")
+    bw = ii.get_bw_val(fg, "x1")
+    assert bw.shape[-1] == 1 and np.all(bw > 0)
+
+
+def test_point_identity_type_and_multihypo_dist():
+    from incrementalinference.jl_tpu import Position2
+    p = ii.get_point_identity(Position2)
+    assert np.allclose(np.asarray(p), 0.0) and p.shape == (2,)
+    shape, dtype = ii.get_point_type(Position2)
+    assert shape == (2,)
+    fg = _chain()
+    fg.add_variable("l1", ContinuousScalar)
+    f = fg.add_factor(["x0", "x1", "l1"], LinearRelative(Normal(0, 1)),
+                      multihypo=[1.0, 0.5, 0.5])
+    d = ii.get_multihypo_distribution(fg, f.label)
+    assert np.allclose(np.asarray(d.p), [0.5, 0.25, 0.25])
+    assert ii.get_multihypo_distribution(fg, fg.lsf()[0]) is None
+
+
+def test_logpath_type_listings_and_tree():
+    fg = _chain()
+    assert ii.get_log_path(fg) == fg.params.logpath
+    assert ii.join_log_path(fg, "logs", 3).endswith("logs/3")
+    lt = ii.ls_types(fg)
+    assert lt == {"ContinuousEuclid1": ["x0", "x1", "x2"]}
+    ft = ii.lsf_types(fg)
+    assert set(ft) == {"Prior", "LinearRelative"}
+    txt = ii.list_type_tree()
+    assert "FactorModel" in txt and "Prior" in txt
+
+
+def test_solver_data_lifecycle():
+    fg = _chain()
+    made = ii.make_solver_data(fg, "parametric_init")
+    assert made == fg.ls()
+    assert "parametric_init" in ii.list_solve_keys(fg, "x0")
+    from incrementalinference.jl_tpu.tree import build_tree
+    build_tree(fg)
+    assert any(f.potential_used for f in fg.factors.values())
+    ii.reset_factor_graph_new_tree(fg)
+    assert not any(f.potential_used for f in fg.factors.values())
+    ii.default_fixed_lag_on_tree(fg, qfl=2)
+    assert fg.params.qfl == 2 and fg.params.is_fixed_lag
+    ii.init_variable_manual(fg, "x0", np.full((50, 1), 3.0))
+    assert abs(float(np.asarray(fg.points("x0")).mean()) - 3.0) < 1e-5
+
+
+def test_distribution_string_parsing():
+    n = ii.normal_from_string("Normal(2.0, 0.5)")
+    assert n.mu == 2.0 and n.sigma == 0.5
+    c = ii.categorical_from_string("Categorical([0.2, 0.8])")
+    assert np.allclose(np.asarray(c.p), [0.2, 0.8])
+    u = ii.extract_distribution("Uniform(0.0, 2.0)")
+    assert u.a == 0.0 and u.b == 2.0
+    mv = ii.extract_distribution("MvNormal([0.0, 1.0], [1.0, 1.0])")
+    assert np.asarray(mv.mu).shape == (2,)
+    with pytest.raises(ValueError):
+        ii.extract_distribution("Bogus(1)")
+
+
+def test_position_aliases():
+    from incrementalinference.jl_tpu import (Position1, Position2,
+                                             Position3, Position4)
+    for n, vt in enumerate((Position1, Position2, Position3, Position4), 1):
+        assert vt.manifold.dof == n
+
+
+def test_preamble_cache_hook():
+    from incrementalinference.jl_tpu.models import PriorModel
+
+    calls = []
+
+    class CachedPrior(Prior):
+        def preamble_cache(self, fg, variables, factor):
+            calls.append((factor.label, [v.label for v in variables]))
+            return {"range_lookup": 42}
+
+    fg = initfg(ii.SolverParams(N=30))
+    fg.add_variable("a", ContinuousScalar)
+    f = fg.add_factor(["a"], CachedPrior(Normal(0, 1)), graphinit=False)
+    assert f.cache == {"range_lookup": 42}
+    assert calls == [(f.label, ["a"])]
+
+
+def test_down_msgs_and_subfg_history():
+    fg = _chain(4)
+    fg.params = fg.params.replace(record_cliques=True)
+    tree = solve_tree(fg)
+    root = tree.clique(tree.root_ids[0])
+    sent = ii.get_cliq_down_msgs_after_down_solve(tree, root.cid)
+    assert set(sent) == set(root.children)
+    from incrementalinference.jl_tpu.debugging import (
+        get_cliq_subgraph_from_history, print_history_lanes)
+    # leaf cliques run a real up-solve and capture their subgraph
+    leaf = [c for c in tree.cliques.values() if not c.children][0]
+    sub = get_cliq_subgraph_from_history(tree.traces, leaf.cid)
+    assert set(sub.ls()) == set(leaf.all_vars)
+    lanes = print_history_lanes(tree.traces)
+    assert f"cliq{leaf.cid}" in lanes and "up_done" in lanes

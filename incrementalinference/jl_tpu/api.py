@@ -66,13 +66,19 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                algorithm: str = "default",
                skip_cliques: Sequence[int] = (),
                delay_cliques: Optional[Dict[int, float]] = None,
+               timeout: Optional[float] = None,
                mesh=None, distribute: str = "particles",
                precompile: bool = False,
                verbose: bool = False) -> BayesTree:
     """Nonparametric MM-iSAM solve over the Bayes tree (reference
     solveTree!, SolverAPI.jl:326-493): init → freeze → tree build (with
     recycling vs ``old_tree``) → level-synchronous up/down sweeps →
-    PPE updates.  Returns the tree (pass back in for incremental reuse)."""
+    PPE updates.  Returns the tree (pass back in for incremental reuse).
+
+    ``timeout``: soft wall-clock budget in seconds for the sweeps
+    (reference solveTree! timeout bounding each CSM, SolverAPI.jl:16);
+    cliques not reached before expiry are flooded ERROR_STATUS and the
+    solve raises after the sweep, like any failed clique."""
     if algorithm == "parametric":
         # route to the parametric clique sweeps (reference
         # solveTree!(…; algorithm=:parametric), SolverAPI.jl:423)
@@ -137,6 +143,7 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                                up=do_up, down=do_down,
                                skip_cliques=skip_cliques,
                                delay_cliques=delay_cliques,
+                               timeout=timeout,
                                devices=(list(mesh.devices.flat)
                                         if mesh is not None
                                         and distribute == "cliques"

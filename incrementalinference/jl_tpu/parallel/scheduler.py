@@ -739,7 +739,8 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                       traces: Optional[Dict[int, CliqueTrace]] = None,
                       skip_cliques: Sequence[int] = (),
                       delay_cliques: Dict[int, float] | None = None,
-                      devices: Optional[Sequence] = None
+                      devices: Optional[Sequence] = None,
+                      timeout: Optional[float] = None
                       ) -> Dict[int, CliqueTrace]:
     """Full level-synchronous up sweep then down sweep.
 
@@ -755,6 +756,19 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
     traces = traces if traces is not None else {}
     delay_cliques = delay_cliques or {}
     skip_set = set(skip_cliques)
+    # soft wall-clock budget (reference solveTree! timeout bounding each
+    # CSM, SolverAPI.jl:16 / CliqueStateMachine.jl:86-95): checked between
+    # clique solves; an expired budget marks the remaining cliques
+    # ERROR_STATUS, same flooding semantics as a failed clique
+    deadline = (time.time() + timeout) if timeout else None
+
+    def _timed_out(cl) -> bool:
+        if deadline is not None and time.time() > deadline:
+            cl.status = CliqStatus.ERROR_STATUS
+            errors.append((cl.cid, TimeoutError(
+                f"solve timeout ({timeout}s) before clique {cl.cid}")))
+            return True
+        return False
     dev_of = {}
     if devices:
         # round-robin same-level cliques across devices: async dispatch
@@ -797,6 +811,11 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                     if cid in seg_handled:
                         continue
                     cl = tree.clique(cid)
+                    if _timed_out(cl):
+                        up_msgs[cid] = LikelihoodMessage(
+                            sender=cid, status=CliqStatus.ERROR_STATUS,
+                            direction="up")
+                        continue
                     child_msgs = [up_msgs[ch] for ch in cl.children
                                   if ch in up_msgs]
                     tr = trace_for(cid)
@@ -828,6 +847,13 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                             direction="up")
                 continue
             cls = [tree.clique(cid) for cid in level]
+            if any(_timed_out(cl) for cl in cls[:1]):
+                for cl in cls:
+                    cl.status = CliqStatus.ERROR_STATUS
+                    up_msgs[cl.cid] = LikelihoodMessage(
+                        sender=cl.cid, status=CliqStatus.ERROR_STATUS,
+                        direction="up")
+                continue
             child_msgs_of = {cl.cid: [up_msgs[ch] for ch in cl.children
                                       if ch in up_msgs] for cl in cls}
             if fg.params.record_cliques:
@@ -854,6 +880,11 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                 if cid in seg_handled:
                     continue
                 cl = tree.clique(cid)
+                if _timed_out(cl):
+                    up_msgs[cid] = LikelihoodMessage(
+                        sender=cid, status=CliqStatus.ERROR_STATUS,
+                        direction="up")
+                    continue
                 child_msgs = [up_msgs[ch] for ch in cl.children
                               if ch in up_msgs]
                 tr = trace_for(cid)
@@ -907,6 +938,8 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                 if fg.params.record_cliques:
                     tr.down_msg = down_msgs.get(cid)
                 if cid in skip_set or cl.status == CliqStatus.ERROR_STATUS:
+                    continue
+                if _timed_out(cl):
                     continue
                 incoming = down_msgs.get(cid)
                 summary = (_msg_summary(incoming)

@@ -311,3 +311,22 @@ def test_auto_batched_wide_level():
     for b in range(12):
         m = float(np.asarray(fg.points(f"b{b}x1")).mean())
         assert abs(m - (10 * b + 1)) < 1.5, (b, m)
+
+
+def test_solve_timeout_floods_errors():
+    """A wall-clock budget marks unreached cliques ERROR and the solve
+    raises after the sweep (reference solveTree! timeout semantics,
+    SolverAPI.jl:16)."""
+    import pytest
+    from incrementalinference.jl_tpu.tree.bayestree import CliqStatus
+
+    fg = generate_caesar_ring1d(graphinit=True)
+    tree0 = solve_tree(fg)                      # warm compile + tree shape
+    leafish = tree0.levels()[-1][0]
+    with pytest.raises(RuntimeError, match="clique solves failed"):
+        # delay one early clique past the budget so later ones expire
+        solve_tree(fg, timeout=0.4, delay_cliques={leafish: 1.0})
+    # a generous budget does not interfere
+    tree = solve_tree(fg, timeout=120.0)
+    assert all(c.status in (CliqStatus.DOWNSOLVED, CliqStatus.MARGINALIZED)
+               for c in tree.cliques.values())

@@ -19,10 +19,19 @@ import jax.numpy as jnp
 
 
 def _register(cls, fields):
+    def unflatten(aux, leaves):
+        # bypass __init__: unflatten must store leaves verbatim — they may
+        # be tracers or ArgInfo placeholders (jit/vmap/lower), which the
+        # constructors' jnp.asarray coercion would reject
+        d = object.__new__(cls)
+        for f, v in zip(fields, leaves):
+            setattr(d, f, v)
+        return d
+
     jax.tree_util.register_pytree_node(
         cls,
         lambda d: (tuple(getattr(d, f) for f in fields), None),
-        lambda aux, leaves: cls(*leaves),
+        unflatten,
     )
     return cls
 

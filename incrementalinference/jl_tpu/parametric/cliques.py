@@ -67,7 +67,8 @@ def _clique_solve(fg: FactorGraph, sub: FactorGraph, clique,
     for i, v in enumerate(prob.var_labels):
         sv = sub.var(v)
         sv.parametric_point = points[i]
-        s, e = int(prob.offsets[i]), int(prob.offsets[i + 1])
+        s = int(prob.offsets[i])
+        e = s + prob.dofs[i]   # offsets[i+1] may include type-block padding
         sv.parametric_cov = cov[s:e, s:e]
     prob.full_cov = cov
     return prob
@@ -78,8 +79,8 @@ def _marginal_message(prob: ParametricProblem, sub: FactorGraph, clique
     seps = clique.separator
     sel = np.concatenate([
         np.arange(int(prob.offsets[prob.slot[v]]),
-                  int(prob.offsets[prob.slot[v] + 1])) for v in seps]) \
-        .astype(int) if seps else np.zeros((0,), int)
+                  int(prob.offsets[prob.slot[v]]) + prob.dofs[prob.slot[v]])
+        for v in seps]).astype(int) if seps else np.zeros((0,), int)
     cov = jnp.asarray(np.asarray(prob.full_cov)[np.ix_(sel, sel)])
     pts = [sub.var(v).parametric_point for v in seps]
     return GaussianMessage(clique.cid, seps, pts, cov)

@@ -14,6 +14,18 @@ Max-mixture (reference MaxMixture, src/services/MaxMixture.jl): Mixture
 factors contribute the best-component residual via a smooth-free argmin
 select inside the vmapped group evaluation.
 
+Size bucketing — XLA programs survive graph growth: every traced shape is
+padded to a geometric bucket (variables per manifold type; factors per
+group), variable/column indices are traced arrays (one-hot matmul gathers,
+never data-dependent index gathers), and the frozen/padded coordinate set
+is a traced {0,1} mask folded into the normal equations as
+``H' = mmᵀ⊙H + diag(1-m)`` (exactly the reduced system, since frozen rows
+decouple).  A growing graph therefore re-enters the SAME compiled LM step
+until a bucket overflows — O(log n) compilations over a whole trajectory
+instead of one ~minute XLA compile per added pose.  Padded factor rows
+carry zero whitening so they contribute nothing to cost, gradient, or
+Hessian; padded variable coordinates are masked frozen.
+
 Multi-chip: the group evaluation is embarrassingly data-parallel over
 factors — parallel/mesh.py shards factor groups across the device mesh and
 psums JᵀJ/Jᵀr (SURVEY.md §2.9 mapping of process-distributed solves onto
@@ -42,25 +54,60 @@ def _sqrt_inv(cov: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.inv(L)
 
 
+# geometric size buckets (~×1.4) with a floor of 4: padding waste ≤ ~40%,
+# O(log n) distinct compiled programs as a graph grows (the floor makes
+# tiny problems — autoinit conditionals, small cliques — share one shape)
+_BUCKETS = [4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256,
+            384, 512, 768, 1024, 1536, 2048, 3072, 4096]
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if b >= n:
+            return b
+    return int(2 ** int(np.ceil(np.log2(max(n, 1)))))
+
+
+def _pad_rows(x: jnp.ndarray, pad: int, zero: bool = False) -> jnp.ndarray:
+    if pad == 0:
+        return jnp.asarray(x)
+    x = jnp.asarray(x)
+    tail = (jnp.zeros_like(x[-1:]) if zero else x[-1:])
+    return jnp.concatenate([x, jnp.repeat(tail, pad, axis=0)])
+
+
 class _Group:
-    """A stack of same-structure factors: vmapped residual evaluation."""
+    """A stack of same-structure factors: vmapped residual evaluation.
+
+    Stacked arrays are padded on the factor axis to a bucket size; padded
+    rows have ``sqrt_inv = 0`` so their (whitened) residuals and jacobians
+    vanish identically.
+    """
 
     def __init__(self, models, meas, sqrt_inv, var_slots, ptdims, mix=None,
-                 tdofs=(), arg_manifolds=(), col_ids=None):
-        self.models = models          # pytree with leading factor axis
+                 tdofs=(), arg_manifolds=(), arg_types=()):
+        self.models = models          # pytree with leading factor axis (F,)
         self.meas = meas              # (F, zdim)
-        self.sqrt_inv = sqrt_inv      # (F, zdim, zdim)
-        self.var_slots = var_slots    # (F, arity) int array of var indices
+        self.sqrt_inv = sqrt_inv      # (F, zdim, zdim); zero rows = padding
+        self.var_slots = var_slots    # (F, arity) int32 — index WITHIN the
+        #                               arg's manifold-type block (traced)
         self.ptdims = ptdims          # static per-arg point dims
         self.mix = mix                # optional (w (F,C), mus (F,C,z), sqi (F,C,z,z))
         self.tdofs = tdofs            # static per-arg tangent dofs
         self.arg_manifolds = arg_manifolds   # static per-arg manifolds
-        self.col_ids = col_ids        # (F, local_dof) global state columns
+        self.arg_types = arg_types    # static per-arg manifold-type index
         self.row_base = 0             # global residual row offset
 
 
 class ParametricProblem:
-    """Flattened tangent-space NLLS problem over a (sub)graph."""
+    """Flattened tangent-space NLLS problem over a (sub)graph.
+
+    State layout: variables are grouped by manifold type; each type block
+    is ``bucket(count) * dof`` contiguous tangent coordinates (padded slots
+    masked frozen).  Problems whose type/group buckets match share one
+    compiled LM step regardless of exact variable/factor counts or which
+    coordinates are frozen.
+    """
 
     def __init__(self, fg: FactorGraph,
                  variables: Optional[Sequence[str]] = None,
@@ -69,20 +116,50 @@ class ParametricProblem:
                  solve_key: str = "parametric"):
         self.fg = fg
         self.solve_key = solve_key
-        self.var_labels = list(variables or fg.ls())
+
+        labels = list(variables or fg.ls())
+        # group variables by manifold type (stable within a type)
+        by_man: Dict = {}
+        for v in labels:
+            by_man.setdefault(fg.var(v).manifold, []).append(v)
+
+        # type_groups: (manifold, n_real, n_bucket, tangent_base)
+        self.type_groups: List[Tuple] = []
+        self.var_labels: List[str] = []
+        type_of: Dict[str, int] = {}
+        idx_in_type: Dict[str, int] = {}
+        base = 0
+        for t, (man, vs) in enumerate(by_man.items()):
+            nb = _bucket(len(vs))
+            self.type_groups.append((man, len(vs), nb, base))
+            for j, v in enumerate(vs):
+                type_of[v] = t
+                idx_in_type[v] = j
+                self.var_labels.append(v)
+            base += nb * man.dof
+        self.total_dof = base
+        self._type_of = type_of
+        self._idx_in_type = idx_in_type
+
         self.manifolds = [fg.var(v).manifold for v in self.var_labels]
         self.dofs = [m.dof for m in self.manifolds]
-        self.offsets = np.concatenate([[0], np.cumsum(self.dofs)])
-        self.total_dof = int(self.offsets[-1])
+        # per-REAL-variable global tangent offsets (within padded layout)
+        offs = []
+        for v in self.var_labels:
+            man, _, _, tbase = self.type_groups[type_of[v]]
+            offs.append(tbase + idx_in_type[v] * man.dof)
+        self.offsets = np.asarray(offs + [self.total_dof])
         self.slot = {v: i for i, v in enumerate(self.var_labels)}
 
-        free = np.ones(self.total_dof, bool)
-        for v in frozen:
-            i = self.slot[v]
-            free[self.offsets[i]:self.offsets[i + 1]] = False
-        # kept as host numpy: inside jit these become CONSTANT index arrays
-        # (traced-index gathers compile pathologically on TPU)
-        self.free_idx = np.nonzero(free)[0]
+        # free mask over padded tangent coords: 0 = frozen or padding
+        mask = np.zeros(self.total_dof, np.float32)
+        frozen = set(frozen)
+        for i, v in enumerate(self.var_labels):
+            if v in frozen:
+                continue
+            s = int(self.offsets[i])
+            mask[s:s + self.dofs[i]] = 1.0
+        self.free_mask = jnp.asarray(mask)
 
         # linearization points: parametric point > belief mean > identity
         p0 = []
@@ -120,18 +197,27 @@ class ParametricProblem:
 
         groups = []
         for (treedef, arity, is_mix, _), fs in buckets.items():
+            nf = len(fs)
+            fb = _bucket(nf)
+            pad = fb - nf
             models = jax.tree.map(lambda *xs: jnp.stack(xs), *[f.model for f in fs]) \
-                if len(fs) > 1 else jax.tree.map(lambda x: jnp.asarray(x)[None], fs[0].model)
-            slots_py = [[self.slot[v] for v in f.variables] for f in fs]
-            slots = np.asarray(slots_py, np.int32)
-            ptdims = tuple(self.manifolds[s].point_dim for s in slots_py[0])
-            tdofs = tuple(self.manifolds[s].dof for s in slots_py[0])
-            arg_manifolds = tuple(self.manifolds[s] for s in slots_py[0])
-            col_ids = np.asarray([
-                np.concatenate([np.arange(self.offsets[s],
-                                          self.offsets[s] + self.dofs[s])
-                                for s in srow]).astype(np.int32)
-                for srow in slots_py])
+                if nf > 1 else jax.tree.map(lambda x: jnp.asarray(x)[None], fs[0].model)
+            models = jax.tree.map(lambda x: _pad_rows(x, pad), models)
+            slots_py = [[self._idx_in_type[v] for v in f.variables]
+                        for f in fs]
+            # pad by REPEATING the last real row: padded rows then evaluate
+            # a duplicate of a real factor (finite residual/jacobian) and
+            # their zero whitening cancels the contribution — padding with
+            # arbitrary slots could hit degenerate geometry (e.g. a
+            # relative factor on a variable against itself) whose jacobian
+            # is NaN, and 0·NaN poisons the Hessian
+            slots = _pad_rows(jnp.asarray(slots_py, jnp.int32), pad)
+            arg_vars0 = fs[0].variables
+            ptdims = tuple(self.fg.var(v).manifold.point_dim
+                           for v in arg_vars0)
+            tdofs = tuple(self.fg.var(v).manifold.dof for v in arg_vars0)
+            arg_manifolds = tuple(self.fg.var(v).manifold for v in arg_vars0)
+            arg_types = tuple(self._type_of[v] for v in arg_vars0)
             mix = None
             if is_mix:
                 ws, mus, sqis = [], [], []
@@ -141,18 +227,21 @@ class ParametricProblem:
                     mus.append(m_)
                     sqis.append(jnp.stack([_sqrt_inv(c_[k])
                                            for k in range(c_.shape[0])]))
-                mix = (jnp.stack(ws), jnp.stack(mus), jnp.stack(sqis))
+                mix = (_pad_rows(jnp.stack(ws), pad),
+                       _pad_rows(jnp.stack(mus), pad),
+                       _pad_rows(jnp.stack(sqis), pad, zero=True))
                 # meas/sqrt_inv unused on the mixture path (per-component
                 # mus/whiteners live in ``mix``)
                 meas = mix[1][:, 0]
                 sqi = mix[2][:, 0]
             else:
                 mus, covs = zip(*(f.model.mean_cov() for f in fs))
-                meas = jnp.stack(mus)
-                sqi = jnp.stack([_sqrt_inv(c) for c in covs])
+                meas = _pad_rows(jnp.stack(mus), pad)
+                sqi = _pad_rows(jnp.stack([_sqrt_inv(c) for c in covs]),
+                                pad, zero=True)
             groups.append(_Group(models, meas, sqi, slots, ptdims, mix,
                                  tdofs=tdofs, arg_manifolds=arg_manifolds,
-                                 col_ids=col_ids))
+                                 arg_types=arg_types))
         # assign global residual row offsets
         base = 0
         for g in groups:
@@ -165,48 +254,73 @@ class ParametricProblem:
     def points_of(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         pts = []
         for i, (m, p) in enumerate(zip(self.manifolds, self.p0)):
-            xi = x[int(self.offsets[i]):int(self.offsets[i + 1])]
-            pts.append(m.exp(p, xi))
+            s = int(self.offsets[i])
+            pts.append(m.exp(p, x[s:s + m.dof]))
         return pts
 
-    def _p0_stacked(self, p0=None) -> jnp.ndarray:
+    def _p0_stacked(self, p0=None) -> Tuple[jnp.ndarray, ...]:
+        """Per-manifold-type stacked linearization points, padded to the
+        type bucket with identity points: tuple of (bucket_t, pdim_t)."""
         p0 = self.p0 if p0 is None else p0
-        pd = max(p.shape[-1] for p in p0)
-        return jnp.stack([jnp.pad(p, (0, pd - p.shape[-1]))
-                          for p in p0])
+        stacks = []
+        for t, (man, n, nb, _) in enumerate(self.type_groups):
+            rows = [p0[self.slot[v]] for v in self.var_labels
+                    if self._type_of[v] == t]
+            ident = man.identity()
+            rows = rows + [ident] * (nb - len(rows))
+            stacks.append(jnp.stack([jnp.asarray(r) for r in rows]))
+        return tuple(stacks)
 
-    def _retract_stacked(self, x: jnp.ndarray, p0s: jnp.ndarray) -> jnp.ndarray:
-        """exp each variable's tangent slice at its stacked linearization row."""
-        rows = []
-        pd = p0s.shape[-1]
-        for i, m in enumerate(self.manifolds):
-            xi = x[int(self.offsets[i]):int(self.offsets[i + 1])]
-            pt = m.exp(p0s[i, :m.point_dim], xi)
-            rows.append(jnp.pad(pt, (0, pd - m.point_dim)))
-        return jnp.stack(rows)
+    def _x_blocks(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """Static-sliced per-type tangent blocks reshaped (bucket, dof)."""
+        out = []
+        for man, _, nb, tbase in self.type_groups:
+            out.append(x[tbase:tbase + nb * man.dof].reshape(nb, man.dof))
+        return tuple(out)
 
-    def _group_res(self, g: _Group, x: jnp.ndarray, p0s: jnp.ndarray,
-                   with_jac: bool):
+    def _retract_stacked(self, x: jnp.ndarray, p0s) -> Tuple[jnp.ndarray, ...]:
+        """exp each variable's tangent slice at its linearization row — one
+        vmap per manifold type (no per-variable Python loop)."""
+        outs = []
+        for t, (man, _, nb, tbase) in enumerate(self.type_groups):
+            xt = x[tbase:tbase + nb * man.dof].reshape(nb, man.dof)
+            outs.append(jax.vmap(man.exp)(p0s[t], xt))
+        return tuple(outs)
+
+    def _group_res(self, g: _Group, x: jnp.ndarray, p0s, with_jac: bool):
         """(r (F, z) [, J (F, z, local_dof)]) with *local* jacobians — the
         jacfwd width is the factor's own tangent dims, so compile time is
         independent of the graph size (the reference's sparse-jacobian
-        design, ParametricManopt.jl:153-231, done with gathers instead of
-        graph coloring)."""
+        design, ParametricManopt.jl:153-231, done with one-hot matmul
+        gathers instead of graph coloring)."""
         arity = g.var_slots.shape[1]
         ptdims, tdofs, mans = g.ptdims, g.tdofs, g.arg_manifolds
-        base = p0s[g.var_slots]                   # (F, arity, pdmax)
-        xloc = x[g.col_ids]                       # (F, local_dof)
+        xblocks = self._x_blocks(x)
+        # per-arg one-hot row selectors (F, bucket_t): matmul-form gathers
+        # (data-dependent index gathers compile pathologically on TPU)
+        onehots = []
+        bases = []
+        xlocs = []
+        for k in range(arity):
+            t = g.arg_types[k]
+            nb = self.type_groups[t][2]
+            O = jax.nn.one_hot(g.var_slots[:, k], nb,
+                               dtype=g.meas.dtype)       # (F, nb)
+            onehots.append(O)
+            bases.append(O @ p0s[t])                     # (F, pdim_t)
+            xlocs.append(O @ xblocks[t])                 # (F, dof_t)
+        xloc = jnp.concatenate(xlocs, axis=-1)           # (F, local_dof)
+        base = bases
 
         def local_points(base_f, xl):
             pts, o = [], 0
             for k in range(arity):
-                pts.append(mans[k].exp(base_f[k][:ptdims[k]],
-                                       xl[o:o + tdofs[k]]))
+                pts.append(mans[k].exp(base_f[k], xl[o:o + tdofs[k]]))
                 o += tdofs[k]
             return pts
 
         if g.mix is None:
-            def res_one(model, meas, sqi, base_f, xl):
+            def res_one(model, meas, sqi, xl, *base_f):
                 def res(xl_):
                     return sqi @ model.residual(meas,
                                                 *local_points(base_f, xl_))
@@ -214,12 +328,12 @@ class ParametricProblem:
                     return res(xl), jax.jacfwd(res)(xl)
                 return res(xl)
 
-            return jax.vmap(res_one)(g.models, g.meas, g.sqrt_inv, base,
-                                     xloc)
+            return jax.vmap(res_one)(g.models, g.meas, g.sqrt_inv, xloc,
+                                     *base)
 
         w, mus, sqis = g.mix
 
-        def res_mix(model, base_f, xl, wrow, murow, sqirow):
+        def res_mix(model, xl, wrow, murow, sqirow, *base_f):
             def res(xl_):
                 args = local_points(base_f, xl_)
 
@@ -235,7 +349,7 @@ class ParametricProblem:
                 return res(xl), jax.jacfwd(res)(xl)
             return res(xl)
 
-        return jax.vmap(res_mix)(g.models, base, xloc, w, mus, sqis)
+        return jax.vmap(res_mix)(g.models, xloc, w, mus, sqis, *base)
 
     # -- stacked whitened residual ---------------------------------------
     def residuals(self, x: jnp.ndarray, p0s=None) -> jnp.ndarray:
@@ -248,16 +362,38 @@ class ParametricProblem:
         """Full (r, J) from per-group local jacobians.
 
         Rows are contiguous per group (plain concatenation); columns place
-        via a one-hot matmul — TPU-friendly MXU work instead of scatter ops
-        (XLA scatter compiles pathologically slowly on TPU)."""
+        per manifold-type block via narrow one-hot matmuls — TPU-friendly
+        MXU work instead of scatter ops (XLA scatter compiles
+        pathologically slowly on TPU)."""
         if p0s is None:
             p0s = self._p0_stacked()
         D = self.total_dof
         rs, Js = [], []
         for g in self.groups:
             r, J = self._group_res(g, x, p0s, with_jac=True)
-            S = jax.nn.one_hot(g.col_ids, D, dtype=J.dtype)  # (F, local, D)
-            Jg = jnp.einsum("fzl,fld->fzd", J, S)
+            F, z = r.shape
+            # split local columns per argument and place into type blocks
+            blocks = [None] * len(self.type_groups)
+            o = 0
+            for k in range(len(g.tdofs)):
+                dof = g.tdofs[k]
+                t = g.arg_types[k]
+                nb = self.type_groups[t][2]
+                Jk = J[:, :, o:o + dof]                   # (F, z, dof)
+                # XLA CSEs this against the identical one-hot inside
+                # _group_res, so no duplicate work materializes
+                O = jax.nn.one_hot(g.var_slots[:, k], nb,
+                                   dtype=J.dtype)         # (F, nb)
+                Bk = jnp.einsum("fzd,fv->fzvd", Jk, O)    # (F, z, nb, dof)
+                Bk = Bk.reshape(F, z, nb * dof)
+                blocks[t] = Bk if blocks[t] is None else blocks[t] + Bk
+                o += dof
+            cols = []
+            for t, (man, _, nb, _) in enumerate(self.type_groups):
+                w = nb * man.dof
+                cols.append(blocks[t] if blocks[t] is not None
+                            else jnp.zeros((F, z, w), J.dtype))
+            Jg = jnp.concatenate(cols, axis=-1)           # (F, z, D)
             rs.append(r.reshape(-1))
             Js.append(Jg.reshape(-1, D))
         if not rs:
@@ -267,13 +403,13 @@ class ParametricProblem:
     # -- LM solve ---------------------------------------------------------
     def solve(self, x0: Optional[jnp.ndarray] = None, max_iters: int = 50,
               relinearize: int = 2, lam0: float = 1e-4,
-              tol: float = 1e-8):
+              tol: float = 1e-8, compute_cov: bool = True):
         """Retract-and-relinearize rounds around one fully jitted step.
 
-        The problem itself is a registered pytree, so the jitted step/cov
-        functions are *shared across all problems with the same structure*
-        (per-clique sweeps and autoinit reuse one compilation instead of
-        retracing per clique)."""
+        The problem itself is a registered pytree whose static aux is only
+        the bucket layout, so the jitted step/cov functions are shared
+        across all problems with matching buckets — per-clique sweeps,
+        autoinit, and growing graphs reuse one compilation."""
         x = jnp.zeros((self.total_dof,)) if x0 is None else x0
         p0s = self._p0_stacked()
 
@@ -283,32 +419,30 @@ class ParametricProblem:
                                     lam0=lam0, tol=tol)
             x = jnp.zeros_like(x)
 
-        # write back linearization points
-        self.p0 = [p0s[i, :m.point_dim]
-                   for i, m in enumerate(self.manifolds)]
-        cov = _cov_step(self, p0s)
-        return list(self.p0), cov, float(cost)
+        # write back linearization points (host: un-pad per type block)
+        self.p0 = [p0s[self._type_of[v]][self._idx_in_type[v]]
+                   for v in self.var_labels]
+        cov = _cov_step(self, p0s) if compute_cov else None
+        # cost stays a device scalar: float() here would force a host sync
+        # per solve (expensive over a tunneled TPU; autoinit never reads it)
+        return list(self.p0), cov, cost
 
 
 # ---------------------------------------------------------------------------
-# pytree registration: problems with identical structure (same groups/
-# manifolds/shapes) share jit compilations of the solver steps below
+# pytree registration: problems with identical bucket layout (same group
+# treedefs/manifolds/bucketed shapes) share jit compilations of the solver
+# steps below; exact sizes, index contents, and frozen sets are traced
 # ---------------------------------------------------------------------------
 
 def _group_flatten(g: _Group):
-    return ((g.models, g.meas, g.sqrt_inv, g.mix),
-            (g.ptdims, g.tdofs, g.arg_manifolds, g.row_base,
-             tuple(map(tuple, np.asarray(g.var_slots))),
-             tuple(map(tuple, np.asarray(g.col_ids)))))
+    return ((g.models, g.meas, g.sqrt_inv, g.mix, g.var_slots),
+            (g.ptdims, g.tdofs, g.arg_manifolds, g.arg_types, g.row_base))
 
 
 def _group_unflatten(aux, ch):
     g = object.__new__(_Group)
-    g.models, g.meas, g.sqrt_inv, g.mix = ch
-    (g.ptdims, g.tdofs, g.arg_manifolds, g.row_base,
-     slots, cols) = aux
-    g.var_slots = np.asarray(slots, np.int32)
-    g.col_ids = np.asarray(cols, np.int32)
+    g.models, g.meas, g.sqrt_inv, g.mix, g.var_slots = ch
+    g.ptdims, g.tdofs, g.arg_manifolds, g.arg_types, g.row_base = aux
     return g
 
 
@@ -316,29 +450,28 @@ jax.tree_util.register_pytree_node(_Group, _group_flatten, _group_unflatten)
 
 
 def _prob_flatten(p: "ParametricProblem"):
-    children = (p.groups, p.p0)
-    aux = (p.manifolds if isinstance(p.manifolds, tuple)
-           else tuple(p.manifolds),
-           tuple(p.dofs), tuple(int(o) for o in p.offsets), p.total_dof,
-           p.n_residuals, tuple(int(i) for i in p.free_idx))
+    children = (p.groups, p.free_mask)
+    aux = (tuple((man, nb, tbase) for man, _, nb, tbase in p.type_groups),
+           p.total_dof)
     return children, aux
 
 
 def _prob_unflatten(aux, ch):
     p = object.__new__(ParametricProblem)
-    p.groups, p.p0 = ch
-    manifolds, dofs, offsets, total_dof, n_res, free = aux
-    p.free_idx = np.asarray(free, np.int64)
-    p.manifolds = list(manifolds)
-    p.dofs = list(dofs)
-    p.offsets = np.asarray(offsets)
+    p.groups, p.free_mask = ch
+    tg, total_dof = aux
+    # real counts are traced-irrelevant inside jit; use bucket as count
+    p.type_groups = [(man, nb, nb, tbase) for man, nb, tbase in tg]
     p.total_dof = total_dof
-    p.n_residuals = n_res
     # host-only fields are absent inside traced code
     p.fg = None
     p.var_labels = None
     p.slot = None
     p.solve_key = None
+    p.manifolds = None
+    p.dofs = None
+    p.offsets = None
+    p.p0 = None
     return p
 
 
@@ -347,34 +480,35 @@ jax.tree_util.register_pytree_node(ParametricProblem, _prob_flatten,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "lam0", "tol"))
-def _solve_step(prob: "ParametricProblem", x: jnp.ndarray, p0s: jnp.ndarray,
+def _solve_step(prob: "ParametricProblem", x: jnp.ndarray, p0s,
                 max_iters: int = 50, lam0: float = 1e-4, tol: float = 1e-8):
     x, cost = _lm_core(prob, x, p0s, max_iters, lam0, tol)
     return prob._retract_stacked(x, p0s), cost
 
 
 @jax.jit
-def _cov_step(prob: "ParametricProblem", p0s: jnp.ndarray):
+def _cov_step(prob: "ParametricProblem", p0s):
     zero = jnp.zeros((prob.total_dof,))
     _, J = prob.res_jac(zero, p0s)
-    S = jax.nn.one_hot(prob.free_idx, prob.total_dof, dtype=J.dtype)
-    Jf = J @ S.T
-    H = Jf.T @ Jf
-    cov_free = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
-    # place the free block by one-hot matmuls — a 2-D scatter here costs
-    # minutes of TPU compile time (same pathology as the jacobian assembly)
-    return S.T @ cov_free @ S
+    m = prob.free_mask
+    Jf = J * m[None, :]
+    H = Jf.T @ Jf + jnp.diag(1.0 - m)
+    cov = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
+    # frozen/padded rows and columns report zero covariance
+    return cov * (m[:, None] * m[None, :])
 
 
-def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s: jnp.ndarray,
+def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s,
              max_iters: int, lam0: float, tol: float):
     """Damped GN/LM with multiplicative damping adaptation (the reference's
-    Manopt.LevenbergMarquardt! role, ParametricManopt.jl:307-377)."""
+    Manopt.LevenbergMarquardt! role, ParametricManopt.jl:307-377).
 
-    free = prob.free_idx
-    # one-hot selector: scatters/gathers by index arrays compile
-    # pathologically on TPU — matmul forms replace them throughout
-    S = jax.nn.one_hot(free, prob.total_dof)          # (f, D)
+    Frozen and padded coordinates enter as the traced mask m:
+    ``H' = mmᵀ⊙H + diag(1-m), g' = m⊙g`` — frozen rows decouple to the
+    identity with zero gradient, so the step solves exactly the reduced
+    free-block system while the compiled program stays mask-independent."""
+
+    m = prob.free_mask
 
     def cost(x):
         r = prob.residuals(x, p0s)
@@ -383,12 +517,11 @@ def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s: jnp.ndarray,
     def body(carry):
         x, lam, c, it, done = carry
         r, J = prob.res_jac(x, p0s)
-        Jf = J @ S.T
-        g = Jf.T @ r
-        H = Jf.T @ Jf
+        g = m * (J.T @ r)
+        H = (m[:, None] * m[None, :]) * (J.T @ J) + jnp.diag(1.0 - m)
         step = jnp.linalg.solve(
             H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8)), g)
-        x_new = x - step @ S
+        x_new = x - step * m
         c_new = cost(x_new)
         improve = c_new < c
         x = jnp.where(improve, x_new, x)
@@ -418,9 +551,10 @@ def _write_back(fg: FactorGraph, prob: ParametricProblem, points, cov,
             continue
         var = fg.var(v)
         var.parametric_point = points[i]
-        s = int(prob.offsets[i])
-        e = int(prob.offsets[i + 1])
-        var.parametric_cov = cov[s:e, s:e]
+        if cov is not None:
+            s = int(prob.offsets[i])
+            e = s + prob.dofs[i]
+            var.parametric_cov = cov[s:e, s:e]
         var.ppe["parametric"] = {"mean": points[i], "max": points[i],
                                  "suggested": points[i]}
         out[v] = {"point": points[i], "cov": var.parametric_cov}
@@ -436,14 +570,15 @@ def solve_graph_parametric(fg: FactorGraph, max_iters: int = 50,
     points, cov, cost = prob.solve(max_iters=max_iters,
                                    relinearize=relinearize)
     result = _write_back(fg, prob, points, cov)
-    result["_cost"] = cost
+    result["_cost"] = float(cost)
     return result
 
 
 def solve_conditionals_parametric(fg: FactorGraph,
                                   frontals: Sequence[str],
                                   separators: Sequence[str] = (),
-                                  max_iters: int = 50) -> Dict[str, dict]:
+                                  max_iters: int = 50,
+                                  compute_cov: bool = True) -> Dict[str, dict]:
     """Solve ``frontals`` with ``separators`` pinned (reference
     solveConditionalsParametric, ParametricUtils.jl:655-721)."""
     labels = list(frontals) + [s for s in separators if s not in frontals]
@@ -452,7 +587,8 @@ def solve_conditionals_parametric(fg: FactorGraph,
                and any(v in set(frontals) for v in fg.factor(fl).variables)]
     prob = ParametricProblem(fg, variables=labels, factors=factors,
                              frozen=tuple(separators))
-    points, cov, cost = prob.solve(max_iters=max_iters)
+    points, cov, cost = prob.solve(max_iters=max_iters,
+                                   compute_cov=compute_cov)
     result = _write_back(fg, prob, points, cov, labels=frontals)
     result["_cost"] = cost
     return result
@@ -485,7 +621,9 @@ def autoinit_parametric(fg: FactorGraph, max_iters: int = 50) -> None:
             if not any(len(fg.factor(fl).variables) == 1 for fl in usable) \
                     and not seps:
                 continue
-            solve_conditionals_parametric(fg, [v], seps, max_iters=max_iters)
+            # init only needs points — skip the covariance dispatch
+            solve_conditionals_parametric(fg, [v], seps, max_iters=max_iters,
+                                          compute_cov=False)
             progressed.append(v)
         if not progressed:
             break

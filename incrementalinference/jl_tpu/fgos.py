@@ -43,7 +43,9 @@ __all__ = [
     "get_variables", "get_factors", "get_solver_data", "get_bw_val",
     "get_point_identity", "get_point_type", "get_multihypo_distribution",
     "get_log_path", "join_log_path", "ls_types", "lsf_types",
-    "list_type_tree", "make_solver_data", "init_variable_manual",
+    "list_type_tree", "get_current_workspace_factors",
+    "get_current_workspace_variables", "make_solver_data",
+    "init_variable_manual",
     "reset_init_values", "reset_factor_graph_new_tree",
     "default_fixed_lag_on_tree", "normal_from_string",
     "categorical_from_string", "extract_distribution",
@@ -746,6 +748,33 @@ def list_type_tree(cls=None, indent: int = 0) -> str:
     if indent == 0:
         print(out)
     return out
+
+
+def get_current_workspace_factors() -> List[type]:
+    """All factor-model classes loadable in the current session (reference
+    getCurrentWorkspaceFactors, ext/IncrInfrInteractiveUtilsExt.jl:19-29 —
+    there via InteractiveUtils subtype reflection, here the transitive
+    FactorModel subclass closure)."""
+    from .models.factors import FactorModel
+
+    def walk(cls):
+        out = []
+        for sub in cls.__subclasses__():
+            out.append(sub)
+            out.extend(walk(sub))
+        return out
+
+    return sorted(set(walk(FactorModel)), key=lambda c: c.__name__)
+
+
+def get_current_workspace_variables() -> List:
+    """All variable types known in the current session (reference
+    getCurrentWorkspaceVariables, ext/IncrInfrInteractiveUtilsExt.jl:32-42)."""
+    from . import graph as _graph
+    from .graph import VariableType
+    out = [v for v in vars(_graph).values()
+           if isinstance(v, VariableType)]
+    return sorted(set(out), key=lambda v: v.name)
 
 
 # ---------------------------------------------------------------------------

@@ -374,6 +374,12 @@ def test_logpath_type_listings_and_tree():
     assert set(ft) == {"Prior", "LinearRelative"}
     txt = ii.list_type_tree()
     assert "FactorModel" in txt and "Prior" in txt
+    # workspace introspection (reference getCurrentWorkspaceFactors /
+    # getCurrentWorkspaceVariables, ext/IncrInfrInteractiveUtilsExt.jl)
+    wf = [c.__name__ for c in ii.get_current_workspace_factors()]
+    assert {"Prior", "LinearRelative", "Mixture"} <= set(wf)
+    wv = [v.name for v in ii.get_current_workspace_variables()]
+    assert "ContinuousEuclid1" in wv and "Circular" in wv
 
 
 def test_solver_data_lifecycle():

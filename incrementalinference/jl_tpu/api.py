@@ -81,9 +81,11 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
     solve raises after the sweep, like any failed clique."""
     if algorithm == "parametric":
         # route to the parametric clique sweeps (reference
-        # solveTree!(…; algorithm=:parametric), SolverAPI.jl:423)
+        # solveTree!(…; algorithm=:parametric), SolverAPI.jl:423); a mesh
+        # shards each level's batched clique solves across devices
         from .parametric.cliques import solve_tree_parametric
-        return solve_tree_parametric(fg, old_tree=old_tree, order=order)
+        return solve_tree_parametric(fg, old_tree=old_tree, order=order,
+                                     mesh=mesh)
 
     params = fg.params
     t0 = time.time()

@@ -60,10 +60,8 @@ def _attach_message(sub: FactorGraph, msg: GaussianMessage, tag: str) -> None:
                    label=f"__PARAMMSG_{tag}_{msg.sender}", graphinit=False)
 
 
-def _clique_solve(fg: FactorGraph, sub: FactorGraph, clique,
-                  frozen=()) -> ParametricProblem:
-    prob = ParametricProblem(sub, frozen=tuple(frozen))
-    points, cov, cost = prob.solve()
+def _finalize_clique(prob: ParametricProblem, sub: FactorGraph,
+                     points, cov) -> ParametricProblem:
     for i, v in enumerate(prob.var_labels):
         sv = sub.var(v)
         sv.parametric_point = points[i]
@@ -88,10 +86,14 @@ def _marginal_message(prob: ParametricProblem, sub: FactorGraph, clique
 
 def solve_tree_parametric(fg: FactorGraph,
                           old_tree: Optional[BayesTree] = None,
-                          order=None) -> BayesTree:
+                          order=None, mesh=None) -> BayesTree:
     """Clique-wise parametric solve over the Bayes tree (reference
     solveTree!(…; algorithm=:parametric), SolverAPI.jl:423 routing into the
-    parametric CSM states)."""
+    parametric CSM states).
+
+    ``mesh``: shard each level's batched clique solves across the device
+    mesh (the reference's WorkerPool remotecall distribution,
+    CliqStateMachineUtils.jl:349-410, as a sharded batch axis)."""
     # ensure linearization points exist everywhere
     if any(fg.var(v).parametric_point is None for v in fg.ls()):
         autoinit_parametric(fg)
@@ -100,16 +102,25 @@ def solve_tree_parametric(fg: FactorGraph,
     levels = tree.levels()
     up_msgs: Dict[int, GaussianMessage] = {}
 
-    # ---- up sweep ----
+    # ---- up sweep: same-level cliques batch into one vmapped LM kernel
+    # (solve_problems_batched; the reference runs one async Task per clique
+    # instead, ParametricCSMFunctions.jl:8-97) ----
+    from .solver import solve_problems_batched
+
     for level in reversed(levels):
+        entries = []
         for cid in level:
             cl = tree.clique(cid)
             sub = build_clique_subgraph(fg, cl)
             for ch in cl.children:
                 if ch in up_msgs:
                     _attach_message(sub, up_msgs[ch], "up")
-            prob = _clique_solve(fg, sub, cl)
-            up_msgs[cid] = _marginal_message(prob, sub, cl)
+            entries.append((cl, sub, ParametricProblem(sub)))
+        res = solve_problems_batched([p for _, _, p in entries],
+                                     mesh=mesh)
+        for (cl, sub, prob), (points, cov, _) in zip(entries, res):
+            _finalize_clique(prob, sub, points, cov)
+            up_msgs[cl.cid] = _marginal_message(prob, sub, cl)
             cl.status = CliqStatus.UPSOLVED
             for v in cl.frontals:
                 fv = fg.var(v)
@@ -118,6 +129,7 @@ def solve_tree_parametric(fg: FactorGraph,
 
     # ---- down sweep: pin separators from the solved parents ----
     for level in levels:
+        entries = []
         for cid in level:
             cl = tree.clique(cid)
             if cl.parent is None:
@@ -128,7 +140,12 @@ def solve_tree_parametric(fg: FactorGraph,
                 if ch in up_msgs:
                     _attach_message(sub, up_msgs[ch], "dwn")
             # separators already carry the parent's solved values
-            prob = _clique_solve(fg, sub, cl, frozen=cl.separator)
+            entries.append((cl, sub,
+                            ParametricProblem(sub, frozen=cl.separator)))
+        res = solve_problems_batched([p for _, _, p in entries],
+                                     mesh=mesh)
+        for (cl, sub, prob), (points, cov, _) in zip(entries, res):
+            _finalize_clique(prob, sub, points, cov)
             cl.status = CliqStatus.DOWNSOLVED
             for v in cl.frontals:
                 fv = fg.var(v)

@@ -45,7 +45,8 @@ from ..graph import FactorGraph
 from ..models.factors import GenericMarginal, MetaPrior, Mixture
 
 __all__ = ["ParametricProblem", "solve_graph_parametric",
-           "solve_conditionals_parametric", "autoinit_parametric"]
+           "solve_conditionals_parametric", "autoinit_parametric",
+           "solve_problems_batched"]
 
 
 def _sqrt_inv(cov: jnp.ndarray) -> jnp.ndarray:
@@ -479,15 +480,119 @@ jax.tree_util.register_pytree_node(ParametricProblem, _prob_flatten,
                                    _prob_unflatten)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "lam0", "tol"))
-def _solve_step(prob: "ParametricProblem", x: jnp.ndarray, p0s,
-                max_iters: int = 50, lam0: float = 1e-4, tol: float = 1e-8):
+def _solve_step_impl(prob: "ParametricProblem", x: jnp.ndarray, p0s,
+                     max_iters: int, lam0: float, tol: float):
     x, cost = _lm_core(prob, x, p0s, max_iters, lam0, tol)
     return prob._retract_stacked(x, p0s), cost
 
 
-@jax.jit
-def _cov_step(prob: "ParametricProblem", p0s):
+@functools.partial(jax.jit, static_argnames=("max_iters", "lam0", "tol"))
+def _solve_step(prob: "ParametricProblem", x: jnp.ndarray, p0s,
+                max_iters: int = 50, lam0: float = 1e-4, tol: float = 1e-8):
+    return _solve_step_impl(prob, x, p0s, max_iters, lam0, tol)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "lam0", "tol",
+                                             "relinearize", "compute_cov"))
+def _solve_batched(probs: "ParametricProblem", xs, p0ss,
+                   max_iters: int = 50, relinearize: int = 2,
+                   lam0: float = 1e-4, tol: float = 1e-8,
+                   compute_cov: bool = True):
+    """Full vmapped LM solve (all relinearize rounds + optional covariance,
+    ONE dispatch) over B structurally-identical problems — the TPU
+    replacement for the reference's task-per-clique parametric CSM solves
+    (ParametricCSMFunctions.jl): same-level cliques (or same-round autoinit
+    conditionals) execute as a single batched kernel."""
+
+    def one(pr, x, p0):
+        cost = jnp.inf
+        for _ in range(max(relinearize, 1)):
+            p0, cost = _solve_step_impl(pr, x, p0, max_iters, lam0, tol)
+            x = jnp.zeros_like(x)
+        if compute_cov:
+            return p0, cost, _cov_impl(pr, p0)
+        return p0, cost
+
+    return jax.vmap(one)(probs, xs, p0ss)
+
+
+def solve_problems_batched(probs: Sequence["ParametricProblem"],
+                           max_iters: int = 50, relinearize: int = 2,
+                           lam0: float = 1e-4, tol: float = 1e-8,
+                           compute_cov: bool = True, mesh=None):
+    """Solve many problems, batching structurally-identical ones into one
+    vmapped kernel dispatch (bucketed shapes make identical structure the
+    common case).  Returns ``[(points, cov_or_None, cost), …]`` aligned
+    with ``probs``; each problem's ``p0`` is updated in place exactly as
+    ``ParametricProblem.solve`` would.
+
+    With ``mesh`` (jax.sharding.Mesh), the batch axis shards across the
+    devices — the TPU-native form of the reference's WorkerPool clique
+    distribution (SolveTree.jl:4-19): each device solves its slice of the
+    batched problems, no communication needed until the host gathers."""
+    from jax import tree_util
+
+    results: List = [None] * len(probs)
+    sig_groups: Dict = {}
+    for i, p in enumerate(probs):
+        leaves, treedef = tree_util.tree_flatten(p)
+        sig = (treedef, tuple((jnp.shape(l), jnp.result_type(l))
+                              for l in leaves))
+        sig_groups.setdefault(sig, []).append(i)
+
+    for idxs in sig_groups.values():
+        batch = [probs[i] for i in idxs]
+        if len(batch) == 1 and mesh is None:
+            p = batch[0]
+            results[idxs[0]] = p.solve(max_iters=max_iters,
+                                       relinearize=relinearize, lam0=lam0,
+                                       tol=tol, compute_cov=compute_cov)
+            continue
+        # pad the batch axis to a bucket (duplicates of the first problem;
+        # rows are discarded) so the vmapped kernel compiles per B-bucket,
+        # not per exact batch size; under a mesh also pad to a device
+        # multiple so the leading axis shards evenly
+        B = _bucket(len(batch))
+        if mesh is not None:
+            per = mesh.devices.size
+            if B % per:
+                # buckets are {1,1.5}·2^k — for device counts with other
+                # prime factors fall back to the plain ceiling multiple
+                B = -(-B // per) * per
+        pad_batch = batch + [batch[0]] * (B - len(batch))
+        stacked = tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *pad_batch)
+        xs = jnp.zeros((B, batch[0].total_dof))
+        p0ss = tree_util.tree_map(lambda *ps: jnp.stack(ps),
+                                  *[p._p0_stacked() for p in pad_batch])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = mesh.axis_names[0]
+
+            def shard_leading(x):
+                spec = PartitionSpec(axis, *([None] * (jnp.ndim(x) - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            stacked = tree_util.tree_map(shard_leading, stacked)
+            xs = shard_leading(xs)
+            p0ss = tree_util.tree_map(shard_leading, p0ss)
+        out = _solve_batched(stacked, xs, p0ss, max_iters=max_iters,
+                             relinearize=relinearize, lam0=lam0, tol=tol,
+                             compute_cov=compute_cov)
+        p0s_b, cost_b = out[0], out[1]
+        cov_b = out[2] if compute_cov else None
+        for bi, i in enumerate(idxs):
+            p = probs[i]
+            p0s_i = tuple(s[bi] for s in p0s_b)
+            p.p0 = [p0s_i[p._type_of[v]][p._idx_in_type[v]]
+                    for v in p.var_labels]
+            results[i] = (list(p.p0),
+                          (cov_b[bi] if cov_b is not None else None),
+                          cost_b[bi])
+    return results
+
+
+def _cov_impl(prob: "ParametricProblem", p0s):
     zero = jnp.zeros((prob.total_dof,))
     _, J = prob.res_jac(zero, p0s)
     m = prob.free_mask
@@ -496,6 +601,9 @@ def _cov_step(prob: "ParametricProblem", p0s):
     cov = jnp.linalg.inv(H + 1e-8 * jnp.eye(H.shape[0]))
     # frozen/padded rows and columns report zero covariance
     return cov * (m[:, None] * m[None, :])
+
+
+_cov_step = jax.jit(_cov_impl)
 
 
 def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s,
@@ -597,12 +705,16 @@ def solve_conditionals_parametric(fg: FactorGraph,
 def autoinit_parametric(fg: FactorGraph, max_iters: int = 50) -> None:
     """Initialize parametric points variable-by-variable in topological
     order from priors (reference autoinitParametric!,
-    ParametricManopt.jl:497-580)."""
+    ParametricManopt.jl:497-580).
+
+    All variables ready in the same round are independent given already-
+    initialized neighbors, so their conditional solves batch into one
+    vmapped kernel (solve_problems_batched) instead of one dispatch each."""
     pending = [v for v in fg.ls() if fg.var(v).parametric_point is None]
     guard = 0
     while pending and guard < len(fg.ls()) + 2:
         guard += 1
-        progressed = []
+        round_probs, round_vars = [], []
         for v in pending:
             nbr_fs = fg.factors_of(v)
             usable = []
@@ -621,10 +733,16 @@ def autoinit_parametric(fg: FactorGraph, max_iters: int = 50) -> None:
             if not any(len(fg.factor(fl).variables) == 1 for fl in usable) \
                     and not seps:
                 continue
-            # init only needs points — skip the covariance dispatch
-            solve_conditionals_parametric(fg, [v], seps, max_iters=max_iters,
-                                          compute_cov=False)
-            progressed.append(v)
-        if not progressed:
+            labels = [v] + seps
+            round_probs.append(ParametricProblem(
+                fg, variables=labels, factors=usable, frozen=tuple(seps)))
+            round_vars.append(v)
+        if not round_vars:
             break
-        pending = [v for v in pending if v not in progressed]
+        # init only needs points — skip the covariance dispatch
+        res = solve_problems_batched(round_probs, max_iters=max_iters,
+                                     compute_cov=False)
+        for prob, v, (points, _, _) in zip(round_probs, round_vars, res):
+            _write_back(fg, prob, points, None, labels=[v])
+        done = set(round_vars)
+        pending = [v for v in pending if v not in done]

@@ -104,3 +104,29 @@ def test_sharded_solve_wide_graph_no_abort():
     for b in range(6):
         m = float(np.asarray(fg.points(f"b{b}x1")).mean())
         assert abs(m - (b + 1)) < 1.5, (b, m)
+
+
+def test_mesh_sharded_parametric_tree_solve():
+    """Level-batched parametric clique solves with the batch axis sharded
+    over the 8-device mesh (the reference's WorkerPool clique distribution,
+    CliqStateMachineUtils.jl:349-410) — exact single-device results."""
+    import numpy as np
+    from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                             Normal, Prior, initfg,
+                                             solve_tree)
+    from incrementalinference.jl_tpu.parallel.mesh import make_mesh
+
+    fg = initfg()
+    for b in range(16):
+        fg.add_variable(f"b{b}x0", ContinuousScalar)
+        fg.add_factor([f"b{b}x0"], Prior(Normal(float(b), 0.5)),
+                      graphinit=False)
+        fg.add_variable(f"b{b}x1", ContinuousScalar)
+        fg.add_factor([f"b{b}x0", f"b{b}x1"],
+                      LinearRelative(Normal(1.0, 0.5)), graphinit=False)
+    solve_tree(fg, algorithm="parametric", mesh=make_mesh(8))
+    for b in range(16):
+        e1 = float(np.asarray(fg.var(f"b{b}x1").parametric_point)[0])
+        assert abs(e1 - (b + 1)) < 1e-3, (b, e1)
+        cov = float(np.asarray(fg.var(f"b{b}x1").parametric_cov)[0, 0])
+        assert np.isfinite(cov) and cov > 0

@@ -120,3 +120,49 @@ def test_covariance_consistent_with_particle_spread():
         q_mean = float(np.asarray(fg.var(f"x{i}").parametric_point)[0])
         assert abs(p_mean - q_mean) < 3.0 * max(q_std, 0.5), (i, p_mean,
                                                               q_mean)
+
+
+def test_batched_wide_forest_tree_solve():
+    """Wide forest: same-level cliques share structure, so the parametric
+    tree solve batches them into one vmapped LM kernel — results must
+    match the per-branch ground truth exactly."""
+    from incrementalinference.jl_tpu import solve_tree
+    fg = initfg()
+    for b in range(8):
+        fg.add_variable(f"b{b}x0", ContinuousScalar)
+        fg.add_factor([f"b{b}x0"], Prior(Normal(float(b), 0.5)),
+                      graphinit=False)
+        fg.add_variable(f"b{b}x1", ContinuousScalar)
+        fg.add_factor([f"b{b}x0", f"b{b}x1"],
+                      LinearRelative(Normal(1.0, 0.5)), graphinit=False)
+    solve_tree(fg, algorithm="parametric")
+    for b in range(8):
+        e0 = float(np.asarray(fg.var(f"b{b}x0").parametric_point)[0])
+        e1 = float(np.asarray(fg.var(f"b{b}x1").parametric_point)[0])
+        assert abs(e0 - b) < 1e-3 and abs(e1 - (b + 1)) < 1e-3, (b, e0, e1)
+        cov = float(np.asarray(fg.var(f"b{b}x1").parametric_cov)[0, 0])
+        assert np.isfinite(cov) and cov > 0
+
+
+def test_solve_problems_batched_matches_sequential():
+    """solve_problems_batched == per-problem ParametricProblem.solve."""
+    from incrementalinference.jl_tpu.parametric.solver import (
+        ParametricProblem, solve_problems_batched)
+    fgs = []
+    for b in range(5):
+        fg = initfg()
+        fg.add_variable("x0", ContinuousScalar)
+        fg.add_factor(["x0"], Prior(Normal(float(b), 0.3)), graphinit=False)
+        fg.add_variable("x1", ContinuousScalar)
+        fg.add_factor(["x0", "x1"], LinearRelative(Normal(2.0, 0.4)),
+                      graphinit=False)
+        fgs.append(fg)
+    probs = [ParametricProblem(fg) for fg in fgs]
+    batched = solve_problems_batched(probs)
+    seq = [ParametricProblem(fg).solve() for fg in fgs]
+    for (bp, bc, _), (sp, sc, _) in zip(batched, seq):
+        for pb, ps in zip(bp, sp):
+            np.testing.assert_allclose(np.asarray(pb), np.asarray(ps),
+                                       atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bc), np.asarray(sc),
+                                   atol=1e-6)

@@ -95,6 +95,14 @@ def extra_metrics():
     print(f"# clique-solves/s (1 chip, wide32 sequential): "
           f"{nsolves / dt:.0f}", file=sys.stderr)
 
+    # parametric tree solve on the same forest: level-batched vmapped LM
+    tree = solve_tree(wide(pr), algorithm="parametric")    # warm
+    t0 = time.time()
+    tree = solve_tree(wide(pr), algorithm="parametric")
+    dt = time.time() - t0
+    print(f"# parametric clique-solves/s (1 chip, wide32 batched): "
+          f"{2 * tree.num_cliques() / dt:.0f}", file=sys.stderr)
+
     # incremental growth with the wildfire down-gate: re-solve cost per
     # appended pose on a long chain (reference has no analogue — recycled
     # cliques always redo their down pass there)

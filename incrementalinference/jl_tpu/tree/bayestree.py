@@ -102,14 +102,13 @@ class BayesTree:
         """Cliques grouped by depth (root level first) — the static
         level-synchronous schedule for the up/down sweeps."""
         depth: Dict[int, int] = {}
-
-        def walk(cid: int, d: int):
+        # explicit stack: chain graphs make trees thousands of levels deep,
+        # far past Python's recursion limit
+        stack = [(r, 0) for r in self.root_ids]
+        while stack:
+            cid, d = stack.pop()
             depth[cid] = d
-            for ch in self.cliques[cid].children:
-                walk(ch, d + 1)
-
-        for r in self.root_ids:
-            walk(r, 0)
+            stack.extend((ch, d + 1) for ch in self.cliques[cid].children)
         out: List[List[int]] = []
         for cid, d in depth.items():
             while len(out) <= d:
@@ -150,10 +149,7 @@ def _assign_potentials(fg, tree: BayesTree) -> None:
     JunctionTreeUtils.jl:1045-1082)."""
     used = set()
 
-    def post_order(cid: int):
-        for ch in tree.cliques[cid].children:
-            post_order(ch)
-        cl = tree.cliques[cid]
+    def visit(cl) -> None:
         cvars = set(cl.all_vars)
         frontals = set(cl.frontals)
         for vl in cl.frontals:
@@ -168,8 +164,16 @@ def _assign_potentials(fg, tree: BayesTree) -> None:
                     cl.potentials.append(fl)
                     used.add(fl)
 
-    for r in tree.root_ids:
-        post_order(r)
+    # iterative post-order (leaves first) — deep chain trees overflow the
+    # Python recursion limit otherwise
+    stack = [(r, False) for r in tree.root_ids]
+    while stack:
+        cid, expanded = stack.pop()
+        if expanded:
+            visit(tree.cliques[cid])
+            continue
+        stack.append((cid, True))
+        stack.extend((ch, False) for ch in tree.cliques[cid].children)
 
 
 def _partition_gibbs_vars(fg, tree: BayesTree) -> None:

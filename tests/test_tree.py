@@ -99,3 +99,19 @@ def test_recycling_marks_unchanged_cliques():
     t3 = build_tree_reset(fg, order=order, old_tree=t1)
     changed = [c for c in t3.cliques.values() if not c.is_recycled]
     assert len(changed) >= 1
+
+
+def test_deep_chain_tree_build_no_recursion_limit():
+    """Chain graphs make trees thousands of levels deep — traversals must
+    be iterative (a 2250-variable chain overflows Python's default
+    recursion limit with recursive post-order/levels)."""
+    from incrementalinference.jl_tpu.canonical import generate_line_step
+    from incrementalinference.jl_tpu.tree.bayestree import build_tree_reset
+    fg = generate_line_step(3000, graphinit=False)
+    tree = build_tree_reset(fg)
+    assert tree.num_cliques() > 1000
+    lv = tree.levels()
+    assert sum(len(l) for l in lv) == tree.num_cliques()
+    # every solvable factor assigned to exactly one clique
+    npots = sum(len(c.potentials) for c in tree.cliques.values())
+    assert npots == len(fg.lsf())

@@ -769,12 +769,12 @@ def get_current_workspace_factors() -> List[type]:
 
 def get_current_workspace_variables() -> List:
     """All variable types known in the current session (reference
-    getCurrentWorkspaceVariables, ext/IncrInfrInteractiveUtilsExt.jl:32-42)."""
-    from . import graph as _graph
+    getCurrentWorkspaceVariables, ext/IncrInfrInteractiveUtilsExt.jl:32-42):
+    every live VariableType instance, including factory-created ones
+    (ContinuousEuclid(n), Position(n), user-defined)."""
     from .graph import VariableType
-    out = [v for v in vars(_graph).values()
-           if isinstance(v, VariableType)]
-    return sorted(set(out), key=lambda v: v.name)
+    reg = VariableType._REGISTRY or ()
+    return sorted(set(reg), key=lambda v: v.name)
 
 
 # ---------------------------------------------------------------------------

@@ -30,11 +30,21 @@ __all__ = [
 
 class VariableType:
     """A named manifold — the reference's `@defVariable` product
-    (src/Variables/DefaultVariables.jl:9-52)."""
+    (src/Variables/DefaultVariables.jl:9-52).
+
+    Every instance registers in a weak set so session introspection
+    (fgos.get_current_workspace_variables, the reference's
+    getCurrentWorkspaceVariables) sees factory-created types too."""
+
+    _REGISTRY = None  # lazily a weakref.WeakSet (class attr, shared)
 
     def __init__(self, name: str, manifold: Manifold):
         self.name = name
         self.manifold = manifold
+        import weakref
+        if VariableType._REGISTRY is None:
+            VariableType._REGISTRY = weakref.WeakSet()
+        VariableType._REGISTRY.add(self)
 
     def __repr__(self):
         return self.name

@@ -75,8 +75,6 @@ def shard_group_arrays(mesh: Mesh, group, axis_name: str = "shard"):
     # zero whitening on padded rows → padded factors contribute nothing
     group.sqrt_inv = shard_leading(group.sqrt_inv, pad_zero=True)
     group.var_slots = shard_leading(group.var_slots)
-    if getattr(group, "col_ids", None) is not None:
-        group.col_ids = shard_leading(group.col_ids)
     if group.mix is not None:
         w, mus, sqis = group.mix
         group.mix = (shard_leading(w), shard_leading(mus),

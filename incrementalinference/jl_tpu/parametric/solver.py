@@ -92,14 +92,13 @@ class _Group:
     vanish identically.
     """
 
-    def __init__(self, models, meas, sqrt_inv, var_slots, ptdims, mix=None,
+    def __init__(self, models, meas, sqrt_inv, var_slots, mix=None,
                  tdofs=(), arg_manifolds=(), arg_types=()):
         self.models = models          # pytree with leading factor axis (F,)
         self.meas = meas              # (F, zdim)
         self.sqrt_inv = sqrt_inv      # (F, zdim, zdim); zero rows = padding
         self.var_slots = var_slots    # (F, arity) int32 — index WITHIN the
         #                               arg's manifold-type block (traced)
-        self.ptdims = ptdims          # static per-arg point dims
         self.mix = mix                # optional (w (F,C), mus (F,C,z), sqi (F,C,z,z))
         self.tdofs = tdofs            # static per-arg tangent dofs
         self.arg_manifolds = arg_manifolds   # static per-arg manifolds
@@ -224,22 +223,26 @@ class ParametricProblem:
             # is NaN, and 0·NaN poisons the Hessian
             slots = _pad_rows(jnp.asarray(slots_py, jnp.int32), pad)
             arg_vars0 = fs[0].variables
-            ptdims = tuple(self.fg.var(v).manifold.point_dim
-                           for v in arg_vars0)
             tdofs = tuple(self.fg.var(v).manifold.dof for v in arg_vars0)
             arg_manifolds = tuple(self.fg.var(v).manifold for v in arg_vars0)
             arg_types = tuple(self._type_of[v] for v in arg_vars0)
+            # pad BEFORE whitening so _sqrt_inv_stacked sees the bucketed
+            # shape (whitening the raw stack would recompile per exact
+            # factor count, defeating the bucketing); pad rows duplicate
+            # the last real cov (valid SPD input), then zero out
+            pad_mask = np.ones((fb,) + (1,) * 2, np.float32)
+            pad_mask[nf:] = 0.0
             mix = None
             if is_mix:
                 ws, mus, cs = zip(*(f.model.mixture_mean_cov() for f in fs))
-                covs = jnp.stack(cs)                     # (F, C, z, z)
-                F_, C_ = covs.shape[0], covs.shape[1]
+                covs = _pad_rows(jnp.stack(cs), pad)     # (Fb, C, z, z)
+                C_ = covs.shape[1]
                 sqis = _sqrt_inv_stacked(
-                    covs.reshape(F_ * C_, *covs.shape[2:])
-                ).reshape(covs.shape)
+                    covs.reshape(fb * C_, *covs.shape[2:])
+                ).reshape(covs.shape) * pad_mask[:, :, :, None]
                 mix = (_pad_rows(jnp.stack(ws), pad),
                        _pad_rows(jnp.stack(mus), pad),
-                       _pad_rows(sqis, pad, zero=True))
+                       sqis)
                 # meas/sqrt_inv unused on the mixture path (per-component
                 # mus/whiteners live in ``mix``)
                 meas = mix[1][:, 0]
@@ -247,9 +250,9 @@ class ParametricProblem:
             else:
                 mus, covs = zip(*(f.model.mean_cov() for f in fs))
                 meas = _pad_rows(jnp.stack(mus), pad)
-                sqi = _pad_rows(_sqrt_inv_stacked(jnp.stack(covs)),
-                                pad, zero=True)
-            groups.append(_Group(models, meas, sqi, slots, ptdims, mix,
+                sqi = _sqrt_inv_stacked(_pad_rows(jnp.stack(covs), pad)) \
+                    * pad_mask
+            groups.append(_Group(models, meas, sqi, slots, mix,
                                  tdofs=tdofs, arg_manifolds=arg_manifolds,
                                  arg_types=arg_types))
         # assign global residual row offsets
@@ -304,11 +307,10 @@ class ParametricProblem:
         design, ParametricManopt.jl:153-231, done with one-hot matmul
         gathers instead of graph coloring)."""
         arity = g.var_slots.shape[1]
-        ptdims, tdofs, mans = g.ptdims, g.tdofs, g.arg_manifolds
+        tdofs, mans = g.tdofs, g.arg_manifolds
         xblocks = self._x_blocks(x)
         # per-arg one-hot row selectors (F, bucket_t): matmul-form gathers
         # (data-dependent index gathers compile pathologically on TPU)
-        onehots = []
         bases = []
         xlocs = []
         for k in range(arity):
@@ -316,7 +318,6 @@ class ParametricProblem:
             nb = self.type_groups[t][2]
             O = jax.nn.one_hot(g.var_slots[:, k], nb,
                                dtype=g.meas.dtype)       # (F, nb)
-            onehots.append(O)
             bases.append(O @ p0s[t])                     # (F, pdim_t)
             xlocs.append(O @ xblocks[t])                 # (F, dof_t)
         xloc = jnp.concatenate(xlocs, axis=-1)           # (F, local_dof)
@@ -446,13 +447,13 @@ class ParametricProblem:
 
 def _group_flatten(g: _Group):
     return ((g.models, g.meas, g.sqrt_inv, g.mix, g.var_slots),
-            (g.ptdims, g.tdofs, g.arg_manifolds, g.arg_types, g.row_base))
+            (g.tdofs, g.arg_manifolds, g.arg_types, g.row_base))
 
 
 def _group_unflatten(aux, ch):
     g = object.__new__(_Group)
     g.models, g.meas, g.sqrt_inv, g.mix, g.var_slots = ch
-    g.ptdims, g.tdofs, g.arg_manifolds, g.arg_types, g.row_base = aux
+    g.tdofs, g.arg_manifolds, g.arg_types, g.row_base = aux
     return g
 
 
@@ -678,7 +679,9 @@ def _write_back(fg: FactorGraph, prob: ParametricProblem, points, cov,
             var.parametric_cov = cov[s:e, s:e]
         var.ppe["parametric"] = {"mean": points[i], "max": points[i],
                                  "suggested": points[i]}
-        out[v] = {"point": points[i], "cov": var.parametric_cov}
+        # report only this solve's covariance, never a stale earlier one
+        out[v] = {"point": points[i],
+                  "cov": var.parametric_cov if cov is not None else None}
     return out
 
 
@@ -752,10 +755,8 @@ def autoinit_parametric(fg: FactorGraph, max_iters: int = 50) -> None:
             round_vars.append(v)
         if not round_vars:
             break
-        # init only needs points — skip the covariance dispatch
-        res = solve_problems_batched(round_probs, max_iters=max_iters,
-                                     compute_cov=False)
-        for prob, v, (points, _, _) in zip(round_probs, round_vars, res):
-            _write_back(fg, prob, points, None, labels=[v])
+        res = solve_problems_batched(round_probs, max_iters=max_iters)
+        for prob, v, (points, cov, _) in zip(round_probs, round_vars, res):
+            _write_back(fg, prob, points, cov, labels=[v])
         done = set(round_vars)
         pending = [v for v in pending if v not in done]

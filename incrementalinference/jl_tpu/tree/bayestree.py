@@ -279,15 +279,20 @@ def build_tree_reset(fg, order: Optional[Sequence[str]] = None,
                 cl.status = CliqStatus.MARGINALIZED
 
         # recycling only holds if the whole subtree below is recycled —
-        # an up-message depends on every descendant's up-solve
-        def subtree_ok(cid: int) -> bool:
+        # an up-message depends on every descendant's up-solve.  Iterative
+        # post-order: deep chain trees overflow the recursion limit.
+        stack = [(r, False) for r in tree.root_ids]
+        while stack:
+            cid, expanded = stack.pop()
             cl = tree.cliques[cid]
-            ok = all(subtree_ok(ch) for ch in cl.children)
+            if not expanded:
+                stack.append((cid, True))
+                stack.extend((ch, False) for ch in cl.children)
+                continue
+            ok = all(tree.cliques[ch].is_recycled
+                     or tree.cliques[ch].is_marginalized
+                     for ch in cl.children)
             if cl.is_recycled and not ok:
                 cl.is_recycled = False
                 cl.status = CliqStatus.NULL
-            return cl.is_recycled or cl.is_marginalized
-
-        for r in tree.root_ids:
-            subtree_ok(r)
     return tree

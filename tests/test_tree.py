@@ -115,3 +115,7 @@ def test_deep_chain_tree_build_no_recursion_limit():
     # every solvable factor assigned to exactly one clique
     npots = sum(len(c.potentials) for c in tree.cliques.values())
     assert npots == len(fg.lsf())
+    # incremental rebuild walks the recycling subtree check — must also be
+    # iterative (regressed separately from the build-path traversals)
+    tree2 = build_tree_reset(fg, old_tree=tree)
+    assert tree2.num_cliques() == tree.num_cliques()

@@ -75,6 +75,12 @@ def shard_group_arrays(mesh: Mesh, group, axis_name: str = "shard"):
     # zero whitening on padded rows → padded factors contribute nothing
     group.sqrt_inv = shard_leading(group.sqrt_inv, pad_zero=True)
     group.var_slots = shard_leading(group.var_slots)
+    # null probabilities pad with zero (p=0 → gate always keeps; the
+    # padded rows' zero whitening already cancels them)
+    group.null_p = shard_leading(group.null_p, pad_zero=True)
+    if group.hyp is not None:
+        w, hyp_slots, upos = group.hyp
+        group.hyp = (shard_leading(w), shard_leading(hyp_slots), upos)
     if group.mix is not None:
         w, mus, sqis = group.mix
         group.mix = (shard_leading(w), shard_leading(mus),

@@ -43,6 +43,7 @@ import numpy as np
 
 from ..graph import FactorGraph
 from ..models.factors import GenericMarginal, MetaPrior, Mixture
+from ..ops.hypo import parse_multihypo
 
 __all__ = ["ParametricProblem", "solve_graph_parametric",
            "solve_conditionals_parametric", "autoinit_parametric",
@@ -93,13 +94,17 @@ class _Group:
     """
 
     def __init__(self, models, meas, sqrt_inv, var_slots, mix=None,
-                 tdofs=(), arg_manifolds=(), arg_types=()):
+                 tdofs=(), arg_manifolds=(), arg_types=(), hyp=None,
+                 null_p=None):
         self.models = models          # pytree with leading factor axis (F,)
         self.meas = meas              # (F, zdim)
         self.sqrt_inv = sqrt_inv      # (F, zdim, zdim); zero rows = padding
         self.var_slots = var_slots    # (F, arity) int32 — index WITHIN the
         #                               arg's manifold-type block (traced)
         self.mix = mix                # optional (w (F,C), mus (F,C,z), sqi (F,C,z,z))
+        self.hyp = hyp                # optional multihypo
+        #                               (w (F,H), hyp_slots (F,H), upos)
+        self.null_p = null_p          # (F,) per-factor nullhypo prob
         self.tdofs = tdofs            # static per-arg tangent dofs
         self.arg_manifolds = arg_manifolds   # static per-arg manifolds
         self.arg_types = arg_types    # static per-arg manifold-type index
@@ -200,21 +205,68 @@ class ParametricProblem:
                 continue
             model = f.model
             is_mix = isinstance(model, Mixture)
+            mh = parse_multihypo(f.multihypo)
+            if mh is not None and is_mix:
+                raise NotImplementedError(
+                    "parametric Mixture+multihypo on one factor — use the "
+                    "nonparametric solver (the reference's parametric "
+                    "multihypo is likewise unimplemented, MaxMixture.jl)")
+            # condensed arg layout for multihypo: certain vars in order
+            # plus ONE uncertain slot (candidates must be contiguous and
+            # share a manifold) — reference parseusermultihypo semantics,
+            # FactorGraph.jl:634-654
+            if mh is not None:
+                certain, uncertain, weights = mh
+                if tuple(uncertain) != tuple(range(uncertain[0],
+                                                   uncertain[0] + len(uncertain))):
+                    raise ValueError("multihypo candidates must be contiguous")
+                cond_idx = [i for i in certain if i < uncertain[0]] \
+                    + [uncertain[0]] \
+                    + [i for i in certain if i > uncertain[-1]]
+                upos = cond_idx.index(uncertain[0])
+                mans_u = {self.manifolds[self.slot[f.variables[i]]]
+                          for i in uncertain}
+                if len(mans_u) != 1:
+                    raise ValueError("multihypo candidates must share a manifold")
+                mh_key = (len(uncertain), upos, tuple(weights))
+                argman = tuple(self.manifolds[self.slot[f.variables[i]]]
+                               for i in cond_idx)
+            else:
+                mh_key = None
+                argman = tuple(self.manifolds[self.slot[v]]
+                               for v in f.variables)
             treedef = tree_util.tree_structure(model)
-            key = (treedef, len(f.variables), is_mix,
-                   tuple(self.manifolds[self.slot[v]] for v in f.variables))
+            key = (treedef, len(f.variables), is_mix, mh_key, argman)
             buckets.setdefault(key, []).append(f)
 
         groups = []
-        for (treedef, arity, is_mix, _), fs in buckets.items():
+        for (treedef, arity, is_mix, mh_key, _), fs in buckets.items():
             nf = len(fs)
             fb = _bucket(nf)
             pad = fb - nf
             models = jax.tree.map(lambda *xs: jnp.stack(xs), *[f.model for f in fs]) \
                 if nf > 1 else jax.tree.map(lambda x: jnp.asarray(x)[None], fs[0].model)
             models = jax.tree.map(lambda x: _pad_rows(x, pad), models)
-            slots_py = [[self._idx_in_type[v] for v in f.variables]
-                        for f in fs]
+            hyp = None
+            if mh_key is not None:
+                nu, upos, weights = mh_key
+                certain0, uncertain0, _ = parse_multihypo(fs[0].multihypo)
+                cond_idx = [i for i in certain0 if i < uncertain0[0]] \
+                    + [uncertain0[0]] \
+                    + [i for i in certain0 if i > uncertain0[-1]]
+                slots_py = [[self._idx_in_type[f.variables[i]]
+                             for i in cond_idx] for f in fs]
+                hyp_slots = _pad_rows(jnp.asarray(
+                    [[self._idx_in_type[f.variables[i]]
+                      for i in parse_multihypo(f.multihypo)[1]]
+                     for f in fs], jnp.int32), pad)
+                w_rows = _pad_rows(jnp.asarray(
+                    [parse_multihypo(f.multihypo)[2] for f in fs],
+                    jnp.float32), pad)
+                hyp = (w_rows, hyp_slots, upos)
+            else:
+                slots_py = [[self._idx_in_type[v] for v in f.variables]
+                            for f in fs]
             # pad by REPEATING the last real row: padded rows then evaluate
             # a duplicate of a real factor (finite residual/jacobian) and
             # their zero whitening cancels the contribution — padding with
@@ -222,7 +274,10 @@ class ParametricProblem:
             # relative factor on a variable against itself) whose jacobian
             # is NaN, and 0·NaN poisons the Hessian
             slots = _pad_rows(jnp.asarray(slots_py, jnp.int32), pad)
-            arg_vars0 = fs[0].variables
+            if mh_key is not None:
+                arg_vars0 = [fs[0].variables[i] for i in cond_idx]
+            else:
+                arg_vars0 = fs[0].variables
             tdofs = tuple(self.fg.var(v).manifold.dof for v in arg_vars0)
             arg_manifolds = tuple(self.fg.var(v).manifold for v in arg_vars0)
             arg_types = tuple(self._type_of[v] for v in arg_vars0)
@@ -252,9 +307,12 @@ class ParametricProblem:
                 meas = _pad_rows(jnp.stack(mus), pad)
                 sqi = _sqrt_inv_stacked(_pad_rows(jnp.stack(covs), pad)) \
                     * pad_mask
+            null_p = _pad_rows(jnp.asarray([f.nullhypo for f in fs],
+                                           jnp.float32), pad, zero=True)
             groups.append(_Group(models, meas, sqi, slots, mix,
                                  tdofs=tdofs, arg_manifolds=arg_manifolds,
-                                 arg_types=arg_types))
+                                 arg_types=arg_types, hyp=hyp,
+                                 null_p=null_p))
         # assign global residual row offsets
         base = 0
         for g in groups:
@@ -300,13 +358,64 @@ class ParametricProblem:
             outs.append(jax.vmap(man.exp)(p0s[t], xt))
         return tuple(outs)
 
+    def _select_hypo_slots(self, g: _Group, x: jnp.ndarray, p0s):
+        """Max-multihypo data association (the reference's MaxMultihypo is
+        unimplemented WIP, src/services/MaxMixture.jl): score every
+        candidate assignment of the uncertain slot by its whitened residual
+        minus log-weight, argmin-select per factor, and return the
+        *effective* slot matrix. Selection happens outside the residual
+        closure, so the subsequent linearization and jacobian column
+        placement see a fixed association (select-then-linearize; the
+        association can switch between LM iterations)."""
+        w, hyp_slots, upos = g.hyp
+        H = hyp_slots.shape[1]
+        scores = []
+        for h in range(H):                  # H is small and static
+            slots_h = jnp.concatenate(
+                [g.var_slots[:, :upos], hyp_slots[:, h:h + 1],
+                 g.var_slots[:, upos + 1:]], axis=1)
+            r_h = self._eval_slots(g, slots_h, x, p0s, with_jac=False)
+            scores.append(0.5 * jnp.sum(r_h * r_h, axis=-1)
+                          - jnp.log(jnp.maximum(w[:, h], 1e-30)))
+        sel = jnp.argmin(jnp.stack(scores, axis=1), axis=1)      # (F,)
+        sel_slot = jnp.sum(
+            hyp_slots * jax.nn.one_hot(sel, H, dtype=g.meas.dtype),
+            axis=1).astype(jnp.int32)
+        return jnp.concatenate(
+            [g.var_slots[:, :upos], sel_slot[:, None],
+             g.var_slots[:, upos + 1:]], axis=1)
+
     def _group_res(self, g: _Group, x: jnp.ndarray, p0s, with_jac: bool):
-        """(r (F, z) [, J (F, z, local_dof)]) with *local* jacobians — the
-        jacfwd width is the factor's own tangent dims, so compile time is
-        independent of the graph size (the reference's sparse-jacobian
-        design, ParametricManopt.jl:153-231, done with one-hot matmul
-        gathers instead of graph coloring)."""
-        arity = g.var_slots.shape[1]
+        """(result, slots_used): result is (r (F, z) [, J (F, z,
+        local_dof)]) with *local* jacobians — the jacfwd width is the
+        factor's own tangent dims, so compile time is independent of the
+        graph size (the reference's sparse-jacobian design,
+        ParametricManopt.jl:153-231, done with one-hot matmul gathers
+        instead of graph coloring).  slots_used feeds the jacobian column
+        placement (differs from g.var_slots for multihypo groups)."""
+        slots = g.var_slots
+        if g.hyp is not None:
+            slots = self._select_hypo_slots(g, x, p0s)
+        out = self._eval_slots(g, slots, x, p0s, with_jac)
+        r = out[0] if with_jac else out
+        # max-nullhypo outlier gate (the reference's MaxNullhypo is WIP,
+        # src/services/MaxMixture.jl): the null alternative has likelihood
+        # p vs the factor's (1-p)*N(r;0,I) — when 0.5|r|^2 - log(1-p)
+        # exceeds -log(p) the null wins and the factor contributes nothing
+        # this iteration (gate re-evaluates every LM iteration)
+        p_null = g.null_p
+        thresh = jnp.log(jnp.maximum(1.0 - p_null, 1e-9)) \
+            - jnp.log(jnp.maximum(p_null, 1e-30))
+        keep = jnp.where(p_null > 0.0,
+                         0.5 * jnp.sum(r * r, axis=-1) <= thresh,
+                         True).astype(r.dtype)
+        if with_jac:
+            return (r * keep[:, None], out[1] * keep[:, None, None]), slots
+        return r * keep[:, None], slots
+
+    def _eval_slots(self, g: _Group, slots, x: jnp.ndarray, p0s,
+                    with_jac: bool):
+        arity = slots.shape[1]
         tdofs, mans = g.tdofs, g.arg_manifolds
         xblocks = self._x_blocks(x)
         # per-arg one-hot row selectors (F, bucket_t): matmul-form gathers
@@ -316,7 +425,7 @@ class ParametricProblem:
         for k in range(arity):
             t = g.arg_types[k]
             nb = self.type_groups[t][2]
-            O = jax.nn.one_hot(g.var_slots[:, k], nb,
+            O = jax.nn.one_hot(slots[:, k], nb,
                                dtype=g.meas.dtype)       # (F, nb)
             bases.append(O @ p0s[t])                     # (F, pdim_t)
             xlocs.append(O @ xblocks[t])                 # (F, dof_t)
@@ -365,7 +474,7 @@ class ParametricProblem:
     # -- stacked whitened residual ---------------------------------------
     def residuals(self, x: jnp.ndarray, p0s=None) -> jnp.ndarray:
         p0s = self._p0_stacked() if p0s is None else p0s
-        outs = [self._group_res(g, x, p0s, with_jac=False).reshape(-1)
+        outs = [self._group_res(g, x, p0s, with_jac=False)[0].reshape(-1)
                 for g in self.groups]
         return jnp.concatenate(outs) if outs else jnp.zeros((0,))
 
@@ -381,7 +490,7 @@ class ParametricProblem:
         D = self.total_dof
         rs, Js = [], []
         for g in self.groups:
-            r, J = self._group_res(g, x, p0s, with_jac=True)
+            (r, J), slots = self._group_res(g, x, p0s, with_jac=True)
             F, z = r.shape
             # split local columns per argument and place into type blocks
             blocks = [None] * len(self.type_groups)
@@ -393,7 +502,7 @@ class ParametricProblem:
                 Jk = J[:, :, o:o + dof]                   # (F, z, dof)
                 # XLA CSEs this against the identical one-hot inside
                 # _group_res, so no duplicate work materializes
-                O = jax.nn.one_hot(g.var_slots[:, k], nb,
+                O = jax.nn.one_hot(slots[:, k], nb,
                                    dtype=J.dtype)         # (F, nb)
                 Bk = jnp.einsum("fzd,fv->fzvd", Jk, O)    # (F, z, nb, dof)
                 Bk = Bk.reshape(F, z, nb * dof)
@@ -446,14 +555,19 @@ class ParametricProblem:
 # ---------------------------------------------------------------------------
 
 def _group_flatten(g: _Group):
-    return ((g.models, g.meas, g.sqrt_inv, g.mix, g.var_slots),
-            (g.tdofs, g.arg_manifolds, g.arg_types, g.row_base))
+    hyp_ch = None if g.hyp is None else (g.hyp[0], g.hyp[1])
+    hyp_aux = None if g.hyp is None else g.hyp[2]   # upos is static
+    return ((g.models, g.meas, g.sqrt_inv, g.mix, g.var_slots, hyp_ch,
+             g.null_p),
+            (g.tdofs, g.arg_manifolds, g.arg_types, g.row_base, hyp_aux))
 
 
 def _group_unflatten(aux, ch):
     g = object.__new__(_Group)
-    g.models, g.meas, g.sqrt_inv, g.mix, g.var_slots = ch
-    g.tdofs, g.arg_manifolds, g.arg_types, g.row_base = aux
+    (g.models, g.meas, g.sqrt_inv, g.mix, g.var_slots, hyp_ch,
+     g.null_p) = ch
+    g.tdofs, g.arg_manifolds, g.arg_types, g.row_base, hyp_aux = aux
+    g.hyp = None if hyp_ch is None else (hyp_ch[0], hyp_ch[1], hyp_aux)
     return g
 
 

@@ -166,3 +166,51 @@ def test_solve_problems_batched_matches_sequential():
                                        atol=1e-5)
         np.testing.assert_allclose(np.asarray(bc), np.asarray(sc),
                                    atol=1e-6)
+
+
+def test_parametric_max_multihypo_association():
+    """Max-multihypo in the parametric solver: an ambiguous sighting
+    associates with the best-fitting candidate and leaves the other
+    untouched (goes beyond the reference, whose parametric MaxMultihypo is
+    commented-out WIP — src/services/MaxMixture.jl)."""
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)), graphinit=False)
+    for lbl, mu in (("l1", 10.0), ("l2", 50.0)):
+        fg.add_variable(lbl, ContinuousScalar)
+        fg.add_factor([lbl], Prior(Normal(mu, 1.0)), graphinit=False)
+    fg.add_factor(["x0", "l1", "l2"], LinearRelative(Normal(10.0, 1.0)),
+                  multihypo=[1.0, 0.5, 0.5], graphinit=False)
+    solve_graph_parametric(fg)
+    x0 = float(np.asarray(fg.var("x0").parametric_point)[0])
+    l1 = float(np.asarray(fg.var("l1").parametric_point)[0])
+    l2 = float(np.asarray(fg.var("l2").parametric_point)[0])
+    assert abs(x0) < 0.6 and abs(l1 - 10) < 1.0 and abs(l2 - 50) < 1.0
+
+
+def test_parametric_max_nullhypo_outlier_gate():
+    """nullhypo in the parametric solver gates outlier factors: when the
+    whitened residual is less likely than the null alternative the factor
+    contributes nothing that LM iteration (reference MaxNullhypo is WIP)."""
+    def build(nullhypo):
+        fg = initfg()
+        fg.add_variable("x0", ContinuousScalar)
+        fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)), graphinit=False)
+        for i in (1, 2):
+            fg.add_variable(f"x{i}", ContinuousScalar)
+            fg.add_factor([f"x{i-1}", f"x{i}"],
+                          LinearRelative(Normal(10.0, 0.5)), graphinit=False)
+        kw = {"nullhypo": nullhypo} if nullhypo else {}
+        fg.add_factor(["x0", "x2"], LinearRelative(Normal(70.0, 0.5)),
+                      graphinit=False, **kw)
+        return fg
+
+    fg = build(0.2)
+    solve_graph_parametric(fg)
+    x2 = float(np.asarray(fg.var("x2").parametric_point)[0])
+    assert abs(x2 - 20.0) < 1.0, x2          # outlier gated out
+
+    fg2 = build(0.0)
+    solve_graph_parametric(fg2)
+    x2_drag = float(np.asarray(fg2.var("x2").parametric_point)[0])
+    assert x2_drag > 25.0, x2_drag           # ungated outlier drags

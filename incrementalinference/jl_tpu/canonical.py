@@ -142,10 +142,12 @@ def generate_euclid_distance(points=((100.0, 0.0), (0.0, 100.0)),
     return fg
 
 
-def generate_hexagonal(graphinit: bool = True,
+def generate_hexagonal(graphinit: bool = True, landmark: bool = True,
                        params: Optional[SolverParams] = None) -> FactorGraph:
-    """SE(2) hexagonal ring with one landmark re-sighting — the RoME-style
-    graph of the reference benchmark suite (benchmark/benchmarks.jl:21-60)."""
+    """SE(2) hexagonal ring, optionally with one landmark re-sighting — the
+    RoME-style graph of the reference benchmark suite
+    (benchmark/benchmarks.jl:21-60; its `landmark` kwarg gates the "grow"
+    variant)."""
     fg = initfg(params)
     se2 = SE2()
     pose2 = VariableType("Pose2", se2)
@@ -160,10 +162,11 @@ def generate_hexagonal(graphinit: bool = True,
         fg.add_factor([f"x{i}", f"x{i + 1}"], ManifoldFactor(se2, step),
                       graphinit=graphinit)
     # landmark sighted from x0 and x6 (loop closure)
-    fg.add_variable("l1", ContinuousEuclid(2))
-    for x in ("x0", "x6"):
-        fg.add_factor([x, "l1"], _Pose2Point2Bearingless(),
-                      graphinit=graphinit)
+    if landmark:
+        fg.add_variable("l1", ContinuousEuclid(2))
+        for x in ("x0", "x6"):
+            fg.add_factor([x, "l1"], _Pose2Point2Bearingless(),
+                          graphinit=graphinit)
     return fg
 
 

@@ -100,7 +100,23 @@ def ensure_solvable(fg, solvable_target: int = 1,
                     solvable_fallback: int = 0) -> list:
     """Demote solvable variables with no connected solvable factor to
     ``solvable_fallback`` so tree solves skip them (reference
-    ensureSolvable!, GraphInit.jl:469-485).  Returns the demoted labels."""
+    ensureSolvable!, GraphInit.jl:469-485).  Returns the demoted labels.
+
+    Variables demoted HERE are remembered and re-promoted automatically
+    once they gain a solvable factor (a landmark declared before its first
+    sighting must re-enter the solve when the sighting arrives; the
+    demotion was ours, not the user's)."""
+    demoted = getattr(fg, "_auto_demoted", set())
+    for lbl in list(demoted):
+        v = fg.variables.get(lbl)
+        if v is None:
+            demoted.discard(lbl)
+            continue
+        if v.solvable == solvable_fallback and any(
+                fg.factor(fl).solvable >= solvable_target
+                for fl in fg.factors_of(lbl)):
+            v.solvable = solvable_target
+            demoted.discard(lbl)
     blank = []
     for lbl, v in fg.variables.items():
         if v.solvable != solvable_target:
@@ -110,6 +126,8 @@ def ensure_solvable(fg, solvable_target: int = 1,
         if not has_fact:
             v.solvable = solvable_fallback
             blank.append(lbl)
+            demoted.add(lbl)
+    fg._auto_demoted = demoted
     if blank:
         logger.warning("solve disallows solvable variables without any "
                        "connected solvable factors -- forcing solvable=0 "

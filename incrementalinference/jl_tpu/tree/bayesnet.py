@@ -29,11 +29,17 @@ def build_bayes_net(fg, order: Sequence[str]) -> List[Conditional]:
     BayesNet.jl:166-183) are tracked symbolically as extra "active sets" so
     later separators remain correct.
     """
-    # active potential sets: factor label (or marginal id) -> variable set
+    # active potential sets: factor label (or marginal id) -> variable set.
+    # A factor only participates if ALL its variables are solvable — the
+    # reference eliminates over the solvable subgraph (DFG solvable
+    # filtering), and a factor touching a non-solvable variable would
+    # otherwise drag that variable into separators while the elimination
+    # order excludes it
     active: Dict[str, Tuple[str, ...]] = {}
     for fl in fg.lsf():
         f = fg.factor(fl)
-        if f.solvable > 0:
+        if f.solvable > 0 and all(fg.var(v).solvable > 0
+                                  for v in f.variables):
             active[fl] = tuple(v for v in f.variables)
 
     conditionals: List[Conditional] = []

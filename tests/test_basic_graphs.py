@@ -180,3 +180,29 @@ def test_ensure_solvable_demotes_only_orphans():
     demoted = ensure_solvable(fg)
     assert demoted == ["b"]
     assert fg.var("a").solvable == 1 and fg.var("b").solvable == 0
+
+
+def test_late_landmark_repromotion():
+    """A variable declared before its first factor is auto-demoted by
+    ensure_solvable; once a sighting arrives the next solve must re-promote
+    and estimate it (real SLAM pattern: landmark declared ahead of time).
+    Regression: the stale demotion used to leave the landmark out of the
+    elimination order while its new factor dragged it into separators
+    (KeyError in build_tree)."""
+    import numpy as np
+    from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                             Normal, Prior, initfg,
+                                             solve_tree)
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0., 1.)))
+    fg.add_variable("l1", ContinuousScalar)
+    for i in (1, 2, 3):
+        fg.add_variable(f"x{i}", ContinuousScalar)
+        fg.add_factor([f"x{i-1}", f"x{i}"], LinearRelative(Normal(1., .5)))
+    tree = solve_tree(fg)
+    assert fg.var("l1").solvable == 0
+    fg.add_factor(["x3", "l1"], LinearRelative(Normal(5.0, 0.5)))
+    solve_tree(fg, old_tree=tree)
+    assert fg.var("l1").solvable == 1
+    assert abs(float(np.asarray(fg.points("l1")).mean()) - 8.0) < 2.0

@@ -44,8 +44,9 @@ from .parametric import (autoinit_parametric, solve_conditionals_parametric,
                          solve_graph_parametric)
 from .serialization import load_graph, load_tree, save_graph, save_tree
 from .tether import accumulate_factor_means, solve_factor_parametric
-from .utils import (compare_beliefs, compare_graphs, compare_variables,
-                    incr_suffix, select_factor_type)
+from .utils import (compare_all_special, compare_beliefs, compare_factors,
+                    compare_graphs, compare_variables, incr_suffix,
+                    select_factor_type)
 from . import fgos
 from .fgos import *  # noqa: F401,F403 — graph accessor surface
 from . import datastore

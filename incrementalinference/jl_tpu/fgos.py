@@ -42,7 +42,7 @@ __all__ = [
     "print_variable", "print_factor", "print_graph_summary",
     "get_variables", "get_factors", "get_solver_data", "get_bw_val",
     "get_point_identity", "get_point_type", "get_multihypo_distribution",
-    "get_log_path", "join_log_path", "ls_types", "lsf_types",
+    "get_log_path", "join_log_path", "ls_types", "lsf_types", "lsf_priors",
     "list_type_tree", "get_current_workspace_factors",
     "get_current_workspace_variables", "make_solver_data",
     "init_variable_manual",
@@ -717,6 +717,13 @@ def join_log_path(fg: FactorGraph, *parts: str) -> str:
     """Reference ``joinLogPath``."""
     import os as _os
     return _os.path.join(get_log_path(fg), *map(str, parts))
+
+
+def lsf_priors(fg: FactorGraph) -> List[str]:
+    """Reference ``lsfPriors`` (DFG; used e.g. at
+    TreeBasedInitialization.jl:27, ParametricUtils.jl:969) — labels of all
+    unary prior factors in the graph."""
+    return [l for l in fg.lsf() if fg.factor(l).is_prior]
 
 
 def ls_types(fg: FactorGraph) -> Dict[str, List[str]]:

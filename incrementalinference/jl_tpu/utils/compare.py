@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["compare_beliefs", "compare_variables", "compare_graphs"]
+__all__ = ["compare_beliefs", "compare_variables", "compare_graphs",
+           "compare_factors", "compare_all_special"]
 
 
 def compare_beliefs(a, b, tol: float = 1e-5) -> bool:
@@ -26,6 +27,35 @@ def compare_variables(va, vb, tol: float = 1e-5) -> bool:
         return False
     return all(compare_beliefs(va.beliefs[k], vb.beliefs[k], tol)
                for k in va.beliefs)
+
+
+def compare_factors(x, y, skip: tuple = ()) -> bool:
+    """Field-wise factor comparison (reference ``compare`` on DFGFactor /
+    ``compareAllSpecial`` on CommonConvWrapper, CompareUtils.jl:24-40).
+
+    ``skip`` names fields to ignore (the reference's ``skip=[:vartypes]``
+    escape hatch)."""
+    if "variables" not in skip and x.variables != y.variables:
+        return False
+    if "model" not in skip and type(x.model) is not type(y.model):
+        return False
+    if "multihypo" not in skip and x.multihypo != y.multihypo:
+        return False
+    if "nullhypo" not in skip and x.nullhypo != y.nullhypo:
+        return False
+    return True
+
+
+def compare_all_special(x, y, skip: tuple = ("vartypes",),
+                        show: bool = True) -> bool:
+    """Reference ``compareAllSpecial`` (CompareUtils.jl:24-40): lenient
+    compare of two factors'/wrappers' compute state, skipping the known
+    type-identity field.  Here factor compute plans are static specs, so the
+    comparison reduces to the factor fields themselves."""
+    ok = compare_factors(x, y, skip=skip)
+    if show and not ok:
+        print(f"compare_all_special: mismatch between {x!r} and {y!r}")
+    return ok
 
 
 def compare_graphs(fa, fb, tol: float = 1e-5) -> bool:

@@ -450,3 +450,17 @@ def test_down_msgs_and_subfg_history():
     assert set(sub.ls()) == set(leaf.all_vars)
     lanes = print_history_lanes(tree.traces)
     assert f"cliq{leaf.cid}" in lanes and "up_done" in lanes
+
+
+def test_lsf_priors_and_compare_special():
+    fg = _chain(3, graphinit=False)
+    pri = ii.lsf_priors(fg)
+    assert len(pri) == 1 and fg.factor(pri[0]).is_prior
+    # all other factors are relatives
+    assert all(not fg.factor(l).is_prior
+               for l in fg.lsf() if l not in pri)
+    f = fg.factor(fg.lsf()[0])
+    g = fg.factor(fg.lsf()[1])
+    assert ii.compare_all_special(f, f)
+    assert not ii.compare_all_special(f, g, show=False)
+    assert ii.compare_factors(f, f) and not ii.compare_factors(f, g)

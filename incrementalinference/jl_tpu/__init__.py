@@ -49,6 +49,11 @@ from .utils import (compare_all_special, compare_beliefs, compare_factors,
                     select_factor_type)
 from . import fgos
 from .fgos import *  # noqa: F401,F403 — graph accessor surface
+from . import compat
+from .compat import (AbstractBayesTree, BeliefArray, CliqStateMachineContainer,
+                     DFGFactorSummary, DFGVariableSummary, GraphsDFG,
+                     InferenceVariable, diagm, factor_summary,
+                     get_solver_params, variable_summary)
 from . import datastore
 from .datastore import (BlobEntry, FolderStore, InMemoryBlobStore, add_blob,
                         add_blob_store, add_data, delete_data,

@@ -1,0 +1,172 @@
+"""Name-compatibility surface for reference users.
+
+The reference re-exports a handful of names from its dependency stack
+(DistributedFactorGraphs.jl summaries, FunctionalStateMachine.jl debug
+helpers, LinearAlgebra.diagm) and a few internal type aliases
+(src/IncrementalInference.jl:94, src/ExportAPI.jl).  This module maps each
+of those onto the TPU-native equivalents so a reference user finds every
+exported symbol under a predictable name.  No new machinery lives here —
+only aliases, thin dataclass summaries, and packed-dict constructors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .graph import Factor, FactorGraph, Variable, VariableType
+from .config import SolverParams
+from .tree.bayestree import BayesTree, Clique
+
+__all__ = [
+    "AbstractBayesTree", "BeliefArray", "GraphsDFG", "InferenceVariable",
+    "DFGVariableSummary", "DFGFactorSummary", "variable_summary",
+    "factor_summary", "CliqStateMachineContainer", "get_solver_params",
+    "diagm",
+    "PackedPrior", "PackedMsgPrior", "PackedPartialPrior",
+    "PackedGenericMarginal", "PackedSamplableBelief",
+    "PackedZeroMeanFullNormal", "PackedFunctionNodeData",
+    "PackedBayesTreeNodeData",
+]
+
+# type aliases (reference AbstractBayesTree / BeliefArray
+# src/IncrementalInference.jl:94; GraphsDFG / InferenceVariable are the DFG
+# in-memory graph type and the abstract variable-type supertype)
+AbstractBayesTree = BayesTree
+BeliefArray = np.ndarray
+GraphsDFG = FactorGraph
+InferenceVariable = VariableType
+
+
+@dataclass(frozen=True)
+class DFGVariableSummary:
+    """Lightweight variable view (reference DFG.DFGVariableSummary)."""
+
+    label: str
+    variable_type: str
+    tags: tuple
+    timestamp: float
+    solvable: int
+    npoints: int
+
+
+@dataclass(frozen=True)
+class DFGFactorSummary:
+    """Lightweight factor view (reference DFG.DFGFactorSummary)."""
+
+    label: str
+    factor_type: str
+    variables: tuple
+    tags: tuple
+    timestamp: float
+    solvable: int
+
+
+def variable_summary(v: Variable) -> DFGVariableSummary:
+    b = v.beliefs.get("default")
+    return DFGVariableSummary(
+        label=v.label, variable_type=v.vartype.name, tags=tuple(sorted(v.tags)),
+        timestamp=float(getattr(v, "timestamp", 0.0)), solvable=v.solvable,
+        npoints=0 if b is None else int(b.points.shape[0]))
+
+
+def factor_summary(f: Factor) -> DFGFactorSummary:
+    return DFGFactorSummary(
+        label=f.label, factor_type=type(f.model).__name__,
+        variables=tuple(f.variables), tags=tuple(sorted(f.tags)),
+        timestamp=float(getattr(f, "timestamp", 0.0)), solvable=f.solvable)
+
+
+@dataclass
+class CliqStateMachineContainer:
+    """Bundle of one clique solve's working state (reference
+    CliqStateMachineContainer, src/entities/JunctionTreeTypes.jl:32-56).
+    The static-sweep scheduler has no live state machine; this container
+    packages the same handles for the single-clique harness and replays."""
+
+    dfg: FactorGraph
+    cliq_sub_fg: Optional[FactorGraph]
+    tree: BayesTree
+    cliq: Clique
+    solve_key: str = "default"
+    incremental: bool = True
+    history: List[Any] = field(default_factory=list)
+
+
+def get_solver_params(fg: FactorGraph) -> SolverParams:
+    """Reference ``getSolverParams(dfg)``."""
+    return fg.params
+
+
+def diagm(v) -> np.ndarray:
+    """Reference re-export LinearAlgebra.diagm — diagonal matrix from a
+    vector."""
+    return np.diag(np.asarray(v))
+
+
+# ---------------------------------------------------------------------------
+# packed-type constructors (reference Packed* structs; here the packed form
+# is the JSON-safe dict produced by serialization/packed.py, so each
+# constructor simply packs the live object)
+# ---------------------------------------------------------------------------
+
+def PackedPrior(Z) -> Dict[str, Any]:
+    from .models import Prior
+    from .serialization.packed import pack_factor_model
+    return pack_factor_model(Prior(Z))
+
+
+def PackedMsgPrior(belief, manifold, ipc=None) -> Dict[str, Any]:
+    from .models import MsgPrior
+    from .serialization.packed import pack_factor_model
+    return pack_factor_model(MsgPrior(belief, manifold, ipc=ipc))
+
+
+def PackedPartialPrior(Z, dims) -> Dict[str, Any]:
+    from .models import PartialPrior
+    from .serialization.packed import pack_factor_model
+    return pack_factor_model(PartialPrior(Z, tuple(dims)))
+
+
+def PackedGenericMarginal() -> Dict[str, Any]:
+    from .models import GenericMarginal
+    from .serialization.packed import pack_factor_model
+    return pack_factor_model(GenericMarginal())
+
+
+def PackedSamplableBelief(z) -> Dict[str, Any]:
+    from .serialization.packed import pack_distribution
+    return pack_distribution(z)
+
+
+def PackedZeroMeanFullNormal(cov) -> Dict[str, Any]:
+    """Reference PackedZeroMeanFullNormal — MvNormal with zero mean."""
+    from .distributions import MvNormal
+    from .serialization.packed import pack_distribution
+    cov = np.asarray(cov, dtype=float)
+    return pack_distribution(MvNormal(np.zeros(cov.shape[0]), cov))
+
+
+def PackedFunctionNodeData(f: Factor) -> Dict[str, Any]:
+    """Packed per-factor solver data (reference PackedFunctionNodeData)."""
+    from .serialization.packed import pack_factor_model
+    return {"label": f.label, "variables": list(f.variables),
+            "fnc": pack_factor_model(f.model),
+            "multihypo": list(f.multihypo) if f.multihypo is not None else None,
+            "nullhypo": float(f.nullhypo), "solvable": f.solvable,
+            "tags": sorted(f.tags)}
+
+
+def PackedBayesTreeNodeData(c: Clique) -> Dict[str, Any]:
+    """Packed clique payload (reference PackedBayesTreeNodeData) — the same
+    dict save_tree persists per clique."""
+    return {"cid": c.cid, "frontals": list(c.frontals),
+            "separator": list(c.separator), "parent": c.parent,
+            "children": list(c.children), "potentials": list(c.potentials),
+            "status": c.status.value, "is_recycled": c.is_recycled,
+            "is_marginalized": c.is_marginalized,
+            "direct_vars": list(c.direct_vars),
+            "iter_vars": list(c.iter_vars),
+            "msgskip_vars": list(c.msgskip_vars)}

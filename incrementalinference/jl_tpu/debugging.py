@@ -21,7 +21,10 @@ __all__ = ["print_clique_history", "print_history_sequential",
            "hist_state_machine_transitions", "sandbox_state_machine_step",
            "get_cliq_subgraph_from_history", "get_graph_from_history",
            "print_history_lanes", "draw_tree_async_loop",
-           "animate_cliq_state_machines"]
+           "animate_cliq_state_machines",
+           "exit_state_machine", "get_state_label",
+           "draw_state_transition_step", "draw_state_machine_history",
+           "animate_state_machine_history_by_time_compound"]
 
 
 def print_clique_history(traces: Dict[int, CliqueTrace],
@@ -430,3 +433,60 @@ def animate_csm(tree: BayesTree, traces: Dict[int, CliqueTrace],
 # the recorded-trace GIF renderer above serves both
 animate_cliq_state_machines = animate_csm
 animate_state_machine_history_by_time = animate_csm
+
+
+# ---------------------------------------------------------------------------
+# FunctionalStateMachine.jl compatibility shims — the reference re-exports
+# these FSM debug helpers (ExportAPI.jl:56-68).  The static-sweep scheduler
+# records CliqueTrace events instead of live FSM states; these map the FSM
+# vocabulary onto those traces.
+# ---------------------------------------------------------------------------
+
+class _ExitStateMachine:
+    """Sentinel returned by a state to stop the machine (reference
+    IncrementalInference.exitStateMachine)."""
+
+    def __call__(self, *a, **k):
+        return None
+
+    def __repr__(self):
+        return "exitStateMachine"
+
+
+exit_state_machine = _ExitStateMachine()
+
+
+def get_state_label(step) -> str:
+    """Name of one recorded step (reference FSM getStateLabel).  Accepts a
+    CliqueTrace event tuple ``(ts, step, detail)`` or a callable/state."""
+    if isinstance(step, tuple) and len(step) >= 2:
+        return str(step[1])
+    return getattr(step, "__name__", str(step))
+
+
+def draw_state_transition_step(traces: Dict[int, CliqueTrace], cid: int,
+                               index: int) -> str:
+    """One-line rendering of a single recorded transition (reference FSM
+    drawStateTransitionStep)."""
+    tr = traces[cid]
+    ts, step, detail = tr.events[index]
+    return f"cliq{cid}[{index}] {time.strftime('%H:%M:%S', time.localtime(ts))} {step} {detail}".rstrip()
+
+
+def draw_state_machine_history(traces: Dict[int, CliqueTrace],
+                               show: bool = False) -> str:
+    """Text rendering of every recorded machine's transitions (reference FSM
+    drawStateMachineHistory); same content as print_history_sequential."""
+    out = print_history_sequential(traces)
+    if show:
+        print(out)
+    return out
+
+
+def animate_state_machine_history_by_time_compound(
+        tree: BayesTree, traces: Dict[int, CliqueTrace],
+        path: str = "/tmp/iitpu/csm_compound.gif", fps: int = 4) -> str:
+    """Compound (all cliques, one timeline) animation (reference FSM
+    animateStateMachineHistoryByTimeCompound) — the trace GIF renderer
+    already interleaves all cliques on the global event timeline."""
+    return animate_csm(tree, traces, path=path, fps=fps)

@@ -37,6 +37,7 @@ from .messages import (MSG_TAG, LikelihoodMessage, add_msg_factors,
                        delete_msg_factors, prep_msg_down, prep_msg_up)
 
 __all__ = ["build_clique_subgraph", "transfer_update_subgraph",
+           "add_down_variable_factors",
            "up_solve_clique", "down_solve_clique", "solve_tree_sweeps",
            "cliq_var_init_order_up", "CliqueTrace"]
 
@@ -98,6 +99,44 @@ def build_clique_subgraph(fg: FactorGraph, clique: Clique,
             if vl in sub._var_factors:
                 sub._var_factors[vl].append(fl)
     return sub
+
+
+def add_down_variable_factors(fg: FactorGraph, sub: FactorGraph,
+                              clique, solvable: int = 1):
+    """Widen a clique subgraph with the frontal-neighbor variables and the
+    factors connecting them, as the reference's down solve does
+    (addDownVariableFactors!, TreeMessageUtils.jl:490-520: 'between for up,
+    frontal connected for down').  Returns ``(new_vars, new_factors)``."""
+    from ..fgos import find_factors_between_from
+    from ..tree.accessors import get_cliq_vars_with_frontal_neighbors
+
+    currsyms = list(sub.variables)
+    allclsyms = get_cliq_vars_with_frontal_neighbors(fg, clique,
+                                                     solvable=solvable)
+    newsyms = [s for s in allclsyms if s not in sub.variables]
+    scope = set(currsyms) | set(newsyms)
+    allnewfcts: List[str] = []
+    for frt in clique.frontals:
+        for fl in find_factors_between_from(fg, scope, frt):
+            if fl not in allnewfcts:
+                allnewfcts.append(fl)
+    newfcts = [fl for fl in allnewfcts if fl not in sub.factors]
+    for vl in newsyms:
+        v = fg.var(vl)
+        sub.variables[vl] = Variable(
+            label=v.label, vartype=v.vartype, N=v.N, tags=set(v.tags),
+            solvable=v.solvable, beliefs=dict(v.beliefs),
+            initialized=dict(v.initialized), ppe=dict(v.ppe),
+            parametric_point=v.parametric_point,
+            parametric_cov=v.parametric_cov, marginalized=v.marginalized)
+        sub._var_factors[vl] = []
+    for fl in newfcts:
+        f = fg.factor(fl)
+        sub.factors[fl] = f
+        for vl in f.variables:
+            if vl in sub._var_factors and fl not in sub._var_factors[vl]:
+                sub._var_factors[vl].append(fl)
+    return newsyms, newfcts
 
 
 def transfer_update_subgraph(fg: FactorGraph, sub: FactorGraph,

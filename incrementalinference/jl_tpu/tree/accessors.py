@@ -38,6 +38,9 @@ __all__ = [
     "get_tree_cliq_up_msgs_all", "stack_cliq_up_msgs_by_variable",
     "get_cliq_down_msgs_after_down_solve",
     "tree_product_up", "tree_product_down",
+    "get_cliq_vars_with_frontal_neighbors",
+    "are_siblings_remaining_need_down_only",
+    "reset_data", "build_clique_potentials",
 ]
 
 
@@ -431,3 +434,62 @@ def tree_product_down(fg, tree: BayesTree, frontal: str, var: str,
     sub = build_clique_subgraph(fg, cl)
     b, _ipc = local_product(sub, var, solve_key=solve_key)
     return b
+
+
+# ---------------------------------------------------------------------------
+# frontal-neighborhood expansion + down-solve sibling gating + node resets
+# ---------------------------------------------------------------------------
+
+def get_cliq_vars_with_frontal_neighbors(fg, cliq: Clique,
+                                         solvable: int = 1) -> List[str]:
+    """All clique variables plus every variable sharing a factor with a
+    frontal (reference getCliqVarsWithFrontalNeighbors,
+    JunctionTreeUtils.jl:1185-1203) — the variable set a down solve pulls
+    into the clique subgraph."""
+    syms = list(dict.fromkeys(list(cliq.frontals) + list(cliq.separator)))
+    seen = set(syms)
+    for frt in cliq.frontals:
+        for fl in fg.factors_of(frt):
+            for vl in fg.factor(fl).variables:
+                if vl not in seen and fg.var(vl).solvable >= solvable:
+                    seen.add(vl)
+                    syms.append(vl)
+    return syms
+
+
+def are_siblings_remaining_need_down_only(tree: BayesTree, cid: int) -> bool:
+    """True when no sibling of ``cid`` can still make upward progress
+    (reference areSiblingsRemaingNeedDownOnly,
+    CliqStateMachineUtils.jl:321-337): every other child of the parent has
+    left the NULL/INITIALIZED "still busy" states, so a down-only solve of
+    this clique may proceed."""
+    still_busy = (CliqStatus.NULL, CliqStatus.INITIALIZED)
+    cl = tree.clique(cid)
+    if cl.parent is None:
+        return True
+    for sib in tree.clique(cl.parent).children:
+        if sib != cid and tree.clique(sib).status in still_busy:
+            return False
+    return True
+
+
+def reset_data(node) -> None:
+    """Wipe per-elimination bookkeeping from one variable or factor
+    (reference resetData!, JunctionTreeUtils.jl:865-878).  Our elimination
+    keeps variable-side state inside the BayesNet pass, so only the factor
+    ``potential_used`` flag persists on the graph object."""
+    if hasattr(node, "potential_used"):
+        node.potential_used = False
+
+
+def build_clique_potentials(fg, tree: BayesTree) -> BayesTree:
+    """Re-run the post-order potential assignment + Gibbs partitioning on an
+    assembled tree (reference buildCliquePotentials,
+    JunctionTreeUtils.jl:1526-1542).  ``build_tree`` already calls this; the
+    public entry exists for hand-assembled or loaded trees."""
+    from .bayestree import _assign_potentials, _partition_gibbs_vars
+    for c in tree.cliques.values():
+        c.potentials = []
+    _assign_potentials(fg, tree)
+    _partition_gibbs_vars(fg, tree)
+    return tree

@@ -1,0 +1,142 @@
+"""Name-compat surface + remaining CSM/tree helpers (reference
+ExportAPI.jl re-exports: DFG summaries, FSM debug helpers,
+addDownVariableFactors!, areSiblingsRemaingNeedDownOnly, resetData!,
+buildCliquePotentials, getCliqVarsWithFrontalNeighbors)."""
+
+import numpy as np
+
+import incrementalinference.jl_tpu as ii
+from incrementalinference.jl_tpu import compat
+from incrementalinference.jl_tpu.parallel.scheduler import (
+    add_down_variable_factors, build_clique_subgraph)
+from incrementalinference.jl_tpu.tree.accessors import (
+    are_siblings_remaining_need_down_only, build_clique_potentials,
+    get_cliq_vars_with_frontal_neighbors, reset_data)
+from incrementalinference.jl_tpu.tree.bayestree import CliqStatus
+
+
+def _chain(n=4):
+    fg = ii.initfg()
+    for i in range(n):
+        fg.add_variable(f"x{i}", ii.ContinuousScalar)
+    fg.add_factor(["x0"], ii.Prior(ii.Normal(0.0, 1.0)))
+    for i in range(n - 1):
+        fg.add_factor([f"x{i}", f"x{i+1}"],
+                      ii.LinearRelative(ii.Normal(1.0, 0.5)))
+    return fg
+
+
+def test_aliases_and_summaries():
+    fg = ii.initfg()
+    assert isinstance(fg, ii.GraphsDFG)
+    assert ii.AbstractBayesTree is ii.BayesTree
+    assert ii.get_solver_params(fg).N == fg.params.N
+    assert np.allclose(ii.diagm([1.0, 2.0]), np.diag([1.0, 2.0]))
+    fg.add_variable("x0", ii.ContinuousScalar)
+    fg.add_factor(["x0"], ii.Prior(ii.Normal(0.0, 1.0)))
+    vs = ii.variable_summary(fg.var("x0"))
+    assert vs.label == "x0" and vs.npoints == fg.params.N
+    fs = ii.factor_summary(fg.factor(fg.lsf()[0]))
+    assert fs.factor_type == "Prior" and fs.variables == ("x0",)
+    assert isinstance(fg.var("x0").vartype, ii.InferenceVariable)
+
+
+def test_packed_constructors_roundtrip():
+    from incrementalinference.jl_tpu.serialization.packed import (
+        unpack_distribution, unpack_factor_model)
+
+    d = compat.PackedZeroMeanFullNormal(np.eye(2) * 4.0)
+    z = unpack_distribution(d)
+    assert np.allclose(np.asarray(z.mu), 0.0)
+    assert np.allclose(np.asarray(z.cov), np.eye(2) * 4.0)
+    p = compat.PackedPrior(ii.Normal(1.0, 2.0))
+    m = unpack_factor_model(p)
+    assert type(m).__name__ == "Prior"
+    assert compat.PackedGenericMarginal()["_type"] == "GenericMarginal"
+    pp = compat.PackedPartialPrior(ii.Normal(0.0, 1.0), [0])
+    assert unpack_factor_model(pp).partial == (0,)
+
+
+def test_packed_node_data():
+    fg = _chain(3)
+    tree = ii.build_tree(fg)
+    cd = compat.PackedBayesTreeNodeData(tree.clique(list(tree.cliques)[0]))
+    assert "frontals" in cd and "potentials" in cd
+    fd = compat.PackedFunctionNodeData(fg.factor(fg.lsf()[0]))
+    assert fd["fnc"]["_type"] == "Prior"
+
+
+def test_frontal_neighbors_and_down_factors():
+    fg = _chain(4)
+    tree = ii.build_tree(fg)
+    child = [c for c in tree.cliques.values() if c.parent is not None][0]
+    syms = get_cliq_vars_with_frontal_neighbors(fg, child)
+    # every clique var present, plus at least the frontal's graph neighbors
+    assert set(child.all_vars) <= set(syms)
+    sub = build_clique_subgraph(fg, child)
+    before_v, before_f = set(sub.variables), set(sub.factors)
+    newv, newf = add_down_variable_factors(fg, sub, child)
+    assert set(newv).isdisjoint(before_v)
+    assert set(newf).isdisjoint(before_f)
+    assert set(syms) == set(sub.variables)
+    for fl in newf:  # merged factors fully supported in the widened subgraph
+        assert set(fg.factor(fl).variables) <= set(sub.variables)
+
+
+def test_siblings_need_down_only():
+    # star: root with two children -> siblings gate on each other's status
+    fg = ii.initfg()
+    for lbl in ["a", "b", "c"]:
+        fg.add_variable(lbl, ii.ContinuousScalar)
+    fg.add_factor(["a"], ii.Prior(ii.Normal(0.0, 1.0)))
+    fg.add_factor(["a", "b"], ii.LinearRelative(ii.Normal(1.0, 0.5)))
+    fg.add_factor(["a", "c"], ii.LinearRelative(ii.Normal(1.0, 0.5)))
+    tree = ii.build_tree(fg)
+    kids = [c for c in tree.cliques.values() if c.parent is not None]
+    root = [c for c in tree.cliques.values() if c.parent is None][0]
+    assert are_siblings_remaining_need_down_only(tree, root.cid)
+    if len(kids) == 2:
+        kids[1].status = CliqStatus.NULL
+        assert not are_siblings_remaining_need_down_only(tree, kids[0].cid)
+        kids[1].status = CliqStatus.UPSOLVED
+        assert are_siblings_remaining_need_down_only(tree, kids[0].cid)
+
+
+def test_reset_data_and_build_potentials():
+    fg = _chain(3)
+    tree = ii.build_tree(fg)
+    assert any(f.potential_used for f in fg.factors.values())
+    for f in fg.factors.values():
+        reset_data(f)
+    assert not any(f.potential_used for f in fg.factors.values())
+    build_clique_potentials(fg, tree)
+    pot = [p for c in tree.cliques.values() for p in c.potentials]
+    assert sorted(pot) == sorted(fg.lsf())
+
+
+def test_fsm_shims():
+    from incrementalinference.jl_tpu import debugging as dbg
+
+    fg = _chain(3)
+    fg.params = fg.params.replace(record_cliques=True)
+    tree = ii.solve_tree(fg)
+    traces = tree.traces
+    assert traces
+    cid = next(iter(traces))
+    assert dbg.get_state_label(traces[cid].events[0])
+    line = dbg.draw_state_transition_step(traces, cid, 0)
+    assert f"cliq{cid}[0]" in line
+    out = dbg.draw_state_machine_history(traces)
+    assert out
+    assert repr(dbg.exit_state_machine) == "exitStateMachine"
+    assert dbg.exit_state_machine() is None
+
+
+def test_cliq_state_machine_container():
+    fg = _chain(3)
+    tree = ii.build_tree(fg)
+    cl = tree.clique(list(tree.cliques)[0])
+    sub = build_clique_subgraph(fg, cl)
+    csmc = compat.CliqStateMachineContainer(dfg=fg, cliq_sub_fg=sub,
+                                            tree=tree, cliq=cl)
+    assert csmc.solve_key == "default" and csmc.cliq is cl

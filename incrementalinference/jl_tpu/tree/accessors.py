@@ -33,7 +33,8 @@ __all__ = [
     "are_cliq_variables_all_initialized",
     "are_cliq_variables_all_marginalized",
     "append_separator_to_clique", "get_tree_all_frontal_syms",
-    "get_cliq_var_solve_order_up", "reset_cliq_solve",
+    "get_cliq_var_solve_order_up", "get_cliq_init_var_order_down",
+    "reset_cliq_solve",
     "reset_tree_cliques_for_up_solve", "calc_cliques_recycled",
     "get_tree_cliq_up_msgs_all", "stack_cliq_up_msgs_by_variable",
     "get_cliq_down_msgs_after_down_solve",
@@ -493,3 +494,24 @@ def build_clique_potentials(fg, tree: BayesTree) -> BayesTree:
     _assign_potentials(fg, tree)
     _partition_gibbs_vars(fg, tree)
     return tree
+
+
+def get_cliq_init_var_order_down(fg, tree: BayesTree, cid: int,
+                                 dwnkeys: Sequence[str]) -> List[str]:
+    """Down-init variable order (reference getCliqInitVarOrderDown,
+    TreeBasedInitialization.jl:59-105): singleton-backed variables first
+    (down-message separators count as priors), each group sorted by
+    ascending clique-factor association count."""
+    cl = tree.clique(cid)
+    allsyms = cl.all_vars
+    dwnvarids = [v for v in dwnkeys if v in allsyms and v in fg.variables]
+    prvarids = get_cliq_var_ids_priors(fg, cl, allsyms)
+    nfcts = get_cliq_num_assoc_factors_per_var(fg, tree, cid).astype(float)
+    for i, v in enumerate(allsyms):
+        if v in dwnvarids:
+            nfcts[i] += 1.0
+    sortedids = [allsyms[i] for i in np.argsort(nfcts, kind="stable")]
+    singids = set(prvarids) | set(dwnvarids)
+    order = [v for v in sortedids if v in singids]
+    order += [v for v in sortedids if v not in order]
+    return order

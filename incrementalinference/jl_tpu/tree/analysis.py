@@ -13,7 +13,7 @@ from .ordering import get_elimination_order
 
 __all__ = ["nnz_frontals", "nnz_clique", "nnz_tree", "nnz_sqrt_info_matrix",
            "tree_cost_01", "tree_cost_02", "all_tree_costs",
-           "shrink_factor_graph"]
+           "shrink_factor_graph", "get_all_trees"]
 
 
 def nnz_frontals(dim: int) -> int:
@@ -107,3 +107,22 @@ def shrink_factor_graph(fg, upto: int = 6):
     for v in del_vars:
         fgs.remove_variable(v)
     return fgs
+
+
+def get_all_trees(fg) -> dict:
+    """Build a tree for every elimination ordering and record its nnz cost
+    (reference getAllTrees, src/services/AnalysisTools.jl:44-57; factorial —
+    guarded to ≤11 variables like the reference)."""
+    from itertools import permutations
+
+    from .bayestree import build_tree_reset
+
+    variables = fg.ls()
+    if len(variables) > 11:
+        raise ValueError("graph too large for exhaustive ordering sweep "
+                         "(>11 variables — factorial explosion)")
+    out = {}
+    for i, order in enumerate(permutations(variables)):
+        tree = build_tree_reset(fg, list(order))
+        out[i] = (tree, list(order), float(nnz_tree(tree)))
+    return out

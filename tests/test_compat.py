@@ -140,3 +140,25 @@ def test_cliq_state_machine_container():
     csmc = compat.CliqStateMachineContainer(dfg=fg, cliq_sub_fg=sub,
                                             tree=tree, cliq=cl)
     assert csmc.solve_key == "default" and csmc.cliq is cl
+
+
+def test_get_all_trees_and_down_init_order():
+    from incrementalinference.jl_tpu.tree.accessors import (
+        get_cliq_init_var_order_down)
+    from incrementalinference.jl_tpu.tree.analysis import get_all_trees
+
+    fg = _chain(3)
+    at = get_all_trees(fg)
+    assert len(at) == 6  # 3! orderings
+    assert all(len(t[0].cliques) >= 1 and t[2] > 0 for t in at.values())
+    tree = ii.build_tree(fg)
+    cid = list(tree.cliques)[0]
+    cl = tree.clique(cid)
+    order = get_cliq_init_var_order_down(fg, tree, cid, cl.separator)
+    assert sorted(order) == sorted(cl.all_vars)
+    # singleton-backed variables (down-msg separators) lead the order
+    if cl.separator:
+        assert order[0] in set(cl.separator) | set(
+            v for v in cl.all_vars
+            for fl in cl.potentials
+            if list(fg.factor(fl).variables) == [v])

@@ -48,6 +48,12 @@ class SolverParams:
     # Bound on scheduler iterations (reference limititers=500 guards the CSM;
     # here it bounds the per-clique init fixed-point loop).
     limit_iters: int = 500
+    # Bound on tree-init fixed-point passes: after a down sweep that
+    # down-initializes previously NO_INIT cliques, the up sweep re-runs over
+    # the affected subtree and the down sweep repeats, at most this many
+    # times (reference limittreeinit_iters=10 stall detection,
+    # SolverParams.jl:53 / CliqueStateMachine.jl:573-585).
+    limit_treeinit_iters: int = 10
     # Max factors per variable before the graph builder refuses (maxincidence).
     max_incidence: int = 500
     # Elimination ordering: "qr" | "colamd" | "ccolamd" (constrained).

@@ -273,6 +273,9 @@ def prep_msg_down(subfg, clique, child, status: CliqStatus,
     msg = LikelihoodMessage(sender=clique.cid, status=status,
                             direction="down")
     for vlbl in child.separator:
-        if vlbl in subfg.variables:
+        # an uninitializable clique (NO_INIT down pass-through) may lack
+        # beliefs for some separators — carry only what exists
+        if vlbl in subfg.variables and \
+                solve_key in subfg.var(vlbl).beliefs:
             msg.beliefs[vlbl] = subfg.get_belief(vlbl, solve_key)
     return msg

@@ -10,9 +10,14 @@ already one batched XLA kernel chain, and same-level cliques can be sharded
 across a device mesh (parallel/mesh.py).
 
 The reference's data-dependent init/wait dance (waitForUp/initUp cycles)
-becomes a bounded fixed-point: each up-solve runs a clique-local init cycle
-(reference cycleInitByVarOrder!, SolveTree.jl:263-295) and the sweep repeats
-up to ``limit_iters``-bounded passes if some cliques could not initialize.
+becomes a bounded fixed point: each up-solve runs a clique-local init cycle
+(reference cycleInitByVarOrder!, SolveTree.jl:263-295); cliques the up pass
+could not initialize are down-initialized from their parent's solved
+separators (tryDownInit_, CliqueStateMachine.jl:699-858), after which the
+up sweep re-runs over those cliques and their ancestors and the down sweep
+repeats, until no clique down-initializes — bounded by
+``SolverParams.limit_treeinit_iters`` passes (reference stall detection,
+CliqueStateMachine.jl:573-585).
 
 Per-clique trace records (the CSM-history equivalent,
 src/services/TreeDebugTools.jl) are captured when ``record_cliques`` is on.
@@ -729,16 +734,33 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
     sub = build_clique_subgraph(fg, clique)
     for cmsg in (child_msgs or []):
         add_msg_factors(sub, cmsg)
+    clique.down_inited = False
     if down_msg is not None and clique.status == CliqStatus.NO_INIT:
         # down-init: the parent's solved separators can initialize cliques
         # the up pass could not (reference tryDownInit_/preDownSolve,
         # CliqueStateMachine.jl:699-858)
+        pre_uninit = {v for v in clique.all_vars
+                      if not sub.var(v).is_initialized(solve_key)}
         for vlbl, belief in down_msg.beliefs.items():
             if vlbl in sub.variables:
                 sub.set_belief(vlbl, belief.points, solve_key=solve_key,
                                bw=belief.bw, ipc=belief.ipc)
         _cycle_init_by_var_order(sub, clique, solve_key)
-        t.log("down_init")
+        newly = {v for v in pre_uninit
+                 if sub.var(v).is_initialized(solve_key)}
+        clique.down_inited = bool(newly)
+        t.log("down_init", f"{len(newly)}/{len(pre_uninit)} vars")
+        if not all(sub.var(v).is_initialized(solve_key)
+                   for v in clique.all_vars):
+            # still uninitializable even with the parent's information:
+            # stay NO_INIT, pass the separator info through so deeper
+            # cliques can try, and let the sweep fixed point retry next
+            # pass (reference stall path, CliqueStateMachine.jl:573-585)
+            transfer_update_subgraph(fg, sub, clique.frontals, solve_key)
+            t.log("down_no_init")
+            return {ch.cid: prep_msg_down(sub, clique, ch,
+                                          CliqStatus.NO_INIT, solve_key)
+                    for ch in tree.children(clique.cid)}
     if down_msg is not None:
         add_msg_factors(sub, down_msg)
         # pin separator beliefs straight from the parent's solution
@@ -747,6 +769,16 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
                 sub.set_belief(vlbl, belief.points, solve_key=solve_key,
                                bw=belief.bw, ipc=belief.ipc)
                 sub.var(vlbl).marginalized = True   # fixed during down-solve
+    if not all(sub.var(v).is_initialized(solve_key)
+               for v in clique.all_vars):
+        # uninitializable clique (e.g. a prior-less root): solving frontal
+        # products over identity-junk points would fabricate information —
+        # stay NO_INIT and pass through whatever beliefs exist
+        clique.status = CliqStatus.NO_INIT
+        t.log("down_no_init")
+        return {ch.cid: prep_msg_down(sub, clique, ch, CliqStatus.NO_INIT,
+                                      solve_key)
+                for ch in tree.children(clique.cid)}
     t.log("down_start")
 
     # solve frontals: iterate those with cross-frontal coupling
@@ -962,8 +994,13 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                         sender=cid, status=CliqStatus.ERROR_STATUS,
                         direction="up")
 
-    if down:
+    def _run_down_sweep() -> set:
+        """One full root→leaves down sweep.  Returns the cids that were
+        down-initialized (the reference tryDownInit_ outcome) — non-empty
+        means the up pass must re-run over their ancestors so the newly
+        usable subtree information reaches the rest of the tree."""
         down_msgs: Dict[int, LikelihoodMessage] = {}
+        down_inited: set = set()
         # cliques whose down pass left their beliefs untouched: a recycled
         # child below such a clique sees the identical down message it saw
         # last solve, so its own down-solve can be skipped too (reference
@@ -1019,6 +1056,8 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                         fg, tree, cl, down_msgs.get(cid), solve_key,
                         child_msgs=child_up, trace=tr)
                     down_msgs.update(out)
+                    if getattr(cl, "down_inited", False):
+                        down_inited.add(cid)
                 except Exception as e:          # noqa: BLE001
                     cl.status = CliqStatus.ERROR_STATUS
                     tr.log("error", str(e))
@@ -1026,6 +1065,66 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
         # received-down-message map (keyed by receiving clique) for
         # getCliqDownMsgsAfterDownSolve-style introspection
         tree.down_msgs = down_msgs
+        return down_inited
+
+    def _run_up_subset(only: set) -> None:
+        """Re-run the up sweep over ``only`` (a down-inited clique set plus
+        its ancestors), deepest level first; untouched cliques keep their
+        retained up messages.  This is the re-up half of the reference's
+        tree-init fixed point (waitForUp/initUp cycling,
+        CliqueStateMachine.jl:341-417)."""
+        for level in reversed(levels):
+            for cid in level:
+                if cid not in only or cid in skip_set:
+                    continue
+                cl = tree.clique(cid)
+                if cl.status == CliqStatus.ERROR_STATUS or _timed_out(cl):
+                    continue
+                child_msgs = [up_msgs[ch] for ch in cl.children
+                              if ch in up_msgs]
+                tr = trace_for(cid)
+                tr.log("re_up", "tree-init fixed point")
+                try:
+                    up_msgs[cid] = up_solve_clique(
+                        fg, tree, cl, child_msgs, solve_key, trace=tr)
+                except Exception as e:          # noqa: BLE001
+                    cl.status = CliqStatus.ERROR_STATUS
+                    tr.log("error", str(e))
+                    errors.append((cid, e))
+                    up_msgs[cid] = LikelihoodMessage(
+                        sender=cid, status=CliqStatus.ERROR_STATUS,
+                        direction="up")
+
+    if down:
+        # Tree-init fixed point (reference CSM waitForUp/initUp/tryDownInit
+        # cycling bounded by limittreeinit_iters,
+        # CliqueStateMachine.jl:341-417, :573-585, :699-858): when a down
+        # sweep initializes previously NO_INIT cliques, their subtree's
+        # information has not yet reached the rest of the tree — re-run the
+        # up sweep over those cliques and their ancestors, then sweep down
+        # again, until no clique down-initializes (typical graphs: first
+        # down sweep reports nothing and the loop exits after one pass).
+        limit = max(1, int(getattr(fg.params, "limit_treeinit_iters", 10)))
+        for init_iter in range(limit):
+            down_inited = _run_down_sweep()
+            if not down_inited or not up or errors:
+                break
+            affected: set = set()
+            for cid in down_inited:
+                cur: Optional[int] = cid
+                while cur is not None and cur not in affected:
+                    affected.add(cur)
+                    cur = tree.clique(cur).parent
+            logger.debug("tree-init pass %d: re-up over %d cliques",
+                         init_iter + 1, len(affected))
+            _run_up_subset(affected)
+        still_no_init = [c.cid for c in tree.cliques.values()
+                         if c.status == CliqStatus.NO_INIT]
+        if still_no_init:
+            logger.warning(
+                "tree init incomplete after %d passes; cliques %s remain "
+                "NO_INIT (graph lacks initializing information)",
+                init_iter + 1, still_no_init)
 
     # retain the sweep's up messages for post-solve introspection
     # (reference getTreeCliqUpMsgsAll / stackCliqUpMsgsByVariable,

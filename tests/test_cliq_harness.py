@@ -21,12 +21,14 @@ def test_solve_cliq_up_down_harness():
     init_all(fg)
     tree = build_tree(fg)
 
-    # pick a leaf clique and up-solve it in isolation
+    # pick a leaf clique and up-solve it in isolation: the graph is fully
+    # initialized, so the up-solve MUST succeed (exact status — NO_INIT
+    # here would mean the init path regressed)
     leaf = next(c for c in tree.cliques.values() if not c.children)
     msg = solve_cliq_up(fg, tree, leaf.frontals[0])
-    assert msg.status in (CliqStatus.UPSOLVED, CliqStatus.NO_INIT)
+    assert msg.status == CliqStatus.UPSOLVED
     assert set(msg.beliefs) <= set(leaf.separator)
-    assert leaf.status in (CliqStatus.UPSOLVED, CliqStatus.NO_INIT)
+    assert leaf.status == CliqStatus.UPSOLVED
 
     # root down-solve with the leaf's message hand-fed
     root = tree.clique(tree.root_ids[0])

@@ -2,24 +2,32 @@
 
 Headline: wall-clock of a full nonparametric MM-iSAM tree solve on the
 canonical LineStep(20) graph (reference fixture
-src/services/CanonicalGraphExamples.jl:154-236) on the available accelerator,
-after a structure-identical warmup so XLA compile time is excluded (the
-reference's PkgBenchmark setup likewise excludes Julia JIT warmup,
-benchmark/benchmarks.jl:13-60).
+src/services/CanonicalGraphExamples.jl:154-236) on the available accelerator.
+Both the COLD wall (first solve including XLA compiles, with
+``precompile=True`` parallel compilation) and the WARM wall (cached
+compiles) are reported — the JSON ``value`` is the warm number (matching
+the reference's PkgBenchmark setup, which excludes Julia JIT warmup,
+benchmark/benchmarks.jl:13-60), and ``cold`` rides alongside so no single
+number hides compile time.
 
 ``vs_baseline`` is speedup vs. the reference's time budget for this suite:
 the reference allots 90 s per mmisam-solve benchmark sample
 (benchmark/runbenchmarks.jl budget; no published absolute numbers exist —
 BASELINE.md), so vs_baseline = 90.0 / value.
+
+Extra metrics run in SUBPROCESSES with hard timeouts: a wedged TPU-tunnel
+device->host transfer (observed: blocking reads stalling minutes) must
+never take the whole bench down with it.  Run ``python bench.py --extra
+<name>`` to run one extra inline.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-os.environ.setdefault(
-    "XLA_FLAGS", "")
+os.environ.setdefault("XLA_FLAGS", "")
 
 import jax  # noqa: E402
 
@@ -33,79 +41,120 @@ from incrementalinference.jl_tpu import solve_tree  # noqa: E402
 from incrementalinference.jl_tpu.canonical import generate_line_step  # noqa: E402
 
 
-def run_once():
+def run_once(precompile=False):
     fg = generate_line_step(20, graphinit=True)
     t0 = time.time()
-    solve_tree(fg)
+    solve_tree(fg, precompile=precompile)
     # block on device completion — dispatch is async and host-side wall
     # alone would under-measure
     jax.block_until_ready([fg.points(v) for v in fg.ls()])
     return time.time() - t0
 
 
-def extra_metrics():
-    """Secondary metrics on stderr (headline stays one JSON line)."""
-    from incrementalinference.jl_tpu.canonical import (fourdoor_sequence,
-                                                       generate_hexagonal)
+def _report(label, cold, warm):
+    print(f"# {label}: cold {cold:.2f}s / warm {warm:.2f}s", file=sys.stderr)
+
+
+def extra_fourdoor():
+    from incrementalinference.jl_tpu.canonical import fourdoor_sequence
+
+    def once():
+        fg, steps = fourdoor_sequence()
+        tree = None
+        t0 = time.time()
+        for s in steps:
+            s()
+            tree = solve_tree(fg, old_tree=tree)
+        jax.block_until_ready([fg.points(v) for v in fg.ls()])
+        return time.time() - t0
+
+    cold = once()
+    _report("fourdoor 3-solve sequence", cold, once())
+
+
+def extra_hexagonal():
+    from incrementalinference.jl_tpu.canonical import generate_hexagonal
+
+    def once():
+        fg = generate_hexagonal(graphinit=True)
+        t0 = time.time()
+        solve_tree(fg, precompile=True)
+        jax.block_until_ready([fg.points(v) for v in fg.ls()])
+        return time.time() - t0
+
+    cold = once()
+    _report("hexagonal SE2 nonparametric", cold, once())
+
+
+def extra_parametric30():
     from incrementalinference.jl_tpu.parametric import solve_graph_parametric
 
-    t0 = time.time()
-    fg, steps = fourdoor_sequence()
-    tree = None
-    for s in steps:
-        s()
-        tree = solve_tree(fg, old_tree=tree)
-    print(f"# fourdoor 3-solve sequence: {time.time() - t0:.2f}s",
-          file=sys.stderr)
+    def once():
+        fg = generate_line_step(30, graphinit=False)
+        t0 = time.time()
+        r = solve_graph_parametric(fg)
+        jax.block_until_ready([fg.var(v).parametric_point for v in fg.ls()])
+        return time.time() - t0
 
-    t0 = time.time()
-    solve_tree(generate_hexagonal(graphinit=True))
-    print(f"# hexagonal SE2 nonparametric: {time.time() - t0:.2f}s",
-          file=sys.stderr)
+    cold = once()
+    _report("linestep30 parametric batch", cold, once())
 
-    t0 = time.time()
-    solve_graph_parametric(generate_line_step(30, graphinit=False))
-    print(f"# linestep30 parametric batch: {time.time() - t0:.2f}s",
-          file=sys.stderr)
 
+def _wide_forest(params):
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             initfg)
+    fg = initfg(params)
+    for b in range(32):
+        fg.add_variable(f"b{b}x0", ContinuousScalar)
+        fg.add_factor([f"b{b}x0"], Prior(Normal(float(b), 0.5)))
+        fg.add_variable(f"b{b}x1", ContinuousScalar)
+        fg.add_factor([f"b{b}x0", f"b{b}x1"],
+                      LinearRelative(Normal(1.0, 0.5)))
+    return fg
+
+
+def extra_cliqrate():
     # clique-solves/s on one chip (the BASELINE.json north-star unit):
-    # a wide 64-branch forest = 128 clique solves per full sweep pair
-    from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
-                                             Normal, Prior, initfg)
+    # a wide 32-branch forest = 64 clique solves per full sweep pair.
+    # Sequential path: bounded compile footprint (the stacked B=64 kernel
+    # is a multi-minute one-time compile; measure it offline instead)
     from incrementalinference.jl_tpu.config import SolverParams
 
-    def wide(params):
-        fg = initfg(params)
-        for b in range(32):
-            fg.add_variable(f"b{b}x0", ContinuousScalar)
-            fg.add_factor([f"b{b}x0"], Prior(Normal(float(b), 0.5)))
-            fg.add_variable(f"b{b}x1", ContinuousScalar)
-            fg.add_factor([f"b{b}x0", f"b{b}x1"],
-                          LinearRelative(Normal(1.0, 0.5)))
-        return fg
-
-    # sequential path: bounded compile footprint (the stacked B=64 kernel
-    # is a multi-minute one-time compile; measure it offline instead)
     pr = SolverParams(batch_cliques=False)
-    tree = solve_tree(wide(pr))                     # warm
+    tree = solve_tree(_wide_forest(pr))             # warm
     t0 = time.time()
-    tree = solve_tree(wide(pr))
+    tree = solve_tree(_wide_forest(pr))
     dt = time.time() - t0
     nsolves = 2 * tree.num_cliques()                # up + down
     print(f"# clique-solves/s (1 chip, wide32 sequential): "
           f"{nsolves / dt:.0f}", file=sys.stderr)
 
-    # parametric tree solve on the same forest: level-batched vmapped LM
-    tree = solve_tree(wide(pr), algorithm="parametric")    # warm
+
+def extra_param_cliqrate():
+    from incrementalinference.jl_tpu.config import SolverParams
+
+    pr = SolverParams(batch_cliques=False)
     t0 = time.time()
-    tree = solve_tree(wide(pr), algorithm="parametric")
+    tree = solve_tree(_wide_forest(pr), algorithm="parametric")    # warm
+    cold_dt = time.time() - t0
+    t0 = time.time()
+    tree = solve_tree(_wide_forest(pr), algorithm="parametric")
     dt = time.time() - t0
     print(f"# parametric clique-solves/s (1 chip, wide32 batched): "
-          f"{2 * tree.num_cliques() / dt:.0f}", file=sys.stderr)
+          f"{2 * tree.num_cliques() / dt:.0f} "
+          f"(cold sweep {cold_dt:.2f}s)", file=sys.stderr)
 
+
+def extra_incremental():
     # incremental growth with the wildfire down-gate: re-solve cost per
     # appended pose on a long chain (reference has no analogue — recycled
     # cliques always redo their down pass there)
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             initfg)
+    from incrementalinference.jl_tpu.config import SolverParams
+
     def grown(n, params):
         fg = initfg(params)
         fg.add_variable("x0", ContinuousScalar)
@@ -138,30 +187,55 @@ def extra_metrics():
               f"{(time.time() - t0) / steps:.3f}s/step", file=sys.stderr)
 
 
+EXTRAS = {
+    "fourdoor": (extra_fourdoor, 240),
+    "hexagonal": (extra_hexagonal, 300),
+    "parametric30": (extra_parametric30, 300),
+    "cliqrate": (extra_cliqrate, 240),
+    "param_cliqrate": (extra_param_cliqrate, 420),
+    "incremental": (extra_incremental, 300),
+}
+
+
 def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--extra":
+        EXTRAS[sys.argv[2]][0]()
+        return
+
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    warm = run_once()                       # compile + run
-    print(f"# warmup (incl. compile): {warm:.2f}s", file=sys.stderr)
-
+    cold = run_once(precompile=True)        # compile + run
     times = [run_once() for _ in range(2)]  # cached-compile solves
     val = min(times)
-    print(f"# solves: {['%.2f' % t for t in times]}", file=sys.stderr)
+    _report("linestep20 mmisam solve", cold, val)
 
     # headline FIRST: the driver must get its JSON line even if the
-    # slower extras (which may recompile) run into a timeout
+    # slower extras run into a timeout
     print(json.dumps({
         "metric": "linestep20_mmisam_solve_wall",
         "value": round(val, 3),
+        "cold": round(cold, 3),
         "unit": "s",
         "vs_baseline": round(90.0 / max(val, 1e-9), 2),
     }), flush=True)
 
-    try:
-        extra_metrics()
-    except Exception as e:                  # extras never break the headline
-        print(f"# extra metrics failed: {e}", file=sys.stderr)
+    # extras in subprocesses: a wedged device->host transfer or a runaway
+    # compile only loses that one metric, never the bench
+    for name, (_, budget) in EXTRAS.items():
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--extra", name],
+                timeout=budget, stderr=subprocess.PIPE, text=True)
+            for ln in r.stderr.splitlines():
+                if ln.startswith("#"):
+                    print(ln, file=sys.stderr)
+            if r.returncode != 0:
+                print(f"# extra {name}: FAILED rc={r.returncode}",
+                      file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# extra {name}: TIMEOUT after {budget}s",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,18 @@ class GaussianMessage:
         self.cov = cov
 
 
+def _select_cov(cov, sel: np.ndarray):
+    """Principal submatrix ``cov[ix_(sel, sel)]`` as a DEVICE op: the
+    selection matrix is a host-numpy constant (lowers as a literal), so the
+    whole parametric sweep stays free of blocking device->host transfers
+    (a tunnel transfer can stall seconds to minutes) and of data-dependent
+    gathers (pathological on TPU — design rule, CLAUDE.md)."""
+    cov = jnp.asarray(cov)
+    S = np.zeros((len(sel), cov.shape[0]), np.float32)
+    S[np.arange(len(sel)), sel] = 1.0
+    return S @ cov @ S.T
+
+
 def _attach_message(sub: FactorGraph, msg: GaussianMessage, tag: str) -> None:
     """Insert a Gaussian message as a joint prior factor on the subgraph
     (the parametric analogue of addMsgFactors!)."""
@@ -47,13 +59,14 @@ def _attach_message(sub: FactorGraph, msg: GaussianMessage, tag: str) -> None:
     dofs = []
     for v in msg.variables:
         # message covariance is ordered by msg.variables' tangent dofs
+        # (shape metadata only — np.asarray here would TRANSFER the array)
         dofs.append(sub.var(v).manifold.dof if v in sub.variables
-                    else int(np.asarray(msg.points[
-                        msg.variables.index(v)]).shape[-1]))
+                    else int(jnp.shape(msg.points[
+                        msg.variables.index(v)])[-1]))
     starts = np.concatenate([[0], np.cumsum(dofs)]).astype(int)
     sel = np.concatenate([np.arange(starts[i], starts[i + 1])
                           for i in keep])
-    cov = jnp.asarray(np.asarray(msg.cov)[np.ix_(sel, sel)])
+    cov = _select_cov(msg.cov, sel)
     vars_here = [msg.variables[i] for i in keep]
     p0s = [msg.points[i] for i in keep]
     sub.add_factor(vars_here, GaussianJoint(manifolds_all, p0s, cov),
@@ -79,7 +92,7 @@ def _marginal_message(prob: ParametricProblem, sub: FactorGraph, clique
         np.arange(int(prob.offsets[prob.slot[v]]),
                   int(prob.offsets[prob.slot[v]]) + prob.dofs[prob.slot[v]])
         for v in seps]).astype(int) if seps else np.zeros((0,), int)
-    cov = jnp.asarray(np.asarray(prob.full_cov)[np.ix_(sel, sel)])
+    cov = _select_cov(prob.full_cov, sel)
     pts = [sub.var(v).parametric_point for v in seps]
     return GaussianMessage(clique.cid, seps, pts, cov)
 

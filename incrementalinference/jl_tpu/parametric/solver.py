@@ -705,10 +705,14 @@ def solve_problems_batched(probs: Sequence["ParametricProblem"],
                              compute_cov=compute_cov)
         p0s_b, cost_b = out[0], out[1]
         cov_b = out[2] if compute_cov else None
-        # fetch the whole batch to host in ONE transfer per stacked array —
-        # per-problem device slices would each pay a tunnel round trip the
-        # first time a consumer reads them (2.5 s for 32 cliques measured)
-        p0s_b, cost_b, cov_b = jax.device_get((p0s_b, cost_b, cov_b))
+        # results stay ON DEVICE: per-problem rows are async eager slices,
+        # and every downstream consumer (write-back, message covariance
+        # selection, the next autoinit round's stacking) is itself a device
+        # op — the sweep runs with ZERO blocking device->host transfers.
+        # (A bulk device_get here once looked faster than lazy per-slice
+        # reads, but any blocking transfer over the tunneled TPU can stall
+        # seconds to minutes; keeping the pipeline transfer-free is both
+        # faster and immune to that.)
         for bi, i in enumerate(idxs):
             p = probs[i]
             p0s_i = tuple(s[bi] for s in p0s_b)
@@ -808,7 +812,10 @@ def solve_graph_parametric(fg: FactorGraph, max_iters: int = 50,
     points, cov, cost = prob.solve(max_iters=max_iters,
                                    relinearize=relinearize)
     result = _write_back(fg, prob, points, cov)
-    result["_cost"] = float(cost)
+    # lazy device scalar: float() here would force a device->host sync per
+    # solve (over a tunneled TPU a blocking transfer costs seconds to
+    # minutes); callers that want the number compare/float it themselves
+    result["_cost"] = cost
     return result
 
 

@@ -188,13 +188,19 @@ def manifold_product(manifold: Manifold, proposals: Sequence[Proposal],
     return manifold.exp(jnp.broadcast_to(ref, (n_out,) + ref.shape), samples)
 
 
-# Threshold above which the pairwise weight matrix stops being materialized
-# and the Pallas streaming kernel takes over.  Effectively disabled by
-# default: the compiled kernel currently misbehaves/hangs at small feature
-# dims on real TPU hardware (interpret mode is correct — see
-# tests/test_pallas_kernels.py); the materialized matmul path is correct
-# everywhere and only becomes memory-bound beyond ~32k particles
-# (32k² × 4 B = 4 GB).  Lower this to opt in once the kernel is hardened.
+# Threshold (Na·Nb pair count) above which the pair product routes through
+# the Pallas streaming kernel instead of the plain-XLA path.  Measured on
+# TPU v5e (2026-08-20, benchmarks/pallas_tpu_check.py): XLA fuses the
+# row-logsumexp with the weight computation (the (Na, Nb) matrix never
+# materializes in HBM) and is fast up to Na·Nb = 2^32 − 1, where its
+# compile FAILS outright (tpu_compile_helper crash at 65536², an
+# element-count overflow) — so the streaming kernel is the ONLY working
+# path beyond that.  2^31 gives a 2x safety margin under the hard limit;
+# the compiled kernel executes correctly at every tested (N ≤ 65536,
+# dof ∈ 1..6) shape.  (A round-1 note claimed the compiled kernel "hangs
+# at small feature dims on real TPU"; that hang was reproduced and
+# bisected to the tunnel's device→host transfer path stalling — the
+# kernel itself dispatches and completes fine.)
 LARGE_PAIR_THRESHOLD = 1 << 31
 
 

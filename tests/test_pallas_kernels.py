@@ -1,4 +1,11 @@
-"""Pallas kernel tests (interpret mode on the CPU mesh)."""
+"""Pallas kernel tests (interpret mode on the CPU mesh).
+
+Compiled-mode hardware validation lives in benchmarks/pallas_tpu_check.py
+(run manually on the TPU): the compiled kernel executes and matches XLA
+at every tested shape; it is the production path beyond
+ops/product.LARGE_PAIR_THRESHOLD, where the plain-XLA fused row-logsumexp
+can no longer compile (element-count limit at 2^32 pairs).
+"""
 
 import jax
 import jax.numpy as jnp

@@ -37,6 +37,10 @@ class SolverParams:
     inflation: float = 5.0
     # Spread multiplier for null-hypothesis entropy (reference spreadNH=3.0).
     spread_nh: float = 3.0
+    # nullSurplus boost for relative non-multihypo siblings of a multihypo
+    # factor at a proposal target (reference nullSurplusAdd=0.3,
+    # SolverParams.jl:61 / ApproxConv.jl:253-265, issue #1517).
+    null_surplus_add: float = 0.3
     # Gibbs iterations per clique solve (reference gibbsIters=3).
     gibbs_iters: int = 3
     # Inflation/solve cycles per convolution (reference inflateCycles=3).

@@ -50,6 +50,13 @@ def batched_gauss_newton(manifold: Manifold, model, meas: jnp.ndarray,
     _solveCCWNumeric!, NumericalCalculations.jl:282-368 and the on-manifold
     variant :413-452 — here one fused batched kernel instead of N Optim calls).
 
+    Levenberg-Marquardt safeguarding: a step is accepted only when it is
+    finite and does not increase the residual norm; rejection raises the
+    damping, acceptance decays it back toward ``damping``.  This keeps
+    particles finite through stiff nonlinear residuals (e.g. Gauss-Newton
+    through an exponential ODE flow map) where raw GN overflows — the
+    robustness role the reference's per-particle NelderMead safeguards play.
+
     meas: (n, zdim); others: tuple of (n, point_dim_k); x0: (n, point_dim).
     partial_dims: tangent dims to optimise (None = all) — partial factors
     keep the remaining dims pinned (reference setPointPartial! semantics).
@@ -65,16 +72,27 @@ def batched_gauss_newton(manifold: Manifold, model, meas: jnp.ndarray,
             pts.insert(sf_slot, manifold.exp(x, X))
             return model.residual(meas_i, *pts)
 
-        def body(_, x):
+        def body(_, carry):
+            x, lam = carry
             z = jnp.zeros((dof,), x0_i.dtype)
             r0 = res(z, x)
             J = jax.jacfwd(res, argnums=0)(z, x)          # (resdim, dof)
-            JtJ = J.T @ J + damping * jnp.eye(dof, dtype=x0_i.dtype)
+            JtJ = J.T @ J + lam * jnp.eye(dof, dtype=x0_i.dtype)
             step = jnp.linalg.solve(JtJ, J.T @ r0)
             step = jnp.where(free, step, 0.0)
-            return manifold.exp(x, -step)
+            x_new = manifold.exp(x, -step)
+            c0 = jnp.sum(r0 * r0)
+            r1 = res(z, x_new)
+            c1 = jnp.sum(r1 * r1)
+            ok = jnp.isfinite(c1) & (c1 <= c0)
+            x_out = jnp.where(ok, x_new, x)
+            lam_out = jnp.where(ok, jnp.maximum(lam / 3.0, damping),
+                                jnp.minimum(lam * 10.0, 1e8))
+            return (x_out, lam_out)
 
-        return jax.lax.fori_loop(0, iters, body, x0_i)
+        lam0 = jnp.asarray(damping, x0_i.dtype)
+        x_fin, _ = jax.lax.fori_loop(0, iters, body, (x0_i, lam0))
+        return x_fin
 
     return jax.vmap(solve_one)(meas, others, x0)
 
@@ -138,7 +156,8 @@ class ConvSpec:
         return hash(self._key())
 
 
-def make_conv_spec(fg, factor, solvefor: str, inflate: bool = True) -> ConvSpec:
+def make_conv_spec(fg, factor, solvefor: str, inflate: bool = True,
+                   null_surplus: float = 0.0) -> ConvSpec:
     params = fg.params
     model = factor.model
     linear = getattr(model, "linear_residual", False)
@@ -149,13 +168,28 @@ def make_conv_spec(fg, factor, solvefor: str, inflate: bool = True) -> ConvSpec:
         nvars=len(factor.variables),
         partial_dims=getattr(model, "partial", None),
         multihypo=factor.multihypo,
-        nullhypo=factor.nullhypo,
+        # reference EvalFactor.jl:352 — runnullhypo = max(nullhypo, nullSurplus)
+        nullhypo=max(factor.nullhypo, float(null_surplus)),
         iters=3 if linear else (8 if quasi else params.conv_iters),
         cycles=params.inflate_cycles if inflate else 1,
         inflation=params.inflation if inflate else 0.0,
         spread_nh=params.spread_nh,
         damping=params.conv_damping,
     )
+
+
+def null_surplus_map(params, factors) -> dict:
+    """Per-factor nullSurplus boost at one proposal target (reference
+    proposalbeliefs!, src/services/ApproxConv.jl:253-265, issue #1517):
+    when any factor at the target carries a multihypo assignment, every
+    *relative, non-multihypo* sibling factor proposes with
+    ``nullhypo >= params.null_surplus_add`` so the uncertain association
+    cannot be squashed by overconfident siblings."""
+    if not any(f.is_multihypo for f in factors):
+        return {f.label: 0.0 for f in factors}
+    return {f.label: (params.null_surplus_add
+                      if (not f.is_prior and not f.is_multihypo) else 0.0)
+            for f in factors}
 
 
 def static_dim_mask(manifold: Manifold, partial_dims) -> Tuple[bool, ...]:

@@ -78,7 +78,8 @@ def prepare_update(fg, target: str, factor_labels: Sequence[str],
                    n: int | None = None):
     """Host-side prep for one variable update; returns an UpdatePlan, or a
     (belief, ipc) passthrough when no solvable factors touch the target."""
-    from .convolve import _tile_to, make_conv_spec, static_dim_mask
+    from .convolve import (_tile_to, make_conv_spec, null_surplus_map,
+                           static_dim_mask)
 
     v = fg.var(target)
     manifold = v.manifold
@@ -97,6 +98,7 @@ def prepare_update(fg, target: str, factor_labels: Sequence[str],
         ipc = jnp.zeros((manifold.dof,), jnp.float32)
         return make_belief(manifold, old_points, ipc=ipc), ipc
 
+    nsrp = null_surplus_map(fg.params, factors)
     specs, masks, models, nested = [], [], [], []
     for f in factors:
         # per-(factor, target, solver-knobs) plan cache — specs/masks are
@@ -106,10 +108,10 @@ def prepare_update(fg, target: str, factor_labels: Sequence[str],
             cache = f._conv_cache = {}
         pkey = (target, fg.params.inflate_cycles, fg.params.inflation,
                 fg.params.spread_nh, fg.params.conv_iters,
-                fg.params.conv_damping)
+                fg.params.conv_damping, nsrp[f.label])
         entry = cache.get(pkey)
         if entry is None:
-            spec = make_conv_spec(fg, f, target)
+            spec = make_conv_spec(fg, f, target, null_surplus=nsrp[f.label])
             entry = cache[pkey] = (
                 spec, static_dim_mask(manifold, spec.partial_dims))
         spec, mask = entry

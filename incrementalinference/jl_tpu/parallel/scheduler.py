@@ -107,11 +107,17 @@ def build_clique_subgraph(fg: FactorGraph, clique: Clique,
 
 
 def add_down_variable_factors(fg: FactorGraph, sub: FactorGraph,
-                              clique, solvable: int = 1):
+                              clique, solvable: int = 1,
+                              require_initialized: Optional[str] = None,
+                              exclude: Optional[set] = None):
     """Widen a clique subgraph with the frontal-neighbor variables and the
     factors connecting them, as the reference's down solve does
     (addDownVariableFactors!, TreeMessageUtils.jl:490-520: 'between for up,
-    frontal connected for down').  Returns ``(new_vars, new_factors)``."""
+    frontal connected for down').  ``require_initialized`` drops widened
+    variables with no initialized belief under that solve key (their junk
+    points would fabricate information; the reference widens post-upsolve
+    where neighbors are always initialized).  Returns
+    ``(new_vars, new_factors)``."""
     from ..fgos import find_factors_between_from
     from ..tree.accessors import get_cliq_vars_with_frontal_neighbors
 
@@ -119,6 +125,11 @@ def add_down_variable_factors(fg: FactorGraph, sub: FactorGraph,
     allclsyms = get_cliq_vars_with_frontal_neighbors(fg, clique,
                                                      solvable=solvable)
     newsyms = [s for s in allclsyms if s not in sub.variables]
+    if require_initialized is not None:
+        newsyms = [s for s in newsyms
+                   if fg.var(s).is_initialized(require_initialized)]
+    if exclude:
+        newsyms = [s for s in newsyms if s not in exclude]
     scope = set(currsyms) | set(newsyms)
     allnewfcts: List[str] = []
     for frt in clique.frontals:
@@ -344,10 +355,14 @@ def _build_chain_plan(sub: FactorGraph, clique: Clique,
     Returns (plan, store, live) where plan is
     (direct_steps, iter_steps, direct_labels, iter_labels, touched),
     or plan=True (nothing to solve) / plan=False (general path needed)."""
-    from ..ops.convolve import make_conv_spec, static_dim_mask
+    from ..ops.convolve import (make_conv_spec, null_surplus_map,
+                                static_dim_mask)
 
     params = sub.params
-    live = [v for v in clique.all_vars]
+    # all subgraph variables (a superset of clique.all_vars when the down
+    # solve widened the subgraph with frontal neighbors) so widened factors
+    # stay inside the fused chain's local store
+    live = list(sub.variables)
     local = {v: i for i, v in enumerate(live)}
 
     def updatable(vl):
@@ -383,6 +398,7 @@ def _build_chain_plan(sub: FactorGraph, clique: Clique,
             factors = _canonical_factors(sub, var)
             if not factors:
                 return None
+            nsrp = null_surplus_map(params, factors)
             specs, masks, models, fvidx, labels = [], [], [], [], []
             for f in factors:
                 if any(lbl not in local for lbl in f.variables):
@@ -392,10 +408,11 @@ def _build_chain_plan(sub: FactorGraph, clique: Clique,
                     cache = f._conv_cache = {}
                 pkey = (var, params.inflate_cycles, params.inflation,
                         params.spread_nh, params.conv_iters,
-                        params.conv_damping)
+                        params.conv_damping, nsrp[f.label])
                 entry = cache.get(pkey)
                 if entry is None:
-                    spec = make_conv_spec(sub, f, var)
+                    spec = make_conv_spec(sub, f, var,
+                                          null_surplus=nsrp[f.label])
                     entry = cache[pkey] = (
                         spec, static_dim_mask(v.manifold, spec.partial_dims))
                 spec, mask = entry
@@ -732,6 +749,26 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
                 for ch in tree.children(clique.cid)}
 
     sub = build_clique_subgraph(fg, clique)
+    # widen with frontal-neighbor variables + connecting factors so the
+    # frontal products see cross-clique constraints (reference
+    # addDownVariableFactors! call in the down solve,
+    # CliqueStateMachine.jl:824); transfer scope stays frontals-only.
+    # Variables living in DESCENDANT cliques are excluded: their subtree
+    # information already arrived through the child up-messages that stay
+    # attached during the down phase, so pulling their (stale, pre-down)
+    # beliefs in as factor anchors would double-count — the "disparity on
+    # whether up and down solves should use exactly the same subgraph" the
+    # reference itself flags (TreeMessageUtils.jl:488) and measurably
+    # drags chain down-corrections here
+    desc_vars: set = set()
+    stack = [ch.cid for ch in tree.children(clique.cid)]
+    while stack:
+        c = tree.clique(stack.pop())
+        desc_vars.update(c.frontals)
+        stack.extend(c.children)
+    add_down_variable_factors(fg, sub, clique,
+                              require_initialized=solve_key,
+                              exclude=desc_vars)
     for cmsg in (child_msgs or []):
         add_msg_factors(sub, cmsg)
     clique.down_inited = False
@@ -1095,6 +1132,23 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                         sender=cid, status=CliqStatus.ERROR_STATUS,
                         direction="up")
 
+    if down and not up:
+        # down-only solve (reference tryDownSolveOnly_StateMachine CSM-2d,
+        # CliqueStateMachine.jl:487-526): a clique that never up-solved
+        # this round counts as UPRECYCLED when all its variables carry a
+        # previous solution; otherwise the solve cannot proceed down-only
+        for cl in tree.cliques.values():
+            if cl.status in (CliqStatus.NULL, CliqStatus.NO_INIT,
+                             CliqStatus.INITIALIZED):
+                if all(fg.var(v).get_solved_count(solve_key) > 0
+                       for v in cl.all_vars):
+                    cl.status = CliqStatus.UPRECYCLED
+                else:
+                    raise RuntimeError(
+                        f"down-only solve: clique {cl.cid} variables were "
+                        "never solved (reference CSM-2d error path — set "
+                        "upsolve=True)")
+
     if down:
         # Tree-init fixed point (reference CSM waitForUp/initUp/tryDownInit
         # cycling bounded by limittreeinit_iters,
@@ -1262,7 +1316,7 @@ def _clique_class_signature(sub: FactorGraph, clique: Clique, solve_key: str):
     cliques with equal signatures run their whole Gibbs schedules stacked."""
     from jax import tree_util
 
-    from ..ops.convolve import make_conv_spec
+    from ..ops.convolve import make_conv_spec, null_surplus_map
 
     local = {v: i for i, v in enumerate(clique.all_vars)}
     sig = []
@@ -1271,9 +1325,10 @@ def _clique_class_signature(sub: FactorGraph, clique: Clique, solve_key: str):
                                       for v in clique.iter_vars]
     for var in seq:
         fs = _canonical_factors(sub, var)
+        nsrp = null_surplus_map(params, fs)
         fsig = []
         for f in fs:
-            spec = make_conv_spec(sub, f, var)
+            spec = make_conv_spec(sub, f, var, null_surplus=nsrp[f.label])
             fsig.append((tree_util.tree_structure(f.model),
                          tuple(local[v] for v in f.variables
                                if v in local), spec))
@@ -1301,7 +1356,8 @@ def _lockstep_gibbs_stacked(fg: FactorGraph, subs: Dict[int, FactorGraph],
     import jax.numpy as jnp
 
     from ..beliefs import make_belief
-    from ..ops.convolve import make_conv_spec, static_dim_mask
+    from ..ops.convolve import (make_conv_spec, null_surplus_map,
+                                static_dim_mask)
     from ..ops.fused import _fused_fn_batched
     from ..ops.graphops import _ipc_of
 
@@ -1346,8 +1402,10 @@ def _lockstep_gibbs_stacked(fg: FactorGraph, subs: Dict[int, FactorGraph],
                 continue
             specs, masks, models_stacked, nested = [], [], [], []
             manifold = rep_sub.var(var).manifold
+            nsrp = null_surplus_map(params, fs)
             for f in fs:
-                spec = make_conv_spec(rep_sub, f, var)
+                spec = make_conv_spec(rep_sub, f, var,
+                                      null_surplus=nsrp[f.label])
                 specs.append(spec)
                 masks.append(static_dim_mask(manifold, spec.partial_dims))
                 # stack this factor's model across members (same label

@@ -451,6 +451,8 @@ def get_cliq_vars_with_frontal_neighbors(fg, cliq: Clique,
     seen = set(syms)
     for frt in cliq.frontals:
         for fl in fg.factors_of(frt):
+            if fg.factor(fl).solvable < solvable:
+                continue
             for vl in fg.factor(fl).variables:
                 if vl not in seen and fg.var(vl).solvable >= solvable:
                     seen.add(vl)

@@ -131,3 +131,83 @@ def test_csm_multihypo_runaway_427():
     # x1 = l1 - 40 = 10 under the certain-landmark hypothesis; the ghost
     # hypothesis keeps a secondary mode, so check dominant mass
     assert np.mean(np.abs(x1 - 10.0) < 5.0) > 0.3, x1.mean()
+
+
+def test_null_surplus_sibling_boost():
+    """nullSurplus (#1517): relative non-multihypo siblings of a multihypo
+    factor propose with nullhypo >= params.null_surplus_add (reference
+    proposalbeliefs!, ApproxConv.jl:253-265 + EvalFactor.jl:352); priors
+    and the multihypo factor itself are NOT boosted, and variables with no
+    multihypo factor see no boost at all."""
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             SolverParams, initfg)
+    from incrementalinference.jl_tpu.ops.convolve import null_surplus_map
+    from incrementalinference.jl_tpu.ops.graphops import prepare_update
+
+    fg = initfg(SolverParams(N=50))
+    for lbl, c in (("la", 0.0), ("lb", 20.0)):
+        fg.add_variable(lbl, ContinuousScalar)
+        fg.add_factor([lbl], Prior(Normal(c, 0.1)))
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 5.0)))
+    fg.add_variable("x1", ContinuousScalar)
+    fodo = fg.add_factor(["x0", "x1"], LinearRelative(Normal(2.0, 0.2)))
+    fmh = fg.add_factor(["x1", "la", "lb"],
+                        LinearRelative(Normal(0.0, 0.5)),
+                        multihypo=[1.0, 0.5, 0.5])
+
+    # proposal target shared by the multihypo factor and the odometry
+    plan = prepare_update(fg, "x1", fg.factors_of("x1"))
+    factors = [fg.factor(l) for l in fg.factors_of("x1")]
+    nsrp = null_surplus_map(fg.params, factors)
+    assert nsrp[fodo.label] == fg.params.null_surplus_add == 0.3
+    assert nsrp[fmh.label] == 0.0
+    # the sibling odometry spec carries the boosted nullhypo
+    assert any(s.multihypo is None and abs(s.nullhypo - 0.3) < 1e-9
+               for s in plan.specs), [(s.multihypo, s.nullhypo)
+                                      for s in plan.specs]
+    # the multihypo factor itself is unboosted
+    assert any(s.multihypo is not None and s.nullhypo == 0.0
+               for s in plan.specs)
+
+    # at a target with no multihypo factor there is no boost
+    factors_x0 = [fg.factor(l) for l in fg.factors_of("x0")]
+    nsrp0 = null_surplus_map(fg.params, factors_x0)
+    assert all(v == 0.0 for v in nsrp0.values())
+    plan0 = prepare_update(fg, "x0", fg.factors_of("x0"))
+    assert all(s.nullhypo == 0.0 for s in plan0.specs)
+
+
+def test_null_surplus_preserves_ambiguity_end_to_end():
+    """#1517 regression shape: an overconfident unimodal sibling (odometry)
+    must not squash the multihypo association's alternative mode — with
+    nullSurplus the posterior keeps visible mass at both consistent doors."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             SolverParams, initfg,
+                                             solve_tree)
+
+    fg = initfg(SolverParams(N=200, gibbs_iters=5))
+    for lbl, c in (("la", 0.0), ("lb", 10.0)):
+        fg.add_variable(lbl, ContinuousScalar)
+        fg.add_factor([lbl], Prior(Normal(c, 0.05)))
+    fg.add_variable("x0", ContinuousScalar)
+    # weak prior biased toward la's hypothesis
+    fg.add_factor(["x0"], Prior(Normal(0.0, 2.0)))
+    fg.add_variable("x1", ContinuousScalar)
+    # tight odometry: the sibling that squashes ambiguity without #1517
+    fg.add_factor(["x0", "x1"], LinearRelative(Normal(0.0, 0.1)))
+    # ambiguous sighting: x1 is at la or lb
+    fg.add_factor(["x1", "la", "lb"], LinearRelative(Normal(0.0, 0.3)),
+                  multihypo=[1.0, 0.5, 0.5])
+    solve_tree(fg)
+    p = np.asarray(fg.points("x1")[:, 0])
+    m_a = float(np.mean(np.abs(p - 0.0) < 2.0))
+    m_b = float(np.mean(np.abs(p - 10.0) < 2.0))
+    # dominant mode at la (prior pulls there), but lb's mode survives
+    assert m_a > 0.3, (m_a, m_b)
+    assert m_a + m_b > 0.7, (m_a, m_b)
+    assert np.all(np.isfinite(p))

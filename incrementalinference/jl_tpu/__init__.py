@@ -24,6 +24,7 @@ from .models import (CircularCircular, DERelative, EuclidDistance,
                      ManifoldFactor, ManifoldPrior, MetaPrior, Mixture,
                      MixtureFluxModels, MsgPrior, PartialPrior,
                      PartialPriorPassThrough, Prior, PriorCircular,
+                     SequentialNet, nn_init,
                      FactorModel, PriorModel, register_factor_model)
 from .ops import (approx_conv_belief, approx_conv_path, eval_factor,
                   find_shortest_path_dijkstra, is_path_factors_homogeneous,
@@ -52,8 +53,11 @@ from .fgos import *  # noqa: F401,F403 — graph accessor surface
 from . import compat
 from .compat import (AbstractBayesTree, BeliefArray, CliqStateMachineContainer,
                      DFGFactorSummary, DFGVariableSummary, GraphsDFG,
-                     InferenceVariable, diagm, factor_summary,
-                     get_solver_params, variable_summary)
+                     InferenceVariable, PackedBayesTreeNodeData,
+                     PackedFunctionNodeData, PackedGenericMarginal,
+                     PackedMsgPrior, PackedPartialPrior, PackedPrior,
+                     PackedSamplableBelief, PackedZeroMeanFullNormal, diagm,
+                     factor_summary, get_solver_params, variable_summary)
 from . import datastore
 from .datastore import (BlobEntry, FolderStore, InMemoryBlobStore, add_blob,
                         add_blob_store, add_data, delete_data,

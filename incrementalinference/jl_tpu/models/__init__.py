@@ -8,8 +8,8 @@ from .factors import (CircularCircular, EuclidDistance, FactorModel, GaussianJoi
                       ManifoldPrior, MetaPrior, Mixture, MsgPrior,
                       PartialPrior, Prior, PriorCircular, PriorModel,
                       register_factor_model)
-from .flux import (FluxModelsDistribution, MixtureFluxModels, mlp_apply,
-                   mlp_init)
+from .flux import (FluxModelsDistribution, MixtureFluxModels, SequentialNet,
+                   mlp_apply, mlp_init, nn_init)
 from .ode import DERelative, rk4_integrate
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "MsgPrior", "MetaPrior", "GenericMarginal", "ManifoldFactor",
     "ManifoldPrior", "GaussianJoint", "register_factor_model",
     "HeatmapGridDensity", "LevelSetGridNormal", "PartialPriorPassThrough",
-    "FluxModelsDistribution", "MixtureFluxModels", "mlp_init", "mlp_apply",
+    "FluxModelsDistribution", "MixtureFluxModels", "SequentialNet",
+    "mlp_init", "mlp_apply", "nn_init",
     "DERelative", "rk4_integrate",
 ]

@@ -391,13 +391,20 @@ def _pack_ext(z):
         return {"_type": "HeatmapGridDensity", "data": _arr(z.data),
                 "xs": _arr(z.xs), "ys": _arr(z.ys)}
     if isinstance(z, FluxModelsDistribution):
-        apply_name = ("mlp" if z.apply_fn is mlp_apply
-                      else _fn_name(z.apply_fn))
-        return {"_type": "FluxModelsDistribution",
-                "apply": apply_name,
-                "params": [[_arr(W), _arr(b)] for W, b in z.params],
-                "data": _arr(z.data), "out_dim": z.out_dim,
-                "shuffle": z.shuffle}
+        from ..models.flux import SequentialNet
+        out = {"_type": "FluxModelsDistribution",
+               "params": [[_arr(W), _arr(b)] for W, b in z.params],
+               "data": _arr(z.data), "out_dim": z.out_dim,
+               "shuffle": z.shuffle}
+        if isinstance(z.apply_fn, SequentialNet):
+            # arbitrary sequential architectures round-trip by structure,
+            # no registry (reference ext/FluxModelsSerialization.jl)
+            out["apply"] = "sequential"
+            out["spec"] = [list(l) for l in z.apply_fn.spec]
+        else:
+            out["apply"] = ("mlp" if z.apply_fn is mlp_apply
+                            else _fn_name(z.apply_fn))
+        return out
     return None
 
 
@@ -415,7 +422,13 @@ def _unpack_ext(d: Dict):
                                   (jnp.asarray(d["xs"]), jnp.asarray(d["ys"])),
                                   d["level"], d["sigma"])
     if t == "FluxModelsDistribution":
-        fn = mlp_apply if d["apply"] == "mlp" else _FN_REGISTRY[d["apply"]]
+        if d["apply"] == "sequential":
+            from ..models.flux import SequentialNet
+            fn = SequentialNet(d["spec"])
+        elif d["apply"] == "mlp":
+            fn = mlp_apply
+        else:
+            fn = _FN_REGISTRY[d["apply"]]
         params = [(jnp.asarray(W), jnp.asarray(b)) for W, b in d["params"]]
         return FluxModelsDistribution(fn, params, jnp.asarray(d["data"]),
                                       d["out_dim"], d["shuffle"])
@@ -448,8 +461,16 @@ def pack_factor_model(m) -> Dict:                      # noqa: F811
         return {"_type": "PartialPriorPassThrough",
                 "Z": pack_distribution(m.Z), "partial": list(m.partial)}
     if isinstance(m, DERelative):
-        return {"_type": "DERelative", "f": _fn_name(m.f), "t0": m.t0,
-                "t1": m.t1, "Z": pack_distribution(m.Z), "steps": m.steps}
+        out = {"_type": "DERelative", "f": _fn_name(m.f), "t0": m.t0,
+               "t1": m.t1, "Z": pack_distribution(m.Z), "steps": m.steps}
+        if m.data is not None:
+            if not isinstance(m.data, jnp.ndarray):
+                raise TypeError(
+                    "DERelative serialization supports data=None or a "
+                    "single array (close over richer pytrees inside a "
+                    "register_fn()-registered dynamics function instead)")
+            out["data"] = _arr(m.data)
+        return out
     return _orig_pack_factor_model(m)
 
 
@@ -463,7 +484,9 @@ def unpack_factor_model(d: Dict):                      # noqa: F811
                                        d["partial"])
     if t == "DERelative":
         return DERelative(_FN_REGISTRY[d["f"]], d["t0"], d["t1"],
-                          unpack_distribution(d["Z"]), steps=d["steps"])
+                          unpack_distribution(d["Z"]), steps=d["steps"],
+                          data=(jnp.asarray(d["data"])
+                                if "data" in d else None))
     return _orig_unpack_factor_model(d)
 
 

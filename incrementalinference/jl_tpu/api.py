@@ -163,6 +163,17 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                 for cid, tr in sorted(traces.items()):
                     for ts, step, detail in tr.events:
                         fp.write(f"{ts:.3f}\tcliq{cid}\t{step}\t{detail}\n")
+            # per-clique log files (reference SimpleLogger per clique,
+            # logpath/logs/cliqN/log.txt, SolverAPI.jl:139-141) — the
+            # debugging workflow reference users expect: one directory per
+            # clique, appended across re-solves of the same graph
+            for cid, tr in sorted(traces.items()):
+                cliqdir = _os.path.join(params.logpath, "logs", f"cliq{cid}")
+                _os.makedirs(cliqdir, exist_ok=True)
+                with open(_os.path.join(cliqdir, "log.txt"), "a") as fp:
+                    fp.write(f"# solve {fg.solve_count}\n")
+                    for ts, step, detail in tr.events:
+                        fp.write(f"{ts:.3f}\t{step}\t{detail}\n")
         except OSError:
             logger.warning("could not write trace dump to %s",
                            params.logpath)

@@ -80,6 +80,16 @@ def test_history_dump_written(tmp_path):
     content = open(tmp_path / [f for f in files
                                if f.startswith("HistoryAll_")][0]).read()
     assert "up_done" in content
+    # per-clique log files (reference logpath/logs/cliqN/log.txt,
+    # SolverAPI.jl:139-141)
+    logdirs = sorted(os.listdir(tmp_path / "logs"))
+    assert logdirs and all(d.startswith("cliq") for d in logdirs), logdirs
+    cliqlog = open(tmp_path / "logs" / logdirs[0] / "log.txt").read()
+    assert "# solve 0" in cliqlog and "up_done" in cliqlog
+    # a second solve appends to the same per-clique files
+    solve_tree(fg)
+    cliqlog = open(tmp_path / "logs" / logdirs[0] / "log.txt").read()
+    assert "# solve 1" in cliqlog
 
 
 def test_graph_to_dot_and_helix():

@@ -85,6 +85,14 @@ def _pad_rows(x: jnp.ndarray, pad: int, zero: bool = False) -> jnp.ndarray:
     return jnp.concatenate([x, jnp.repeat(tail, pad, axis=0)])
 
 
+# content-keyed cache of stacked factor groups (see _build_groups); value
+# holds refs to the member models so their ids stay unique while cached
+from collections import OrderedDict as _OrderedDict
+
+_GROUP_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+_GROUP_CACHE_MAX = 4096
+
+
 class _Group:
     """A stack of same-structure factors: vmapped residual evaluation.
 
@@ -240,47 +248,86 @@ class ParametricProblem:
             buckets.setdefault(key, []).append(f)
 
         groups = []
-        for (treedef, arity, is_mix, mh_key, _), fs in buckets.items():
+        for (treedef, arity, is_mix, mh_key, argman), fs in buckets.items():
             nf = len(fs)
             fb = _bucket(nf)
             pad = fb - nf
-            models = jax.tree.map(lambda *xs: jnp.stack(xs), *[f.model for f in fs]) \
-                if nf > 1 else jax.tree.map(lambda x: jnp.asarray(x)[None], fs[0].model)
-            models = jax.tree.map(lambda x: _pad_rows(x, pad), models)
-            hyp = None
             if mh_key is not None:
-                nu, upos, weights = mh_key
                 certain0, uncertain0, _ = parse_multihypo(fs[0].multihypo)
                 cond_idx = [i for i in certain0 if i < uncertain0[0]] \
                     + [uncertain0[0]] \
                     + [i for i in certain0 if i > uncertain0[-1]]
                 slots_py = [[self._idx_in_type[f.variables[i]]
                              for i in cond_idx] for f in fs]
-                hyp_slots = _pad_rows(jnp.asarray(
-                    [[self._idx_in_type[f.variables[i]]
-                      for i in parse_multihypo(f.multihypo)[1]]
-                     for f in fs], jnp.int32), pad)
-                w_rows = _pad_rows(jnp.asarray(
-                    [parse_multihypo(f.multihypo)[2] for f in fs],
-                    jnp.float32), pad)
-                hyp = (w_rows, hyp_slots, upos)
+                hyp_py = tuple(
+                    (tuple(parse_multihypo(f.multihypo)[2]),
+                     tuple(self._idx_in_type[f.variables[i]]
+                           for i in parse_multihypo(f.multihypo)[1]))
+                    for f in fs)
+                arg_vars0 = [fs[0].variables[i] for i in cond_idx]
             else:
+                cond_idx = None
                 slots_py = [[self._idx_in_type[v] for v in f.variables]
                             for f in fs]
+                hyp_py = None
+                arg_vars0 = fs[0].variables
+            # per-arg manifold-TYPE indices are problem-layout dependent
+            # (type_groups insertion order differs across subgraphs) — they
+            # must be part of the cache key, not just the manifolds
+            arg_types = tuple(self._type_of[v] for v in arg_vars0)
+
+            # content-keyed group cache (the parametric analogue of the
+            # nonparametric chain-plan cache): a clique re-solve over the
+            # SAME factor objects — incremental growth, repeated solves,
+            # the down sweep over the up sweep's subgraphs — reuses the
+            # stacked/padded/whitened device arrays instead of re-running
+            # ~10 eager dispatches per group per solve.  Keyed by model
+            # object identity (value refs pin the models so ids stay
+            # unique) + everything else the stack depends on.
+            ck = (treedef, arity, is_mix, mh_key, argman, fb, arg_types,
+                  tuple(id(f.model) for f in fs),
+                  tuple(f.nullhypo for f in fs),
+                  tuple(map(tuple, slots_py)), hyp_py)
+            hit = _GROUP_CACHE.get(ck)
+            if hit is not None:
+                _GROUP_CACHE.move_to_end(ck)
+                import copy as _copy
+                groups.append(_copy.copy(hit[0]))   # own row_base
+                continue
+
+            def pstack(xs, pad=pad, zero=False):
+                """One stack op per leaf, padding folded into the stack
+                list (repeat last real row; see NaN note below)."""
+                xs = [jnp.asarray(x) for x in xs]
+                tail = jnp.zeros_like(xs[-1]) if zero else xs[-1]
+                return jnp.stack(list(xs) + [tail] * pad)
+
+            models = jax.tree.map(lambda *xs: pstack(xs),
+                                  *[f.model for f in fs]) \
+                if nf > 1 else jax.tree.map(
+                    lambda x: pstack([x]), fs[0].model)
+            hyp = None
+            if mh_key is not None:
+                nu, upos, weights = mh_key
+                hs = np.asarray([h[1] for h in hyp_py], np.int32)
+                ws = np.asarray([h[0] for h in hyp_py], np.float32)
+                hyp_slots = jnp.asarray(np.concatenate(
+                    [hs, np.repeat(hs[-1:], pad, 0)]) if pad else hs)
+                w_rows = jnp.asarray(np.concatenate(
+                    [ws, np.repeat(ws[-1:], pad, 0)]) if pad else ws)
+                hyp = (w_rows, hyp_slots, upos)
             # pad by REPEATING the last real row: padded rows then evaluate
             # a duplicate of a real factor (finite residual/jacobian) and
             # their zero whitening cancels the contribution — padding with
             # arbitrary slots could hit degenerate geometry (e.g. a
             # relative factor on a variable against itself) whose jacobian
             # is NaN, and 0·NaN poisons the Hessian
-            slots = _pad_rows(jnp.asarray(slots_py, jnp.int32), pad)
-            if mh_key is not None:
-                arg_vars0 = [fs[0].variables[i] for i in cond_idx]
-            else:
-                arg_vars0 = fs[0].variables
+            sl = np.asarray(slots_py, np.int32)
+            if pad:
+                sl = np.concatenate([sl, np.repeat(sl[-1:], pad, 0)])
+            slots = jnp.asarray(sl)
             tdofs = tuple(self.fg.var(v).manifold.dof for v in arg_vars0)
             arg_manifolds = tuple(self.fg.var(v).manifold for v in arg_vars0)
-            arg_types = tuple(self._type_of[v] for v in arg_vars0)
             # pad BEFORE whitening so _sqrt_inv_stacked sees the bucketed
             # shape (whitening the raw stack would recompile per exact
             # factor count, defeating the bucketing); pad rows duplicate
@@ -290,29 +337,32 @@ class ParametricProblem:
             mix = None
             if is_mix:
                 ws, mus, cs = zip(*(f.model.mixture_mean_cov() for f in fs))
-                covs = _pad_rows(jnp.stack(cs), pad)     # (Fb, C, z, z)
+                covs = pstack(cs)                        # (Fb, C, z, z)
                 C_ = covs.shape[1]
                 sqis = _sqrt_inv_stacked(
                     covs.reshape(fb * C_, *covs.shape[2:])
                 ).reshape(covs.shape) * pad_mask[:, :, :, None]
-                mix = (_pad_rows(jnp.stack(ws), pad),
-                       _pad_rows(jnp.stack(mus), pad),
-                       sqis)
+                mix = (pstack(ws), pstack(mus), sqis)
                 # meas/sqrt_inv unused on the mixture path (per-component
                 # mus/whiteners live in ``mix``)
                 meas = mix[1][:, 0]
                 sqi = mix[2][:, 0]
             else:
                 mus, covs = zip(*(f.model.mean_cov() for f in fs))
-                meas = _pad_rows(jnp.stack(mus), pad)
-                sqi = _sqrt_inv_stacked(_pad_rows(jnp.stack(covs), pad)) \
-                    * pad_mask
-            null_p = _pad_rows(jnp.asarray([f.nullhypo for f in fs],
-                                           jnp.float32), pad, zero=True)
-            groups.append(_Group(models, meas, sqi, slots, mix,
-                                 tdofs=tdofs, arg_manifolds=arg_manifolds,
-                                 arg_types=arg_types, hyp=hyp,
-                                 null_p=null_p))
+                meas = pstack(mus)
+                sqi = _sqrt_inv_stacked(pstack(covs)) * pad_mask
+            np_null = np.asarray([f.nullhypo for f in fs], np.float32)
+            null_p = jnp.asarray(np.concatenate([np_null,
+                                                 np.zeros(pad, np.float32)])
+                                 if pad else np_null)
+            g = _Group(models, meas, sqi, slots, mix,
+                       tdofs=tdofs, arg_manifolds=arg_manifolds,
+                       arg_types=arg_types, hyp=hyp, null_p=null_p)
+            groups.append(g)
+            import copy as _copy
+            _GROUP_CACHE[ck] = (_copy.copy(g), [f.model for f in fs])
+            while len(_GROUP_CACHE) > _GROUP_CACHE_MAX:
+                _GROUP_CACHE.popitem(last=False)
         # assign global residual row offsets
         base = 0
         for g in groups:

@@ -89,7 +89,7 @@ def unpack_manifold(d: Dict) -> Manifold:
 # distributions (reference packDistribution forms)
 # ---------------------------------------------------------------------------
 
-def pack_distribution(z) -> Dict:
+def _pack_distribution_core(z):
     if isinstance(z, D.Normal):
         return {"_type": "Normal", "mu": float(z.mu), "sigma": float(z.sigma)}
     if isinstance(z, D.MvNormal):
@@ -108,10 +108,10 @@ def pack_distribution(z) -> Dict:
         # (reference SerializationMKD.jl:14-40)
         return {"_type": "ManifoldKernelDensity", "dim": z.manifold.dof,
                 "points": _arr(z.belief.points), "bw": _arr(z.belief.bw)}
-    raise TypeError(f"cannot pack distribution {type(z).__name__}")
+    return None
 
 
-def unpack_distribution(d: Dict):
+def _unpack_distribution_core(d: Dict):
     t = d["_type"]
     if t == "Normal":
         return D.Normal(d["mu"], d["sigma"])
@@ -131,7 +131,7 @@ def unpack_distribution(d: Dict):
         return D.ManifoldKernelDensity(Euclidean(int(d["dim"])),
                                        jnp.asarray(d["points"]),
                                        bw=jnp.asarray(d["bw"]))
-    raise TypeError(f"unknown packed distribution {t}")
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -158,7 +158,7 @@ def unpack_belief(d: Dict) -> Belief:
 # factor models
 # ---------------------------------------------------------------------------
 
-def pack_factor_model(m) -> Dict:
+def _pack_factor_model_core(m):
     if isinstance(m, M.Mixture):
         return {"_type": "Mixture",
                 "mechanics": pack_factor_model(m.mechanics),
@@ -185,10 +185,10 @@ def pack_factor_model(m) -> Dict:
                 M.CircularCircular):
         if type(m) is cls:
             return {"_type": cls.__name__, "Z": pack_distribution(m.Z)}
-    raise TypeError(f"cannot pack factor model {type(m).__name__}")
+    return None
 
 
-def unpack_factor_model(d: Dict):
+def _unpack_factor_model_core(d: Dict):
     t = d["_type"]
     simple = {"Prior": M.Prior, "LinearRelative": M.LinearRelative,
               "EuclidDistance": M.EuclidDistance,
@@ -216,7 +216,7 @@ def unpack_factor_model(d: Dict):
     if t == "ManifoldFactor":
         return M.ManifoldFactor(unpack_manifold(d["manifold"]),
                                 unpack_distribution(d["Z"]))
-    raise TypeError(f"unknown packed factor model {t}")
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -435,25 +435,7 @@ def _unpack_ext(d: Dict):
     return None
 
 
-_orig_pack_distribution = pack_distribution
-_orig_unpack_distribution = unpack_distribution
-
-
-def pack_distribution(z) -> Dict:                      # noqa: F811
-    out = _pack_ext(z)
-    return out if out is not None else _orig_pack_distribution(z)
-
-
-def unpack_distribution(d: Dict):                      # noqa: F811
-    out = _unpack_ext(d)
-    return out if out is not None else _orig_unpack_distribution(d)
-
-
-_orig_pack_factor_model = pack_factor_model
-_orig_unpack_factor_model = unpack_factor_model
-
-
-def pack_factor_model(m) -> Dict:                      # noqa: F811
+def _pack_model_ext(m):
     from ..models.densities import PartialPriorPassThrough
     from ..models.ode import DERelative
 
@@ -471,10 +453,10 @@ def pack_factor_model(m) -> Dict:                      # noqa: F811
                     "register_fn()-registered dynamics function instead)")
             out["data"] = _arr(m.data)
         return out
-    return _orig_pack_factor_model(m)
+    return None
 
 
-def unpack_factor_model(d: Dict):                      # noqa: F811
+def _unpack_model_ext(d: Dict):
     from ..models.densities import PartialPriorPassThrough
     from ..models.ode import DERelative
 
@@ -487,7 +469,7 @@ def unpack_factor_model(d: Dict):                      # noqa: F811
                           unpack_distribution(d["Z"]), steps=d["steps"],
                           data=(jnp.asarray(d["data"])
                                 if "data" in d else None))
-    return _orig_unpack_factor_model(d)
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -536,39 +518,79 @@ def _unpack_value(d):
     raise TypeError(f"unknown packed value kind {k}")
 
 
-_prev_pack_factor_model = pack_factor_model
-_prev_unpack_factor_model = unpack_factor_model
+def _pack_model_custom(m):
+    from ..models.factors import MODEL_REGISTRY
+    name = type(m).__name__
+    if name not in MODEL_REGISTRY:
+        return None
+    _, children, aux = MODEL_REGISTRY[name]
+    return {"_type": f"Custom:{name}",
+            "children": {f: _pack_value(getattr(m, f))
+                         for f in children},
+            "aux": {f: _pack_value(getattr(m, f)) for f in aux}}
 
 
-def pack_factor_model(m) -> Dict:                          # noqa: F811
-    try:
-        return _prev_pack_factor_model(m)
-    except TypeError:
-        from ..models.factors import MODEL_REGISTRY
-        name = type(m).__name__
-        if name not in MODEL_REGISTRY:
-            raise
-        _, children, aux = MODEL_REGISTRY[name]
-        return {"_type": f"Custom:{name}",
-                "children": {f: _pack_value(getattr(m, f))
-                             for f in children},
-                "aux": {f: _pack_value(getattr(m, f)) for f in aux}}
-
-
-def unpack_factor_model(d: Dict):                          # noqa: F811
+def _unpack_model_custom(d: Dict):
     t = d["_type"]
-    if t.startswith("Custom:"):
-        from ..models.factors import MODEL_REGISTRY
-        name = t.split(":", 1)[1]
-        if name not in MODEL_REGISTRY:
-            raise TypeError(
-                f"custom factor model {name!r} is not registered in this "
-                f"process — import its module before load_graph")
-        cls, children, aux = MODEL_REGISTRY[name]
-        m = object.__new__(cls)
-        for f, v in d["children"].items():
-            object.__setattr__(m, f, _unpack_value(v))
-        for f, v in d["aux"].items():
-            object.__setattr__(m, f, _unpack_value(v))
-        return m
-    return _prev_unpack_factor_model(d)
+    if not t.startswith("Custom:"):
+        return None
+    from ..models.factors import MODEL_REGISTRY
+    name = t.split(":", 1)[1]
+    if name not in MODEL_REGISTRY:
+        raise TypeError(
+            f"custom factor model {name!r} is not registered in this "
+            f"process — import its module before load_graph")
+    cls, children, aux = MODEL_REGISTRY[name]
+    m = object.__new__(cls)
+    for f, v in d["children"].items():
+        object.__setattr__(m, f, _unpack_value(v))
+    for f, v in d["aux"].items():
+        object.__setattr__(m, f, _unpack_value(v))
+    return m
+
+
+# ---------------------------------------------------------------------------
+# dispatch registries (single definition point — replaces the former
+# _orig_/_prev_ function-shadowing chains; extension points append here)
+# ---------------------------------------------------------------------------
+
+# ordered handler lists: each handler returns a packed dict / an instance,
+# or None to pass to the next handler
+_DIST_PACKERS = [_pack_ext, _pack_distribution_core]
+_DIST_UNPACKERS = [_unpack_ext, _unpack_distribution_core]
+_MODEL_PACKERS = [_pack_model_ext, _pack_factor_model_core,
+                  _pack_model_custom]
+_MODEL_UNPACKERS = [_unpack_model_ext, _unpack_factor_model_core,
+                    _unpack_model_custom]
+
+
+def pack_distribution(z) -> Dict:
+    for h in _DIST_PACKERS:
+        out = h(z)
+        if out is not None:
+            return out
+    raise TypeError(f"cannot pack distribution {type(z).__name__}")
+
+
+def unpack_distribution(d: Dict):
+    for h in _DIST_UNPACKERS:
+        out = h(d)
+        if out is not None:
+            return out
+    raise TypeError(f"unknown packed distribution {d['_type']}")
+
+
+def pack_factor_model(m) -> Dict:
+    for h in _MODEL_PACKERS:
+        out = h(m)
+        if out is not None:
+            return out
+    raise TypeError(f"cannot pack factor model {type(m).__name__}")
+
+
+def unpack_factor_model(d: Dict):
+    for h in _MODEL_UNPACKERS:
+        out = h(d)
+        if out is not None:
+            return out
+    raise TypeError(f"unknown packed factor model {d['_type']}")

@@ -107,6 +107,7 @@ def _pack_distribution_core(z):
         # PackedManifoldKernelDensity equivalent for measurement densities
         # (reference SerializationMKD.jl:14-40)
         return {"_type": "ManifoldKernelDensity", "dim": z.manifold.dof,
+                "manifold": pack_manifold(z.manifold),
                 "points": _arr(z.belief.points), "bw": _arr(z.belief.bw)}
     return None
 
@@ -127,9 +128,10 @@ def _unpack_distribution_core(d: Dict):
         return D.AliasingScalarSampler(jnp.asarray(d["x"]),
                                        jnp.asarray(d["weights"]))
     if t == "ManifoldKernelDensity":
-        from ..manifolds import Euclidean
-        return D.ManifoldKernelDensity(Euclidean(int(d["dim"])),
-                                       jnp.asarray(d["points"]),
+        # "manifold" absent in pre-r2 files: fall back to Euclidean(dim)
+        man = (unpack_manifold(d["manifold"]) if "manifold" in d
+               else Euclidean(int(d["dim"])))
+        return D.ManifoldKernelDensity(man, jnp.asarray(d["points"]),
                                        bw=jnp.asarray(d["bw"]))
     return None
 

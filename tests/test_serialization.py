@@ -187,3 +187,32 @@ def test_metadata_roundtrip(tmp_path):
     # blob ENTRY metadata rides along (blob payloads live in the store)
     e2 = fg2.var("x0").data["meta"]
     assert e2.blob_id == entry.blob_id and e2.hash == entry.hash
+
+
+def test_mkd_manifold_type_roundtrip():
+    """PackedManifoldKernelDensity keeps the manifold TYPE (reference
+    SerializationMKD.jl packs the manifold string) — an SE2 measurement
+    density must not come back Euclidean."""
+    import jax
+    import jax.numpy as jnp
+
+    from incrementalinference.jl_tpu.distributions import \
+        ManifoldKernelDensity
+    from incrementalinference.jl_tpu.manifolds import SE2
+    from incrementalinference.jl_tpu.serialization.packed import (
+        pack_distribution, unpack_distribution)
+
+    man = SE2()
+    pts = jnp.tile(man.identity()[None], (8, 1)) + \
+        0.01 * jax.random.normal(jax.random.PRNGKey(0), (8, man.point_dim))
+    m = ManifoldKernelDensity(man, pts)
+    m2 = unpack_distribution(pack_distribution(m))
+    assert isinstance(m2.manifold, SE2)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(m2.belief.points),
+                               np.asarray(m.belief.points), atol=1e-6)
+    # pre-r2 files without the manifold field still load (Euclidean(dim))
+    d = pack_distribution(m)
+    del d["manifold"]
+    m3 = unpack_distribution(d)
+    assert m3.manifold.dof == man.dof

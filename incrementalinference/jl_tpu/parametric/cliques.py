@@ -115,6 +115,16 @@ def solve_tree_parametric(fg: FactorGraph,
     levels = tree.levels()
     up_msgs: Dict[int, GaussianMessage] = {}
 
+    # ---- up-message recycling (the parametric analogue of the reference's
+    # UPRECYCLED skip): a clique whose WHOLE subtree matched the previous
+    # tree (build_tree_reset's subtree-consistency pass) re-sends its
+    # previous Gaussian up message instead of re-running the LM — its
+    # inputs (factors + child messages) are provably identical.  Keyed by
+    # clique signature so ids may differ across rebuilds.
+    old_msgs: Dict = (getattr(old_tree, "param_up_msgs", {})
+                      if old_tree is not None else {})
+    tree.param_up_msgs = {}
+
     # ---- up sweep: same-level cliques batch into one vmapped LM kernel
     # (solve_problems_batched; the reference runs one async Task per clique
     # instead, ParametricCSMFunctions.jl:8-97) ----
@@ -124,6 +134,14 @@ def solve_tree_parametric(fg: FactorGraph,
         entries = []
         for cid in level:
             cl = tree.clique(cid)
+            if cl.is_recycled and cl.status == CliqStatus.UPRECYCLED:
+                cached = old_msgs.get(cl.signature())
+                if cached is not None:
+                    msg = GaussianMessage(cl.cid, cached.variables,
+                                          cached.points, cached.cov)
+                    up_msgs[cl.cid] = msg
+                    tree.param_up_msgs[cl.signature()] = msg
+                    continue
             sub = build_clique_subgraph(fg, cl)
             for ch in cl.children:
                 if ch in up_msgs:
@@ -133,7 +151,9 @@ def solve_tree_parametric(fg: FactorGraph,
                                      mesh=mesh)
         for (cl, sub, prob), (points, cov, _) in zip(entries, res):
             _finalize_clique(prob, sub, points, cov)
-            up_msgs[cl.cid] = _marginal_message(prob, sub, cl)
+            msg = _marginal_message(prob, sub, cl)
+            up_msgs[cl.cid] = msg
+            tree.param_up_msgs[cl.signature()] = msg
             cl.status = CliqStatus.UPSOLVED
             for v in cl.frontals:
                 fv = fg.var(v)

@@ -214,3 +214,49 @@ def test_parametric_max_nullhypo_outlier_gate():
     solve_graph_parametric(fg2)
     x2_drag = float(np.asarray(fg2.var("x2").parametric_point)[0])
     assert x2_drag > 25.0, x2_drag           # ungated outlier drags
+
+
+def test_parametric_tree_recycling_incremental():
+    """Incremental parametric re-solve reuses the Gaussian up messages of
+    untouched subtrees (the parametric analogue of UPRECYCLED clique
+    recycling): grown-graph solve skips recycled cliques' LM and still
+    matches a from-scratch solve exactly."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             SolverParams, initfg,
+                                             solve_tree)
+    from incrementalinference.jl_tpu.tree.bayestree import CliqStatus
+
+    def chain(n, params):
+        fg = initfg(params)
+        fg.add_variable("x0", ContinuousScalar)
+        fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)), graphinit=False)
+        for i in range(n):
+            fg.add_variable(f"x{i+1}", ContinuousScalar)
+            fg.add_factor([f"x{i}", f"x{i+1}"],
+                          LinearRelative(Normal(1.0, 0.1)), graphinit=False)
+        return fg
+
+    params = SolverParams(incremental=True, graphinit=False)
+    fg = chain(8, params)
+    tree = solve_tree(fg, algorithm="parametric")
+    assert tree.param_up_msgs
+    # grow by one pose and re-solve with the old tree
+    fg.add_variable("x9", ContinuousScalar)
+    fg.add_factor(["x8", "x9"], LinearRelative(Normal(1.0, 0.1)),
+                  graphinit=False)
+    tree2 = solve_tree(fg, algorithm="parametric", old_tree=tree)
+    recycled = [cl for cl in tree2.cliques.values() if cl.is_recycled]
+    assert len(recycled) >= 3, len(recycled)
+    # recycled cliques ended DOWNSOLVED and their messages were reused
+    assert all(cl.status == CliqStatus.DOWNSOLVED
+               for cl in tree2.cliques.values())
+    # exactness: matches a from-scratch solve of the same graph
+    fg2 = chain(9, params)
+    solve_tree(fg2, algorithm="parametric")
+    for v in fg.ls():
+        a = np.asarray(fg.var(v).parametric_point)
+        b = np.asarray(fg2.var(v).parametric_point)
+        np.testing.assert_allclose(a, b, atol=1e-3)

@@ -49,8 +49,9 @@ class SolverParams:
     qfl: int = 0
     is_fixed_lag: bool = False
     fixed_lag_only_clique_side: bool = False
-    # Bound on scheduler iterations (reference limititers=500 guards the CSM;
-    # here it bounds the per-clique init fixed-point loop).
+    # Runaway guard on the per-clique init cycling (reference limititers=500
+    # bounds CSM steps; here it bounds _cycle_init_by_var_order passes —
+    # the loop exits early once a pass changes nothing).
     limit_iters: int = 500
     # Bound on tree-init fixed-point passes: after a down sweep that
     # down-initializes previously NO_INIT cliques, the up sweep re-runs over

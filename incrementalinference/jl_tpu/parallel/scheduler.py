@@ -256,10 +256,15 @@ def cliq_var_init_order_up(sub: FactorGraph,
 
 def _cycle_init_by_var_order(sub: FactorGraph, clique: Clique,
                              solve_key: str = "default",
-                             max_cycles: int = 10) -> bool:
+                             max_cycles: int | None = None) -> bool:
     """Repeat auto-init over the clique's variables until no change
     (reference cycleInitByVarOrder!, SolveTree.jl:263-295; ordering per
-    getCliqVarInitOrderUp, TreeBasedInitialization.jl:19-57)."""
+    getCliqVarInitOrderUp, TreeBasedInitialization.jl:19-57).  Bounded by
+    ``SolverParams.limit_iters`` (reference limititers runaway guard,
+    SolverParams.jl:42) — the loop exits as soon as a pass changes
+    nothing, so the bound only trips on oscillation."""
+    if max_cycles is None:
+        max_cycles = max(1, int(getattr(sub.params, "limit_iters", 500)))
     order = cliq_var_init_order_up(sub, clique.all_vars)
     for _ in range(max_cycles):
         changed = False

@@ -133,10 +133,17 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
 
     import os as _os
 
-    if mesh is not None and getattr(params, "batch_cliques", False):
-        # stacked clique batching eagerly stacks particle arrays, which
-        # aborts on multi-device-sharded inputs — sequential sweeps under
-        # a mesh (the particle axis is already data-parallel there)
+    # clique-axis distribution: with batching on, wide levels stack into
+    # one vmapped kernel whose clique axis SHARDS across the mesh (GSPMD);
+    # with batching off, same-level cliques round-robin across devices and
+    # overlap via async dispatch.  Particle sharding keeps sequential
+    # sweeps (eager stacking aborts on particle-sharded inputs).
+    batched_mesh = (mesh if (mesh is not None and distribute == "cliques"
+                             and bool(getattr(params, "batch_cliques",
+                                              False)))
+                    else None)
+    if (mesh is not None and batched_mesh is None
+            and getattr(params, "batch_cliques", False)):
         fg.params = params = params.replace(batch_cliques=False)
 
     do_up = params.upsolve if up is None else up
@@ -146,9 +153,11 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
                                skip_cliques=skip_cliques,
                                delay_cliques=delay_cliques,
                                timeout=timeout,
+                               mesh=batched_mesh,
                                devices=(list(mesh.devices.flat)
                                         if mesh is not None
                                         and distribute == "cliques"
+                                        and batched_mesh is None
                                         else None))
     tree.traces = traces
 

@@ -853,9 +853,13 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                       skip_cliques: Sequence[int] = (),
                       delay_cliques: Dict[int, float] | None = None,
                       devices: Optional[Sequence] = None,
-                      timeout: Optional[float] = None
+                      timeout: Optional[float] = None,
+                      mesh=None
                       ) -> Dict[int, CliqueTrace]:
     """Full level-synchronous up sweep then down sweep.
+
+    ``mesh``: shard each batched level's stacked clique solves across the
+    device mesh (multi-chip clique parallelism; requires batch_cliques).
 
     Fault-injection hooks mirror the reference's solveTree! kwargs
     (delaycliqs/skipcliqids/injectDelayBefore, SolverAPI.jl:333-337):
@@ -974,7 +978,8 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                     trace_for(cl.cid).child_msgs = child_msgs_of[cl.cid]
             try:
                 up_msgs.update(up_solve_level(
-                    fg, tree, cls, child_msgs_of, solve_key, traces=traces))
+                    fg, tree, cls, child_msgs_of, solve_key, traces=traces,
+                    mesh=mesh))
             except Exception as e:          # noqa: BLE001
                 for cl in cls:
                     if cl.status != CliqStatus.UPSOLVED:
@@ -1263,7 +1268,8 @@ def _lockstep_gibbs(fg: FactorGraph, subs: Dict[int, FactorGraph],
 def up_solve_level(fg: FactorGraph, tree: BayesTree, cliques: List[Clique],
                    child_msgs_of: Dict[int, List[LikelihoodMessage]],
                    solve_key: str = "default",
-                   traces: Optional[Dict[int, CliqueTrace]] = None
+                   traces: Optional[Dict[int, CliqueTrace]] = None,
+                   mesh=None
                    ) -> Dict[int, LikelihoodMessage]:
     """Batched up-solve of one level: subgraphs + messages + init on host,
     then lock-step batched Gibbs, then messages out."""
@@ -1302,7 +1308,7 @@ def up_solve_level(fg: FactorGraph, tree: BayesTree, cliques: List[Clique],
 
     if active:
         if getattr(fg.params, "batch_stacked", True):
-            _lockstep_gibbs_stacked(fg, subs, active, solve_key)
+            _lockstep_gibbs_stacked(fg, subs, active, solve_key, mesh=mesh)
         else:
             _lockstep_gibbs(fg, subs, active, solve_key)
 
@@ -1353,7 +1359,8 @@ def _canonical_factors(sub: FactorGraph, var: str):
 
 
 def _lockstep_gibbs_stacked(fg: FactorGraph, subs: Dict[int, FactorGraph],
-                            cliques: List[Clique], solve_key: str) -> None:
+                            cliques: List[Clique], solve_key: str,
+                            mesh=None) -> None:
     """Stacked-store lock-step Gibbs: isomorphic cliques keep their variable
     particles in (B, N, pd) stacks for the whole schedule — stacking happens
     once per level, every Gibbs round is one vmapped kernel per class
@@ -1384,13 +1391,32 @@ def _lockstep_gibbs_stacked(fg: FactorGraph, subs: Dict[int, FactorGraph],
             continue
 
         B = len(members)
+        # mesh: pad the clique axis to a device multiple and shard it —
+        # each device runs its slice of the isomorphism class (the
+        # reference's WorkerPool clique distribution as a batch axis)
+        stackees = list(members)
+        shard = None
+        if mesh is not None:
+            per = int(mesh.devices.size)
+            Bp = -(-B // per) * per
+            stackees = stackees + [members[-1]] * (Bp - B)
+
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def shard(x):
+                spec = PartitionSpec(mesh.axis_names[0],
+                                     *([None] * (jnp.ndim(x) - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+        Bs = len(stackees)
         rep = members[0]
         rep_sub = subs[rep.cid]
         var_order = rep.all_vars                     # local ids by position
         # one-time stack of every clique variable's points: (B, N, pd)
         store = {i: jnp.stack([subs[m.cid].points(m.all_vars[i], solve_key)
-                               for m in members])
+                               for m in stackees])
                  for i in range(len(var_order))}
+        if shard is not None:
+            store = {i: shard(p) for i, p in store.items()}
         bw_out: Dict[int, jnp.ndarray] = {}
         ipc_out: Dict[int, jnp.ndarray] = {}
 
@@ -1415,15 +1441,20 @@ def _lockstep_gibbs_stacked(fg: FactorGraph, subs: Dict[int, FactorGraph],
                 masks.append(static_dim_mask(manifold, spec.partial_dims))
                 # stack this factor's model across members (same label
                 # exists in every isomorphic sub by construction)
-                models_stacked.append(jax.tree.map(
+                mstack = jax.tree.map(
                     lambda *xs: jnp.stack(xs),
                     *[subs[m.cid].factor(_match_factor(subs[m.cid],
                                                        m, rep, f)).model
-                      for m in members]))
+                      for m in stackees])
+                if shard is not None:
+                    mstack = jax.tree.map(shard, mstack)
+                models_stacked.append(mstack)
                 nested.append(tuple(store[local[v]] for v in f.variables))
             fn = _fused_fn_batched(manifold, tuple(specs), tuple(masks),
                                    rep_sub.var(var).N)
-            keys = jax.random.split(fg.next_key(), B)
+            keys = jax.random.split(fg.next_key(), Bs)
+            if shard is not None:
+                keys = shard(keys)
             pts, bw = fn(tuple(models_stacked), tuple(nested), store[li],
                          keys)
             store[li] = pts

@@ -130,3 +130,29 @@ def test_mesh_sharded_parametric_tree_solve():
         assert abs(e1 - (b + 1)) < 1e-3, (b, e1)
         cov = float(np.asarray(fg.var(f"b{b}x1").parametric_cov)[0, 0])
         assert np.isfinite(cov) and cov > 0
+
+
+def test_clique_sharded_batched_level_solve():
+    """distribute="cliques" with batch_cliques: wide levels stack into one
+    vmapped kernel whose clique axis shards across the mesh (the
+    reference's WorkerPool clique distribution as a GSPMD batch axis,
+    CliqStateMachineUtils.jl:349-410)."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             SolverParams, initfg,
+                                             solve_tree)
+    from incrementalinference.jl_tpu.parallel.mesh import make_mesh
+
+    fg = initfg(SolverParams(batch_cliques=True, batch_min_width=4))
+    for b in range(12):          # 12 branches: pads to 16 on 8 devices
+        fg.add_variable(f"b{b}x0", ContinuousScalar)
+        fg.add_factor([f"b{b}x0"], Prior(Normal(float(b), 0.5)))
+        fg.add_variable(f"b{b}x1", ContinuousScalar)
+        fg.add_factor([f"b{b}x0", f"b{b}x1"],
+                      LinearRelative(Normal(1.0, 0.5)))
+    solve_tree(fg, mesh=make_mesh(8), distribute="cliques")
+    for b in range(12):
+        m = float(np.mean(np.asarray(fg.points(f"b{b}x1")[:, 0])))
+        assert abs(m - (b + 1.0)) < 1.0, (b, m)

@@ -473,7 +473,6 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
     XLA program cached per clique-structure signature.  Returns False when
     the clique's structure needs the general path (mixed particle counts,
     factors reaching outside the clique store)."""
-    from ..ops.fused import fused_clique_gibbs
     from ..ops.graphops import _ipc_of
 
     params = sub.params
@@ -1367,7 +1366,6 @@ def _lockstep_gibbs_stacked(fg: FactorGraph, subs: Dict[int, FactorGraph],
     (SURVEY.md §7.6 batched clique kernels, second generation)."""
     import jax.numpy as jnp
 
-    from ..beliefs import make_belief
     from ..ops.convolve import (make_conv_spec, null_surplus_map,
                                 static_dim_mask)
     from ..ops.fused import _fused_fn_batched

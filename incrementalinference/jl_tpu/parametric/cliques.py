@@ -19,7 +19,8 @@ from ..graph import FactorGraph
 from ..models.factors import GaussianJoint
 from ..parallel.scheduler import build_clique_subgraph
 from ..tree.bayestree import BayesTree, CliqStatus, build_tree_reset
-from .solver import ParametricProblem, autoinit_parametric
+from .solver import (ParametricProblem, autoinit_parametric,
+                     init_parametric_from)
 
 __all__ = ["solve_tree_parametric", "GaussianMessage"]
 
@@ -107,7 +108,12 @@ def solve_tree_parametric(fg: FactorGraph,
     ``mesh``: shard each level's batched clique solves across the device
     mesh (the reference's WorkerPool remotecall distribution,
     CliqStateMachineUtils.jl:349-410, as a sharded batch axis)."""
-    # ensure linearization points exist everywhere
+    # ensure linearization points exist everywhere: seed from existing
+    # nonparametric beliefs first (reference initParametricFrom!,
+    # ParametricUtils.jl:866-889 — cheaper and better-informed than
+    # conditional autoinit), then autoinit whatever remains
+    if any(fg.var(v).parametric_point is None for v in fg.ls()):
+        init_parametric_from(fg, only_missing=True)
     if any(fg.var(v).parametric_point is None for v in fg.ls()):
         autoinit_parametric(fg)
 

@@ -47,7 +47,7 @@ from ..ops.hypo import parse_multihypo
 
 __all__ = ["ParametricProblem", "solve_graph_parametric",
            "solve_conditionals_parametric", "autoinit_parametric",
-           "solve_problems_batched"]
+           "init_parametric_from", "solve_problems_batched"]
 
 
 def _sqrt_inv(cov: jnp.ndarray) -> jnp.ndarray:
@@ -931,3 +931,27 @@ def autoinit_parametric(fg: FactorGraph, max_iters: int = 50) -> None:
             _write_back(fg, prob, points, cov, labels=[v])
         done = set(round_vars)
         pending = [v for v in pending if v not in done]
+
+
+def init_parametric_from(fg: FactorGraph, from_key: str = "default",
+                         only_missing: bool = False) -> int:
+    """Seed the parametric solution from another solve key's beliefs
+    (reference initParametricFrom!, ParametricUtils.jl:866-889): each
+    initialized variable gets ``parametric_point = on-manifold mean`` and
+    ``parametric_cov`` from the particle cloud.  ``only_missing`` keeps
+    already-set parametric points (the incremental case).  Returns the
+    number of variables seeded."""
+    from ..beliefs import mean_cov as _belief_mean_cov
+
+    n = 0
+    for vl in fg.ls():
+        v = fg.var(vl)
+        if only_missing and v.parametric_point is not None:
+            continue
+        if not v.is_initialized(from_key):
+            continue
+        mu, cov = _belief_mean_cov(v.manifold, v.beliefs[from_key].points)
+        v.parametric_point = mu
+        v.parametric_cov = cov
+        n += 1
+    return n

@@ -260,3 +260,42 @@ def test_parametric_tree_recycling_incremental():
         a = np.asarray(fg.var(v).parametric_point)
         b = np.asarray(fg2.var(v).parametric_point)
         np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_init_parametric_from_beliefs():
+    """initParametricFrom! parity (ParametricUtils.jl:866-889): the
+    parametric solution seeds from another solve key's particle clouds —
+    on-manifold means + sample covariances — and the parametric tree solve
+    uses those seeds instead of conditional autoinit."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             initfg, solve_tree)
+    from incrementalinference.jl_tpu.parametric import init_parametric_from
+
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(5.0, 0.5)))
+    fg.add_variable("x1", ContinuousScalar)
+    fg.add_factor(["x0", "x1"], LinearRelative(Normal(10.0, 0.5)))
+
+    n = init_parametric_from(fg)
+    assert n == 2
+    for v, truth in (("x0", 5.0), ("x1", 15.0)):
+        mu = float(np.asarray(fg.var(v).parametric_point)[0])
+        bel_mean = float(np.asarray(fg.points(v)[:, 0]).mean())
+        assert abs(mu - bel_mean) < 1e-5
+        assert abs(mu - truth) < 2.0
+        cov = np.asarray(fg.var(v).parametric_cov)
+        assert np.all(np.isfinite(cov)) and cov[0, 0] > 0
+    # only_missing keeps existing points
+    import jax.numpy as jnp
+    fg.var("x0").parametric_point = jnp.asarray([99.0])
+    assert init_parametric_from(fg, only_missing=True) == 0
+
+    # the parametric tree solve runs off belief seeds and lands exactly
+    fg.var("x0").parametric_point = None
+    solve_tree(fg, algorithm="parametric")
+    assert abs(float(np.asarray(fg.var("x1").parametric_point)[0])
+               - 15.0) < 0.2

@@ -336,3 +336,31 @@ def test_sequentialnet_conv_roundtrip_and_mixture_solve(tmp_path):
     np.testing.assert_allclose(pred0, pred1, atol=1e-6)
     solve_tree(fg2)
     assert np.all(np.isfinite(np.asarray(fg2.points("x1"))))
+
+
+def test_sequentialnet_layer_zoo():
+    """Every SequentialNet layer kind executes and round-trips: avg/max
+    pooling, tanh/sigmoid/softmax activations, conv->dense composition."""
+    from incrementalinference.jl_tpu import SequentialNet, nn_init
+    from incrementalinference.jl_tpu.serialization.packed import (
+        pack_distribution, unpack_distribution)
+
+    spec = (("conv2d", 2, 3, 3), ("tanh",), ("avgpool2d", 2),
+            ("conv2d", 3, 2, 3), ("sigmoid",), ("maxpool2d", 2),
+            ("flatten",), ("dense", 2 * 2 * 2, 4), ("relu",),
+            ("dense", 4, 3), ("softmax",))
+    net = SequentialNet(spec)
+    params = nn_init(jax.random.PRNGKey(1), spec, n_models=3)
+    x = jnp.ones((8, 8, 2)) * 0.3
+    one = jax.tree.map(lambda p: p[0], params)
+    y = net(one, x)
+    assert y.shape == (3,)
+    np.testing.assert_allclose(float(y.sum()), 1.0, atol=1e-5)  # softmax
+    d = FluxModelsDistribution(net, params, x, out_dim=3)
+    s = np.asarray(d.sample(KEY, 12))
+    assert s.shape == (12, 3) and np.all(np.isfinite(s))
+    d2 = unpack_distribution(pack_distribution(d))
+    np.testing.assert_allclose(np.asarray(d2.sample(KEY, 12)), s, atol=1e-6)
+    import pytest
+    with pytest.raises(ValueError):
+        SequentialNet((("nosuch", 1),))(params, x)

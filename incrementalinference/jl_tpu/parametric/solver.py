@@ -943,15 +943,29 @@ def init_parametric_from(fg: FactorGraph, from_key: str = "default",
     number of variables seeded."""
     from ..beliefs import mean_cov as _belief_mean_cov
 
-    n = 0
+    # group by (manifold, particle count) so each group seeds as ONE
+    # vmapped dispatch instead of two eager ops per variable
+    groups: Dict = {}
     for vl in fg.ls():
         v = fg.var(vl)
         if only_missing and v.parametric_point is not None:
             continue
         if not v.is_initialized(from_key):
             continue
-        mu, cov = _belief_mean_cov(v.manifold, v.beliefs[from_key].points)
-        v.parametric_point = mu
-        v.parametric_cov = cov
-        n += 1
+        pts = v.beliefs[from_key].points
+        groups.setdefault((v.manifold, pts.shape), []).append((v, pts))
+
+    n = 0
+    for (man, _), items in groups.items():
+        if len(items) == 1:
+            v, pts = items[0]
+            v.parametric_point, v.parametric_cov = _belief_mean_cov(man, pts)
+            n += 1
+            continue
+        stack = jnp.stack([pts for _, pts in items])
+        mus, covs = jax.vmap(lambda p: _belief_mean_cov(man, p))(stack)
+        for i, (v, _) in enumerate(items):
+            v.parametric_point = mus[i]
+            v.parametric_cov = covs[i]
+            n += 1
     return n

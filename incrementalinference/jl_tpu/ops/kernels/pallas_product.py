@@ -42,10 +42,16 @@ def _row_lse_kernel(a2_ref, iva_ref, ivmuA_ref, muB_ref, muB2_ref, out_ref,
         m, s = carry                                  # (TM,1) running max/sum
         b = muB_ref[pl.ds(t * tn, tn), :]             # (TN, D)
         b2 = muB2_ref[pl.ds(t * tn, tn), :]
+        # HIGHEST: default MXU precision multiplies in bf16, which costs
+        # ~1e-2 absolute in logW (measured dof=1 vs the XLA K=1 outer
+        # product, which stays f32); the kernel is HBM-bound, so the
+        # 3-pass f32 matmul is free
         t2 = jnp.dot(iva_ref[:, :], b2.T,
-                     preferred_element_type=jnp.float32)      # (TM, TN)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)     # (TM, TN)
         t3 = jnp.dot(ivmuA_ref[:, :], b.T,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         logw = -0.5 * (a2_ref[:, :] + t2 - 2.0 * t3)
         # mask padded columns of the last tile
         col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1) + t * tn

@@ -78,8 +78,13 @@ def _pair_logW(muA, precA, muB, precB):
     ivar = jnp.where(both, precA * pB0 / jnp.maximum(precA + pB0, 1e-30),
                      0.0)                                   # (Na, dof)
     a2 = jnp.sum(ivar * muA * muA, axis=-1)                 # (Na,)
-    t2 = ivar @ (muB * muB).T                               # (Na, Nb)
-    t3 = (ivar * muA) @ muB.T                               # (Na, Nb)
+    # HIGHEST: K=dof is tiny, so full-f32 matmuls are free — and they keep
+    # this path bit-consistent with the Pallas kernel across dof values
+    # (default MXU bf16 multiplies cost ~1e-2 absolute in logW)
+    t2 = jnp.dot(ivar, (muB * muB).T,
+                 precision=jax.lax.Precision.HIGHEST)       # (Na, Nb)
+    t3 = jnp.dot(ivar * muA, muB.T,
+                 precision=jax.lax.Precision.HIGHEST)       # (Na, Nb)
     return -0.5 * (a2[:, None] + t2 - 2.0 * t3)
 
 

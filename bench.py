@@ -201,7 +201,7 @@ EXTRAS = {
     "parametric30": (extra_parametric30, 300),
     "cliqrate": (extra_cliqrate, 240),
     "param_cliqrate": (extra_param_cliqrate, 420),
-    "incremental": (extra_incremental, 300),
+    "incremental": (extra_incremental, 480),
 }
 
 

@@ -207,10 +207,20 @@ def solve_graph(fg: FactorGraph, **kw) -> BayesTree:
 def solve_cliq_up(fg: FactorGraph, tree: BayesTree, frontal: str,
                   child_msgs: Optional[List[LikelihoodMessage]] = None,
                   solve_key: str = "default") -> LikelihoodMessage:
-    """Single-clique up-solve with hand-fed messages — the clique-isolation
-    test harness (reference solveCliqUp!, SolverAPI.jl:545-650)."""
+    """Single-clique up-solve — the clique-isolation test harness
+    (reference solveCliqUp!, SolverAPI.jl:545-650).
+
+    ``child_msgs=None`` builds each child's up message from the graph's
+    current beliefs (reference _buildMessagesUp, SolverAPI.jl:506-521);
+    pass ``[]`` explicitly for a message-less solve."""
+    from .parallel.messages import prep_msg_up
+    from .tree.bayestree import CliqStatus as _CS
+
     cl = tree.clique_of(frontal)
-    return up_solve_clique(fg, tree, cl, child_msgs or [], solve_key)
+    if child_msgs is None:
+        child_msgs = [prep_msg_up(fg, ch, _CS.UPSOLVED, solve_key)
+                      for ch in tree.children(cl.cid)]
+    return up_solve_clique(fg, tree, cl, child_msgs, solve_key)
 
 
 # reference solveCliqWithStateMachine — running one clique's solve in
@@ -235,8 +245,18 @@ def solve_cliq_down(fg: FactorGraph, tree: BayesTree, frontal: str,
                     child_msgs: Optional[List[LikelihoodMessage]] = None,
                     solve_key: str = "default"):
     """Single-clique down-solve (reference solveCliqDown!,
-    SolverAPI.jl:652-708)."""
+    SolverAPI.jl:652-708).
+
+    ``down_msg=None`` on a non-root clique builds the incoming message
+    from the parent's current beliefs (reference _buildMessageDown,
+    SolverAPI.jl:617-632)."""
+    from .parallel.messages import prep_msg_down
+    from .tree.bayestree import CliqStatus as _CS
+
     cl = tree.clique_of(frontal)
+    if down_msg is None and cl.parent is not None:
+        down_msg = prep_msg_down(fg, tree.clique(cl.parent), cl,
+                                 _CS.DOWNSOLVED, solve_key)
     return down_solve_clique(fg, tree, cl, down_msg, solve_key,
                              child_msgs=child_msgs)
 

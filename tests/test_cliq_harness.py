@@ -64,3 +64,42 @@ def test_clique_traces_recorded():
     for cid, tr in tree.traces.items():
         steps = [s for _, s, _ in tr.events]
         assert "up_done" in steps or "recycle" in steps, (cid, steps)
+
+
+def test_harness_auto_builds_messages():
+    """child_msgs=None / down_msg=None auto-build messages from the
+    graph's current beliefs (reference _buildMessagesUp/_buildMessageDown,
+    SolverAPI.jl:506-521, :617-632)."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             initfg, solve_cliq_down,
+                                             solve_cliq_up)
+    from incrementalinference.jl_tpu.graphinit import init_all
+    from incrementalinference.jl_tpu.tree.bayestree import (CliqStatus,
+                                                            build_tree)
+
+    fg = initfg()
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)))
+    for i in range(3):
+        fg.add_variable(f"x{i+1}", ContinuousScalar)
+        fg.add_factor([f"x{i}", f"x{i+1}"], LinearRelative(Normal(5.0, 0.5)))
+    init_all(fg)
+    tree = build_tree(fg)
+
+    root = tree.clique(tree.root_ids[0])
+    # up-solve the root WITHOUT hand-fed messages: children's up messages
+    # derive from the graphinit beliefs
+    msg = solve_cliq_up(fg, tree, root.frontals[0])
+    assert msg.status == CliqStatus.UPSOLVED
+    # down-solve a non-root clique WITHOUT a hand-fed parent message
+    leaf = next(c for c in tree.cliques.values() if c.parent is not None)
+    out = solve_cliq_down(fg, tree, leaf.frontals[0])
+    assert isinstance(out, dict)
+    assert leaf.status == CliqStatus.DOWNSOLVED
+    for v in leaf.frontals:
+        m = float(np.asarray(fg.points(v)[:, 0]).mean())
+        truth = 5.0 * int(v[1:])
+        assert abs(m - truth) < 3.0, (v, m)

@@ -34,6 +34,7 @@ collectives).
 
 from __future__ import annotations
 
+import copy
 import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -291,8 +292,7 @@ class ParametricProblem:
             hit = _GROUP_CACHE.get(ck)
             if hit is not None:
                 _GROUP_CACHE.move_to_end(ck)
-                import copy as _copy
-                groups.append(_copy.copy(hit[0]))   # own row_base
+                groups.append(copy.copy(hit[0]))    # own row_base
                 continue
 
             def pstack(xs, pad=pad, zero=False):
@@ -359,8 +359,7 @@ class ParametricProblem:
                        tdofs=tdofs, arg_manifolds=arg_manifolds,
                        arg_types=arg_types, hyp=hyp, null_p=null_p)
             groups.append(g)
-            import copy as _copy
-            _GROUP_CACHE[ck] = (_copy.copy(g), [f.model for f in fs])
+            _GROUP_CACHE[ck] = (copy.copy(g), [f.model for f in fs])
             while len(_GROUP_CACHE) > _GROUP_CACHE_MAX:
                 _GROUP_CACHE.popitem(last=False)
         # assign global residual row offsets

@@ -36,11 +36,14 @@ def precompile_updates(fg, tree: Optional[BayesTree] = None,
     from ..ops.fused import _fused_fn
     from ..ops.graphops import UpdatePlan, prepare_update
     from ..tree.bayestree import CliqStatus
+    from .scheduler import _build_chain_plan, _use_chain
 
     if tree is None:
         tree = build_tree(fg)
 
     plans: Dict = {}
+    chain_jobs: Dict = {}
+    use_chain = _use_chain(fg.params)
     for cl in tree.cliques.values():
         sub = build_clique_subgraph(fg, cl)
         # placeholder child up-messages: one MsgPrior per child separator var
@@ -58,6 +61,27 @@ def precompile_updates(fg, tree: Optional[BayesTree] = None,
                                   solve_key=solve_key)
             if isinstance(plan, UpdatePlan):
                 plans.setdefault(plan.structure_key, plan)
+        if use_chain:
+            # the fused whole-clique chain program — the production TPU
+            # up-solve path — compiles per clique-structure signature;
+            # pre-building it here overlaps the dominant cold cost
+            try:
+                cplan, store, _ = _build_chain_plan(
+                    sub, cl, list(cl.direct_vars), list(cl.iter_vars),
+                    solve_key)
+            except Exception:                 # noqa: BLE001
+                cplan, store = False, None
+            if cplan not in (True, False) and store is not None:
+                models_d = tuple(tuple(sub.factor(fl).model for fl in fls)
+                                 for fls in cplan.direct_labels)
+                models_i = tuple(tuple(sub.factor(fl).model for fl in fls)
+                                 for fls in cplan.iter_labels)
+                sig = (cplan.direct_steps, cplan.iter_steps,
+                       tuple(p.shape for p in store))
+                chain_jobs.setdefault(
+                    sig, (cplan, models_d, models_i, tuple(store)))
+
+    n_rounds = fg.params.gibbs_iters
 
     def compile_one(plan: UpdatePlan):
         fn = _fused_fn(plan.manifold, plan.specs, plan.masks, plan.n_out)
@@ -68,6 +92,17 @@ def precompile_updates(fg, tree: Optional[BayesTree] = None,
         except Exception:                     # noqa: BLE001
             pass                              # never fail a solve over this
 
+    def compile_chain(job):
+        cplan, models_d, models_i, store = job
+        try:
+            cplan.fn(n_rounds).lower(models_d, models_i, store,
+                                     jax.random.PRNGKey(0)).compile()
+        except Exception:                     # noqa: BLE001
+            pass
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        list(pool.map(compile_one, plans.values()))
-    return len(plans)
+        futs = [pool.submit(compile_one, p) for p in plans.values()]
+        futs += [pool.submit(compile_chain, j) for j in chain_jobs.values()]
+        for f in futs:
+            f.result()
+    return len(plans) + len(chain_jobs)

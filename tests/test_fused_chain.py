@@ -91,3 +91,32 @@ def test_fused_segment_matches_per_clique():
         truth = float(lbl.lstrip("xlm"))
         m = float(np.mean(np.asarray(fg.points(lbl)[:, 0])))
         assert abs(m - truth) < 0.5, (lbl, m)
+
+
+def test_precompile_seeds_chain_plans():
+    """precompile_updates builds the fused whole-clique chain programs too
+    (the production TPU cold path); the subsequent solve reuses the seeded
+    plans and matches ground truth."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             SolverParams, initfg,
+                                             solve_tree)
+    from incrementalinference.jl_tpu.parallel.precompile import \
+        precompile_updates
+    from incrementalinference.jl_tpu.tree.bayestree import build_tree
+
+    fg = initfg(SolverParams(N=80, fuse_clique=True, batch_cliques=False))
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)))
+    for i in range(4):
+        fg.add_variable(f"x{i+1}", ContinuousScalar)
+        fg.add_factor([f"x{i}", f"x{i+1}"], LinearRelative(Normal(5.0, 0.5)))
+    tree = build_tree(fg)
+    n = precompile_updates(fg, tree)
+    assert n > 0
+    solve_tree(fg)
+    for i in range(5):
+        m = float(np.asarray(fg.points(f"x{i}")[:, 0]).mean())
+        assert abs(m - 5.0 * i) < 2.0, (i, m)

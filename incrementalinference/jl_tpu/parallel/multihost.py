@@ -1,0 +1,589 @@
+"""Multi-host (multi-process) distribution of the Bayes-tree solve.
+
+Reference mapping: the reference distributes clique solves across OS
+processes through a Julia ``Distributed`` WorkerPool — clique subgraphs are
+serialized to workers via ``remotecall_fetch(upGibbsCliqueDensity, …)``
+(src/services/SolveTree.jl:4-19,
+src/CliqueStateMachine/services/CliqStateMachineUtils.jl:349-410), enabled
+by ``SolverParams.multiproc``.
+
+TPU-native design (SURVEY.md §2.9.2): instead of serializing subgraphs per
+clique solve, the Bayes tree is **subtree-partitioned across hosts** once
+per solve.  Each process owns a set of bottom subtrees and runs the normal
+level-synchronous up/down sweeps locally on them; the *top residual tree*
+(ancestors of all cut edges, including the root) is replicated and solved
+identically on every process.  The only cross-host traffic is:
+
+- one collective after the local up phase, carrying the **cut-edge up
+  messages** (separator beliefs: fixed-shape particle blocks ``(N,
+  point_dim)`` + bandwidths + infoPerCoord — exactly the payload the
+  reference ships through its Channels, SURVEY.md §2.9.5), and
+- one collective after the down phase, broadcasting each part's solved
+  frontal beliefs so every process ends with the full posterior.
+
+Both ride ``jax.experimental.multihost_utils.process_allgather`` over the
+global device mesh — gloo on CPU test rigs, ICI/DCN on real pods.  The
+replicated-top solve is made bit-identical across processes by reseeding
+the graph's deterministic key stream at the phase boundary (each process
+consumed a different number of keys during its local phase).
+
+Limitations (v1, documented): the cross-host tree-init fixed point is not
+distributed — graphs whose initialization requires information to flow
+down through a cut edge and back up (NO_INIT cliques at cut boundaries)
+should be solved single-host or partitioned differently; a warning is
+logged when this is detected.  Joint up-messages (``use_msg_likelihoods``)
+fall back to plain separator-belief payloads at cut edges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..tree.bayestree import BayesTree, CliqStatus
+from .messages import LikelihoodMessage
+from .scheduler import down_solve_clique, up_solve_clique
+
+__all__ = ["TreePartition", "partition_tree", "solve_tree_multihost",
+           "launch_multihost"]
+
+import logging
+
+logger = logging.getLogger("iitpu.multihost")
+
+
+# --------------------------------------------------------------------------
+# subtree partition
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TreePartition:
+    """Deterministic subtree partition of a Bayes tree across ``n_parts``
+    processes.
+
+    ``owner`` maps every part-owned clique id to its part; cliques in
+    ``top`` (ancestors of cut edges) are replicated on every process.
+    ``cut_roots`` are the owned subtree roots whose parent lies in ``top``
+    — their up messages are the only cross-host up traffic.
+    """
+
+    n_parts: int
+    owner: Dict[int, int]
+    top: List[int]
+    cut_roots: List[int]                       # cut roots WITH a top parent
+    part_cliques: List[List[int]]              # per part, all owned cids
+
+    def part_of(self, cid: int) -> Optional[int]:
+        return self.owner.get(cid)
+
+
+def partition_tree(tree: BayesTree, n_parts: int) -> TreePartition:
+    """Cut the tree into ≤``n_parts`` bottom subtrees of balanced size plus
+    a replicated top.
+
+    A clique roots a cut subtree when its subtree size fits the per-part
+    target but its parent's does not (maximal fitting subtrees); the cut
+    subtrees are then LPT-bin-packed into parts.  Deterministic given the
+    tree (all processes compute the identical partition)."""
+    cids = sorted(tree.cliques)
+    total = len(cids)
+    target = max(1, math.ceil(total / max(1, n_parts)))
+
+    size: Dict[int, int] = {}
+    for level in reversed(tree.levels()):
+        for cid in level:
+            cl = tree.clique(cid)
+            size[cid] = 1 + sum(size[ch] for ch in cl.children)
+
+    cut_subtree_roots: List[int] = []
+    stack = list(sorted(tree.root_ids))
+    while stack:
+        cid = stack.pop(0)
+        if size[cid] <= target:
+            cut_subtree_roots.append(cid)
+        else:
+            stack.extend(sorted(tree.clique(cid).children))
+
+    # LPT bin packing, deterministic tiebreak by cid
+    cut_subtree_roots.sort(key=lambda c: (-size[c], c))
+    loads = [0] * n_parts
+    owner: Dict[int, int] = {}
+    part_cliques: List[List[int]] = [[] for _ in range(n_parts)]
+    for root in cut_subtree_roots:
+        p = min(range(n_parts), key=lambda i: (loads[i], i))
+        loads[p] += size[root]
+        sub = [root]
+        while sub:
+            c = sub.pop()
+            owner[c] = p
+            part_cliques[p].append(c)
+            sub.extend(tree.clique(c).children)
+
+    top = sorted(c for c in cids if c not in owner)
+    cut_roots = sorted(c for c in cut_subtree_roots
+                       if tree.clique(c).parent is not None)
+    for p in range(n_parts):
+        part_cliques[p].sort()
+    return TreePartition(n_parts=n_parts, owner=owner, top=top,
+                         cut_roots=cut_roots, part_cliques=part_cliques)
+
+
+# --------------------------------------------------------------------------
+# fixed-shape message packing for the collectives
+# --------------------------------------------------------------------------
+
+_STATUS_CODE = {s: i for i, s in enumerate(CliqStatus)}
+_CODE_STATUS = {i: s for s, i in _STATUS_CODE.items()}
+
+
+def _msg_layout(fg, tree, cids) -> List[Tuple[int, List[str]]]:
+    """Deterministic (cid, separator-vars) layout all processes agree on."""
+    return [(cid, list(tree.clique(cid).separator)) for cid in sorted(cids)]
+
+
+class _FlatLayout:
+    """Deterministic flat-buffer layout so each exchange is ONE fixed-shape
+    collective (per-leaf allgathers pay gloo/DCN latency ~300x over on a
+    posterior sync; a single contiguous buffer amortizes it).  Every process
+    computes the identical (name -> (offset, shape)) table."""
+
+    def __init__(self):
+        self.slots: Dict[object, Tuple[int, Tuple[int, ...]]] = {}
+        self.size = 0
+
+    def add(self, name, shape) -> None:
+        n = int(np.prod(shape)) if shape else 1
+        self.slots[name] = (self.size, tuple(shape))
+        self.size += n
+
+    def write(self, buf: np.ndarray, name, value) -> None:
+        off, shape = self.slots[name]
+        n = int(np.prod(shape)) if shape else 1
+        buf[off:off + n] = np.asarray(value, np.float32).reshape(-1)
+
+    def read(self, buf: np.ndarray, name) -> np.ndarray:
+        off, shape = self.slots[name]
+        n = int(np.prod(shape)) if shape else 1
+        return buf[off:off + n].reshape(shape)
+
+
+def _belief_slots(flat: _FlatLayout, key, var) -> None:
+    m = var.manifold
+    flat.add((key, "points"), (var.N, m.point_dim))
+    flat.add((key, "bw"), (m.dof,))
+    flat.add((key, "ipc"), (m.dof,))
+
+
+def _msg_flat_layout(fg, layout) -> _FlatLayout:
+    flat = _FlatLayout()
+    for cid, seps in layout:
+        flat.add((cid, "_meta"), (2,))
+        for v in seps:
+            _belief_slots(flat, (cid, v), fg.var(v))
+    return flat
+
+
+def _pack_msgs(fg, layout, flat: _FlatLayout,
+               msgs: Dict[int, LikelihoodMessage]) -> np.ndarray:
+    """Pack owned messages into the flat buffer; non-owned slots stay zero
+    (the gather selects the owner's slice, so their values never matter)."""
+    buf = np.zeros((flat.size,), np.float32)
+    for cid, seps in layout:
+        m = msgs.get(cid)
+        if m is None:
+            continue
+        flat.write(buf, (cid, "_meta"),
+                   [_STATUS_CODE[m.status], 1.0 if m.has_priors else 0.0])
+        for v in seps:
+            if v in m.beliefs:
+                b = m.beliefs[v]
+                flat.write(buf, ((cid, v), "points"), b.points)
+                flat.write(buf, ((cid, v), "bw"), b.bw)
+                flat.write(buf, ((cid, v), "ipc"), b.ipc)
+    return buf
+
+
+def _unpack_msgs(fg, tree, layout, flat: _FlatLayout, gathered: np.ndarray,
+                 owner_proc: Dict[int, int],
+                 direction: str = "up") -> Dict[int, LikelihoodMessage]:
+    """Rebuild messages from the gathered (n_proc, size) buffer, reading
+    each message from its owning process's row."""
+    from ..beliefs import Belief
+    import jax.numpy as jnp
+
+    out: Dict[int, LikelihoodMessage] = {}
+    for cid, seps in layout:
+        row = np.asarray(gathered[owner_proc[cid]])
+        meta = flat.read(row, (cid, "_meta"))
+        msg = LikelihoodMessage(
+            sender=cid, status=_CODE_STATUS[int(round(float(meta[0])))],
+            direction=direction, has_priors=bool(meta[1] > 0.5))
+        for v in seps:
+            msg.beliefs[v] = Belief(
+                points=jnp.asarray(flat.read(row, ((cid, v), "points"))),
+                bw=jnp.asarray(flat.read(row, ((cid, v), "bw"))),
+                ipc=jnp.asarray(flat.read(row, ((cid, v), "ipc"))))
+        out[cid] = msg
+    return out
+
+
+def _allgather(arr: np.ndarray) -> np.ndarray:
+    """One collective over the global mesh: (size,) -> (n_proc, size)."""
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr))
+
+
+# --------------------------------------------------------------------------
+# the distributed solve
+# --------------------------------------------------------------------------
+
+def solve_tree_multihost(fg, order=None, solve_key: str = "default",
+                         partition: Optional[TreePartition] = None,
+                         timings: Optional[dict] = None) -> BayesTree:
+    """Distributed ``solve_tree``: every process calls this with an
+    identically-built graph (deterministic given ``params.seed``); the
+    clique solves are partitioned by :func:`partition_tree`.
+
+    Phases: local up sweeps over owned subtrees → cut-edge up-message
+    exchange (one collective) → replicated top up+down (reseeded key
+    stream, bit-identical everywhere) → local down sweeps → posterior
+    belief broadcast (one collective).  Single-process (``jax.process_count()
+    == 1``) degrades to a partition-aware but collective-free solve, which
+    is how the 1-host baseline for the scaling-efficiency metric is
+    measured."""
+    import jax
+    from ..graphinit import ensure_solvable, init_all
+    from ..tree.bayestree import build_tree_reset
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+
+    ensure_solvable(fg)
+    if fg.params.graphinit:
+        init_all(fg, solve_key=solve_key)
+
+    tree = build_tree_reset(fg, order=order)
+    part = partition or partition_tree(tree, nproc)
+    my_cids = set(part.part_cliques[pid]) if pid < part.n_parts else set()
+    top_set = set(part.top)
+    levels = tree.levels()
+    tm = timings if timings is not None else {}
+
+    # ---- phase A: local up sweeps over owned subtrees -------------------
+    t0 = time.time()
+    up_msgs: Dict[int, LikelihoodMessage] = {}
+    for level in reversed(levels):
+        for cid in sorted(level):
+            if cid not in my_cids:
+                continue
+            cl = tree.clique(cid)
+            child_msgs = [up_msgs[ch] for ch in cl.children if ch in up_msgs]
+            up_msgs[cid] = up_solve_clique(fg, tree, cl, child_msgs,
+                                           solve_key)
+    tm["local_up_s"] = time.time() - t0
+    tm["local_cliques"] = len(my_cids)
+
+    # ---- phase B: cut-edge up-message exchange --------------------------
+    t0 = time.time()
+    if part.cut_roots:
+        layout = _msg_layout(fg, tree, part.cut_roots)
+        if nproc > 1:
+            flat = _msg_flat_layout(fg, layout)
+            gathered = _allgather(_pack_msgs(fg, layout, flat, up_msgs))
+            owner_proc = {cid: part.owner[cid] for cid in part.cut_roots}
+            up_msgs.update(_unpack_msgs(fg, tree, layout, flat, gathered,
+                                        owner_proc))
+        # single process: up_msgs already holds every cut message
+        no_init = [cid for cid in part.cut_roots
+                   if up_msgs[cid].status == CliqStatus.NO_INIT]
+        if no_init:
+            logger.warning(
+                "multihost: cut-edge cliques %s are NO_INIT — the "
+                "cross-host tree-init fixed point is not distributed; "
+                "solve single-host for this graph", no_init)
+    tm["exchange_up_s"] = time.time() - t0
+
+    # ---- phase C: replicated top (up then down), reseeded ---------------
+    t0 = time.time()
+    down_msgs: Dict[int, LikelihoodMessage] = {}
+    if top_set:
+        # every process consumed a different number of keys in phase A —
+        # restart the deterministic stream so the replicated top solves
+        # identically everywhere (down messages at cut edges must agree)
+        fg.reseed(fg.params.seed ^ 0x70B5EED)
+        for level in reversed(levels):
+            for cid in sorted(level):
+                if cid not in top_set:
+                    continue
+                cl = tree.clique(cid)
+                child_msgs = [up_msgs[ch] for ch in cl.children
+                              if ch in up_msgs]
+                up_msgs[cid] = up_solve_clique(fg, tree, cl, child_msgs,
+                                               solve_key)
+        for level in levels:
+            for cid in sorted(level):
+                if cid not in top_set:
+                    continue
+                cl = tree.clique(cid)
+                child_up = [up_msgs[ch] for ch in cl.children
+                            if ch in up_msgs]
+                out = down_solve_clique(fg, tree, cl, down_msgs.get(cid),
+                                        solve_key, child_msgs=child_up)
+                down_msgs.update(out)
+    tm["top_s"] = time.time() - t0
+
+    # ---- phase D: local down sweeps into owned subtrees -----------------
+    t0 = time.time()
+    for level in levels:
+        for cid in sorted(level):
+            if cid not in my_cids:
+                continue
+            cl = tree.clique(cid)
+            child_up = [up_msgs[ch] for ch in cl.children if ch in up_msgs]
+            out = down_solve_clique(fg, tree, cl, down_msgs.get(cid),
+                                    solve_key, child_msgs=child_up)
+            down_msgs.update(out)
+    tm["local_down_s"] = time.time() - t0
+
+    # ---- phase E: posterior broadcast -----------------------------------
+    t0 = time.time()
+    if nproc > 1:
+        _sync_beliefs(fg, tree, part, solve_key)
+    tm["sync_s"] = time.time() - t0
+
+    tree.up_msgs = up_msgs
+    tree.down_msgs = down_msgs
+    for v in fg.variables.values():
+        if v.solvable and v.is_initialized(solve_key):
+            v.solved_count[solve_key] = v.get_solved_count(solve_key) + 1
+    fg.solve_count += 1
+    return tree
+
+
+def _sync_beliefs(fg, tree, part: TreePartition, solve_key: str) -> None:
+    """Broadcast each part's solved frontal beliefs to every process (one
+    collective); afterwards every process's graph holds the full
+    posterior."""
+    # deterministic layout: (var, owning part) over all part-owned frontals
+    layout: List[Tuple[str, int]] = []
+    for p, cids in enumerate(part.part_cliques):
+        for cid in sorted(cids):
+            for v in tree.clique(cid).frontals:
+                layout.append((v, p))
+    if not layout:
+        return
+    import jax
+    import jax.numpy as jnp
+    from ..beliefs import Belief
+
+    pid = jax.process_index()
+    flat = _FlatLayout()
+    for v, p in layout:
+        _belief_slots(flat, v, fg.var(v))
+    buf = np.zeros((flat.size,), np.float32)
+    for v, p in layout:
+        var = fg.var(v)
+        if p == pid and solve_key in var.beliefs:
+            b = var.beliefs[solve_key]
+            flat.write(buf, (v, "points"), b.points)
+            flat.write(buf, (v, "bw"), b.bw)
+            flat.write(buf, (v, "ipc"), b.ipc)
+    gathered = _allgather(buf)
+    for v, p in layout:
+        if p == pid:
+            continue                       # authoritative locally
+        row = gathered[p]
+        fg.var(v).beliefs[solve_key] = Belief(
+            points=jnp.asarray(flat.read(row, (v, "points"))),
+            bw=jnp.asarray(flat.read(row, (v, "bw"))),
+            ipc=jnp.asarray(flat.read(row, (v, "ipc"))))
+        fg.var(v).initialized[solve_key] = True
+
+
+# --------------------------------------------------------------------------
+# localhost launcher (CPU dryrun / scaling measurement)
+# --------------------------------------------------------------------------
+
+_FIXTURES = ("chain", "forest", "anchored_forest")
+
+
+def build_fixture(name: str, scale: int = 8, params=None):
+    """Deterministic multihost test fixtures.
+
+    - ``chain``: LineStep-style pose chain (deep tree, cut edges on the
+      critical path — exercises the exchange, poor scaling by design);
+    - ``forest``: ``scale`` independent prior+relative branches (no top, no
+      cut edges — pure clique-parallel scaling);
+    - ``anchored_forest``: ``scale`` branches all tied to one anchor
+      variable (top = anchor clique, one cut edge per branch — the
+      realistic multi-session SLAM shape)."""
+    from .. import (ContinuousScalar, LinearRelative, Normal, Prior, initfg)
+    from ..config import SolverParams
+
+    fg = initfg(params or SolverParams(N=64))
+    if name == "chain":
+        fg.add_variable("x0", ContinuousScalar)
+        fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)))
+        for i in range(1, scale):
+            fg.add_variable(f"x{i}", ContinuousScalar)
+            fg.add_factor([f"x{i-1}", f"x{i}"],
+                          LinearRelative(Normal(1.0, 0.5)))
+    elif name == "forest":
+        for b in range(scale):
+            fg.add_variable(f"b{b}x0", ContinuousScalar)
+            fg.add_factor([f"b{b}x0"], Prior(Normal(float(b), 0.5)))
+            for i in (1, 2):
+                fg.add_variable(f"b{b}x{i}", ContinuousScalar)
+                fg.add_factor([f"b{b}x{i-1}", f"b{b}x{i}"],
+                              LinearRelative(Normal(1.0, 0.5)))
+    elif name == "anchored_forest":
+        fg.add_variable("anchor", ContinuousScalar)
+        fg.add_factor(["anchor"], Prior(Normal(0.0, 0.5)))
+        for b in range(scale):
+            fg.add_variable(f"b{b}x0", ContinuousScalar)
+            fg.add_factor(["anchor", f"b{b}x0"],
+                          LinearRelative(Normal(float(b), 0.5)))
+            for i in (1, 2):
+                fg.add_variable(f"b{b}x{i}", ContinuousScalar)
+                fg.add_factor([f"b{b}x{i-1}", f"b{b}x{i}"],
+                              LinearRelative(Normal(1.0, 0.5)))
+    else:
+        raise ValueError(f"unknown fixture {name!r} (use {_FIXTURES})")
+    return fg
+
+
+def fixture_truth(name: str, scale: int = 8) -> Dict[str, float]:
+    """Ground-truth posterior means of :func:`build_fixture` graphs."""
+    if name == "chain":
+        return {f"x{i}": float(i) for i in range(scale)}
+    if name == "forest":
+        return {f"b{b}x{i}": float(b + i)
+                for b in range(scale) for i in range(3)}
+    truth = {"anchor": 0.0}
+    for b in range(scale):
+        for i in range(3):
+            truth[f"b{b}x{i}"] = float(b + i)
+    return truth
+
+
+def _worker_main(argv=None) -> None:
+    """Entry point for one launched process: join the distributed runtime,
+    build the fixture, run the multihost solve twice (cold + warm), report
+    truth errors and phase timings as one JSON line."""
+    import argparse
+    import json
+    import os
+    import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pid", type=int, required=True)
+    ap.add_argument("--nproc", type=int, required=True)
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--fixture", default="anchored_forest")
+    ap.add_argument("--scale", type=int, default=8)
+    ap.add_argument("--out", default="")
+    a = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-multihost")
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{a.port}",
+        num_processes=a.nproc, process_id=a.pid)
+
+    results = {"pid": a.pid, "nproc": a.nproc,
+               "devices": jax.device_count(),
+               "local_devices": jax.local_device_count()}
+    truth = fixture_truth(a.fixture, a.scale)
+    for phase in ("cold", "warm"):
+        fg = build_fixture(a.fixture, a.scale)
+        tm: dict = {}
+        t0 = time.time()
+        tree = solve_tree_multihost(fg, timings=tm)
+        tm["total_s"] = time.time() - t0
+        errs = {}
+        for v, mu in truth.items():
+            pts = np.asarray(fg.points(v))
+            errs[v] = abs(float(pts[:, 0].mean()) - mu)
+        results[phase] = {
+            "timings": tm, "max_err": max(errs.values()),
+            "mean_err": float(np.mean(list(errs.values()))),
+            "n_cliques": tree.num_cliques(),
+        }
+    if a.out:
+        with open(a.out, "w") as fp:
+            json.dump(results, fp)
+    print(json.dumps(results), flush=True)
+    sys.stdout.flush()
+
+
+def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
+                     scale: int = 8, devices_per_proc: int = 2,
+                     timeout: float = 600.0) -> List[dict]:
+    """Spawn ``n_procs`` localhost CPU processes that jointly solve the
+    fixture with :func:`solve_tree_multihost`; returns each process's JSON
+    report.  This is the CPU dryrun of the multi-host path (the reference's
+    ``addprocs(2)`` + multiproc ``solveTree!`` test,
+    test/testMultiprocess.jl:4-13)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    with socket.socket() as s:                 # free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    outdir = tempfile.mkdtemp(prefix="iitpu_mh_")
+    procs = []
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "").strip()
+        + f" --xla_force_host_platform_device_count={devices_per_proc}"
+        ).strip()
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    outs = []
+    for pid in range(n_procs):
+        out = os.path.join(outdir, f"p{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "incrementalinference.jl_tpu.parallel.multihost",
+             "--pid", str(pid), "--nproc", str(n_procs),
+             "--port", str(port), "--fixture", fixture,
+             "--scale", str(scale), "--out", out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    reports, errors = [], []
+    for pid, p in enumerate(procs):
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, _ = p.communicate()
+            errors.append(f"process {pid} timed out")
+            continue
+        if p.returncode != 0:
+            errors.append(f"process {pid} rc={p.returncode}:\n"
+                          + stdout.decode(errors="replace")[-2000:])
+            continue
+        with open(outs[pid]) as fp:
+            reports.append(json.load(fp))
+    if errors:
+        raise RuntimeError("multihost launch failed:\n" + "\n".join(errors))
+    return reports
+
+
+if __name__ == "__main__":
+    _worker_main()

@@ -1,0 +1,131 @@
+"""Multi-host distribution tests (reference: test/testMultiprocess.jl —
+``addprocs(2)`` + multiproc ``solveTree!``; SURVEY.md §2.9.2 subtree
+partition across hosts).
+
+The partition logic is pure host code and unit-tested in-process; the real
+cross-process path spawns 2 localhost CPU processes (each with 2 virtual
+devices) that jointly solve fixtures through
+``jax.distributed`` + gloo collectives, and asserts posterior parity with a
+single-process solve of the same graph."""
+
+import numpy as np
+import pytest
+
+from incrementalinference.jl_tpu.parallel.multihost import (
+    build_fixture, fixture_truth, launch_multihost, partition_tree,
+    solve_tree_multihost)
+from incrementalinference.jl_tpu.graphinit import ensure_solvable, init_all
+from incrementalinference.jl_tpu.tree.bayestree import build_tree_reset
+
+
+def _tree_for(name, scale):
+    fg = build_fixture(name, scale)
+    ensure_solvable(fg)
+    init_all(fg)
+    return fg, build_tree_reset(fg)
+
+
+class TestPartition:
+    def test_partition_covers_tree_once(self):
+        fg, tree = _tree_for("anchored_forest", 6)
+        part = partition_tree(tree, 3)
+        owned = [c for p in part.part_cliques for c in p]
+        assert sorted(owned + part.top) == sorted(tree.cliques)
+        assert len(set(owned)) == len(owned)
+
+    def test_parts_are_connected_subtrees(self):
+        fg, tree = _tree_for("anchored_forest", 6)
+        part = partition_tree(tree, 3)
+        for p, cids in enumerate(part.part_cliques):
+            cidset = set(cids)
+            # every non-cut-root member's parent is in the same part
+            roots = [c for c in cids
+                     if tree.clique(c).parent not in cidset]
+            for c in cids:
+                if c not in roots:
+                    assert tree.clique(c).parent in cidset
+
+    def test_cut_roots_have_top_parents(self):
+        fg, tree = _tree_for("anchored_forest", 6)
+        part = partition_tree(tree, 3)
+        top = set(part.top)
+        for c in part.cut_roots:
+            assert tree.clique(c).parent in top
+
+    def test_forest_partition_has_no_top(self):
+        fg, tree = _tree_for("forest", 8)
+        part = partition_tree(tree, 4)
+        assert part.top == []
+        assert part.cut_roots == []          # no cut parent => no exchange
+
+    def test_partition_deterministic(self):
+        fg, tree = _tree_for("chain", 12)
+        a = partition_tree(tree, 3)
+        b = partition_tree(tree, 3)
+        assert a.owner == b.owner and a.top == b.top
+
+    def test_single_part_owns_everything(self):
+        fg, tree = _tree_for("chain", 8)
+        part = partition_tree(tree, 1)
+        assert part.top == [] and len(part.part_cliques[0]) == \
+            tree.num_cliques()
+
+    def test_balance(self):
+        fg, tree = _tree_for("forest", 8)
+        part = partition_tree(tree, 4)
+        sizes = [len(p) for p in part.part_cliques]
+        assert max(sizes) - min(sizes) <= max(2, max(sizes) // 2)
+
+
+class TestSingleProcessDegenerate:
+    """process_count()==1: the partition-aware solve must still produce
+    reference-quality posteriors with zero collectives (this is the 1-host
+    baseline of the scaling-efficiency metric)."""
+
+    @pytest.mark.parametrize("name,scale", [("anchored_forest", 4),
+                                            ("chain", 8)])
+    def test_posterior_quality(self, name, scale):
+        fg = build_fixture(name, scale)
+        tm = {}
+        solve_tree_multihost(fg, timings=tm)
+        truth = fixture_truth(name, scale)
+        for v, mu in truth.items():
+            pts = np.asarray(fg.points(v))[:, 0]
+            # reference-style statistical window (testMultithreaded.jl:33-38
+            # idiom): mean within a few sigma of truth at N=64
+            assert abs(float(pts.mean()) - mu) < 1.0, (v, float(pts.mean()))
+        assert tm["exchange_up_s"] == 0.0 or tm["exchange_up_s"] < 0.5
+
+
+class TestCrossProcess:
+    """Spawn 2 localhost processes × 2 virtual CPU devices; gloo
+    collectives carry the cut-edge and posterior payloads."""
+
+    def test_two_process_anchored_forest_parity(self):
+        reps = launch_multihost(2, "anchored_forest", scale=6,
+                                devices_per_proc=2, timeout=900)
+        assert len(reps) == 2
+        truth = fixture_truth("anchored_forest", 6)
+        # single-process comparison solve (same fixture, this process)
+        fg = build_fixture("anchored_forest", 6)
+        solve_tree_multihost(fg)
+        single_errs = [abs(float(np.asarray(fg.points(v))[:, 0].mean()) - mu)
+                       for v, mu in truth.items()]
+        bar = max(1.0, 3.0 * max(single_errs))
+        for r in reps:
+            assert r["devices"] == 4          # 2 procs x 2 devices, global
+            for phase in ("cold", "warm"):
+                assert r[phase]["max_err"] < bar, (r["pid"], phase,
+                                                   r[phase]["max_err"])
+        # every process ends with the same full posterior (sync phase)
+        assert abs(reps[0]["warm"]["max_err"]
+                   - reps[1]["warm"]["max_err"]) < 1e-6
+
+    def test_two_process_chain_exchange(self):
+        """Chain: cut edges sit on the critical path, so the exchange is
+        load-bearing — a dropped cut message would leave the top half
+        anchored only by graphinit and blow the error bar."""
+        reps = launch_multihost(2, "chain", scale=10, devices_per_proc=1,
+                                timeout=900)
+        for r in reps:
+            assert r["warm"]["max_err"] < 1.2, r["warm"]["max_err"]

@@ -132,6 +132,63 @@ def test_mesh_sharded_parametric_tree_solve():
         assert np.isfinite(cov) and cov > 0
 
 
+def test_clique_sharded_incremental_recycling():
+    """Incremental re-solve with old_tree= under distribute="cliques":
+    recycled cliques skip their up-solves on the sharded path too, and the
+    grown chain stays accurate (VERDICT r2 item 6 — the hard paths must be
+    exercised sharded, not only fresh solves)."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             SolverParams, initfg,
+                                             solve_tree)
+    from incrementalinference.jl_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    fg = initfg(SolverParams(batch_cliques=True, batch_min_width=2, N=64))
+    fg.add_variable("r0", ContinuousScalar)
+    fg.add_factor(["r0"], Prior(Normal(0.0, 0.5)))
+    for i in range(1, 5):
+        fg.add_variable(f"r{i}", ContinuousScalar)
+        fg.add_factor([f"r{i-1}", f"r{i}"], LinearRelative(Normal(1.0, 0.5)))
+    tree = solve_tree(fg, mesh=mesh, distribute="cliques", order=fg.ls())
+    for i in range(5, 7):
+        fg.add_variable(f"r{i}", ContinuousScalar)
+        fg.add_factor([f"r{i-1}", f"r{i}"], LinearRelative(Normal(1.0, 0.5)))
+    tree2 = solve_tree(fg, old_tree=tree, mesh=mesh, distribute="cliques",
+                       order=fg.ls())
+    assert sum(c.is_recycled for c in tree2.cliques.values()) >= 2
+    for i in range(7):
+        m = float(np.asarray(fg.points(f"r{i}")[:, 0]).mean())
+        assert abs(m - i) < 1.0, (i, m)
+
+
+def test_clique_sharded_multihypo():
+    """Multihypo data association (HypoRecipe masks + nullSurplus) under
+    the sharded clique path — association must concentrate on the
+    prior-consistent door."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             SolverParams, initfg,
+                                             solve_tree)
+    from incrementalinference.jl_tpu.parallel.mesh import make_mesh
+
+    fg = initfg(SolverParams(batch_cliques=True, batch_min_width=2, N=64))
+    for d, pos in (("d0", 0.0), ("d1", 8.0)):
+        fg.add_variable(d, ContinuousScalar)
+        fg.add_factor([d], Prior(Normal(pos, 0.3)))
+    fg.add_variable("mx", ContinuousScalar)
+    fg.add_factor(["mx", "d0", "d1"], LinearRelative(Normal(0.0, 0.3)),
+                  multihypo=[1.0, 0.5, 0.5])
+    fg.add_factor(["mx"], Prior(Normal(0.0, 1.0)))
+    solve_tree(fg, mesh=make_mesh(8), distribute="cliques")
+    pm = np.asarray(fg.points("mx")[:, 0])
+    assert float(np.mean(np.abs(pm - 0.0) < 2.0)) > 0.6, pm.mean()
+
+
 def test_clique_sharded_batched_level_solve():
     """distribute="cliques" with batch_cliques: wide levels stack into one
     vmapped kernel whose clique axis shards across the mesh (the

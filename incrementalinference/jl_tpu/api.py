@@ -212,14 +212,26 @@ def solve_cliq_up(fg: FactorGraph, tree: BayesTree, frontal: str,
 
     ``child_msgs=None`` builds each child's up message from the graph's
     current beliefs (reference _buildMessagesUp, SolverAPI.jl:506-521);
-    pass ``[]`` explicitly for a message-less solve."""
+    pass ``[]`` explicitly for a message-less solve.  Children whose
+    separator variables are not initialized under ``solve_key`` are
+    skipped with a warning — auto-building a message from junk identity
+    points would inject them as priors (advisor r2)."""
     from .parallel.messages import prep_msg_up
     from .tree.bayestree import CliqStatus as _CS
 
     cl = tree.clique_of(frontal)
     if child_msgs is None:
-        child_msgs = [prep_msg_up(fg, ch, _CS.UPSOLVED, solve_key)
-                      for ch in tree.children(cl.cid)]
+        child_msgs = []
+        for ch in tree.children(cl.cid):
+            if all(fg.var(v).is_initialized(solve_key)
+                   for v in ch.separator if v in fg.variables):
+                child_msgs.append(prep_msg_up(fg, ch, _CS.UPSOLVED,
+                                              solve_key))
+            else:
+                logger.warning(
+                    "solve_cliq_up(%s): skipping auto-built message from "
+                    "child clique %d — separator not initialized under "
+                    "%r", frontal, ch.cid, solve_key)
     return up_solve_clique(fg, tree, cl, child_msgs, solve_key)
 
 

@@ -76,8 +76,14 @@ def precompile_updates(fg, tree: Optional[BayesTree] = None,
                                  for fls in cplan.direct_labels)
                 models_i = tuple(tuple(sub.factor(fl).model for fl in fls)
                                  for fls in cplan.iter_labels)
+                # the runtime jit cache keys on the models' pytree
+                # structure too — without it, two cliques with identical
+                # step/shape layouts but different model types would
+                # collide here and only one chain program gets prewarmed
+                # (advisor r2)
                 sig = (cplan.direct_steps, cplan.iter_steps,
-                       tuple(p.shape for p in store))
+                       tuple(p.shape for p in store),
+                       jax.tree_util.tree_structure((models_d, models_i)))
                 chain_jobs.setdefault(
                     sig, (cplan, models_d, models_i, tuple(store)))
 

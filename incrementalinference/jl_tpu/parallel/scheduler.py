@@ -1394,7 +1394,11 @@ def _lockstep_gibbs_stacked(fg: FactorGraph, subs: Dict[int, FactorGraph],
         # reference's WorkerPool clique distribution as a batch axis)
         stackees = list(members)
         shard = None
-        if mesh is not None:
+        # narrow classes skip sharding: padding replicates members[-1] so a
+        # B < devices level would run up to devices-1 extra full clique
+        # solves plus a device_put reshard of every stacked array for zero
+        # parallel win (advisor r2)
+        if mesh is not None and B >= int(mesh.devices.size):
             per = int(mesh.devices.size)
             Bp = -(-B // per) * per
             stackees = stackees + [members[-1]] * (Bp - B)

@@ -124,9 +124,13 @@ def solve_tree_parametric(fg: FactorGraph,
     # ---- up-message recycling (the parametric analogue of the reference's
     # UPRECYCLED skip): a clique whose WHOLE subtree matched the previous
     # tree (build_tree_reset's subtree-consistency pass) re-sends its
-    # previous Gaussian up message instead of re-running the LM — its
-    # inputs (factors + child messages) are provably identical.  Keyed by
-    # clique signature so ids may differ across rebuilds.
+    # previous Gaussian up message instead of re-running the LM.  Keyed by
+    # clique signature so ids may differ across rebuilds.  The "inputs are
+    # provably identical" claim is STRUCTURAL: it relies on the factor-
+    # model immutability contract (parametric/solver.py _GROUP_CACHE note)
+    # — an in-place edit of a factor's measurement without a label change
+    # would make this recycled message stale, exactly as it would in the
+    # reference (attemptTreeSimilarClique matches labels, not values).
     old_msgs: Dict = (getattr(old_tree, "param_up_msgs", {})
                       if old_tree is not None else {})
     tree.param_up_msgs = {}

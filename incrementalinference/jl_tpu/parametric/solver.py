@@ -87,11 +87,28 @@ def _pad_rows(x: jnp.ndarray, pad: int, zero: bool = False) -> jnp.ndarray:
 
 
 # content-keyed cache of stacked factor groups (see _build_groups); value
-# holds refs to the member models so their ids stay unique while cached
+# holds refs to the member models so their ids stay unique while cached.
+#
+# IMMUTABILITY CONTRACT: keys include id(f.model), so factor models must be
+# treated as immutable once added to a graph — mutate a model's
+# mean/cov in place and this cache (and the parametric up-message recycle
+# cache, parametric/cliques.py) will serve stale stacked arrays.  Replace
+# the factor with a new model object instead (matches the reference, where
+# measurement edits go through rebuildFactorMetadata!/new DFGFactor data).
+# Call :func:`reset_group_cache` to drop all cached device arrays (e.g.
+# after discarding many graphs, or in long-lived processes where the
+# 4096-entry LRU pin is unwanted).
 from collections import OrderedDict as _OrderedDict
 
 _GROUP_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _GROUP_CACHE_MAX = 4096
+
+
+def reset_group_cache() -> None:
+    """Drop every cached stacked factor group (device arrays included).
+    Use after in-place model mutation (discouraged — see the immutability
+    contract above) or to release device memory pinned by the LRU."""
+    _GROUP_CACHE.clear()
 
 
 class _Group:

@@ -173,26 +173,38 @@ def extra_incremental():
                           LinearRelative(Normal(10.0, 1.0)))
         return fg
 
-    for label, wt in (("reference-semantics", 0.0), ("wildfire", 0.8)):
-        params = SolverParams(incremental=True, wildfire_tol=wt,
-                              batch_cliques=False)
-        fg = grown(30, params)
-        tr = solve_tree(fg)
-        # one untimed growth step warms the incremental kernel structures
-        # (incl. the one-time wildfire-gate jit compile)
-        fg.add_variable("x31", ContinuousScalar)
-        fg.add_factor(["x30", "x31"], LinearRelative(Normal(10.0, 1.0)))
-        tr = solve_tree(fg, old_tree=tr)
-        t0 = time.time()
-        steps = 4
-        for s in range(steps):
-            n = 31 + s
-            fg.add_variable(f"x{n+1}", ContinuousScalar)
-            fg.add_factor([f"x{n}", f"x{n+1}"],
+    # two chain lengths: the gate's saving is the skipped host-side
+    # down-solve work (subgraph build + widen + dispatch), which scales
+    # with the recycled-tree size, while its cost is ~one device sync per
+    # step — so the win grows with chain length (VERDICT r2 item 5)
+    for base in (30, 120):
+        for label, wt in (("reference-semantics", 0.0), ("wildfire", 0.8)):
+            params = SolverParams(incremental=True, wildfire_tol=wt,
+                                  batch_cliques=False)
+            fg = grown(base, params)
+            tr = solve_tree(fg)
+            # one untimed growth step warms the incremental kernel
+            # structures (incl. the one-time wildfire-gate jit compile)
+            fg.add_variable(f"x{base+1}", ContinuousScalar)
+            fg.add_factor([f"x{base}", f"x{base+1}"],
                           LinearRelative(Normal(10.0, 1.0)))
             tr = solve_tree(fg, old_tree=tr)
-        print(f"# incremental step ({label}): "
-              f"{(time.time() - t0) / steps:.3f}s/step", file=sys.stderr)
+            t0 = time.time()
+            steps = 4
+            for s in range(steps):
+                n = base + 1 + s
+                fg.add_variable(f"x{n+1}", ContinuousScalar)
+                fg.add_factor([f"x{n}", f"x{n+1}"],
+                              LinearRelative(Normal(10.0, 1.0)))
+                tr = solve_tree(fg, old_tree=tr)
+            wf = getattr(tr, "wildfire_stats", {})
+            print(f"# incremental step chain{base} ({label}): "
+                  f"{(time.time() - t0) / steps:.3f}s/step  gate: "
+                  f"{wf.get('down_solves', '?')} down-solves, "
+                  f"{wf.get('exact_skips', 0)} exact skips, "
+                  f"{wf.get('wildfire_skips', 0)}/"
+                  f"{wf.get('stat_syncs', 0)} wildfire skips/syncs",
+                  file=sys.stderr)
 
 
 EXTRAS = {

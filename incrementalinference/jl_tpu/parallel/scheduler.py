@@ -1053,6 +1053,12 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
         # incremental recycling semantics, CliqueStateMachine.jl:110-132)
         down_unchanged: set = set()
         wtol = getattr(fg.params, "wildfire_tol", 0.0)
+        # gate instrumentation (VERDICT r2 item 5): how often the wildfire
+        # statistic was consulted (each consult = one device->host scalar
+        # sync) vs fired, and how many down-solves were skipped for free
+        # via the exact parent-unchanged path
+        wf = tree.wildfire_stats = {"exact_skips": 0, "stat_syncs": 0,
+                                    "wildfire_skips": 0, "down_solves": 0}
         for level in levels:
             for cid in level:
                 cl = tree.clique(cid)
@@ -1079,11 +1085,16 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                         # exact: parent's down pass left beliefs untouched
                         tr.log("recycle", "skip down-solve")
                         skip_recycled = True
-                    elif summary is not None and _wildfire_unchanged(
-                            summary, tree.down_cache.get(sig), wtol):
-                        # wildfire: down message statistically unchanged
-                        tr.log("recycle", "wildfire skip down-solve")
-                        skip_recycled = True
+                        wf["exact_skips"] += 1
+                    elif summary is not None:
+                        wf["stat_syncs"] += 1
+                        if _wildfire_unchanged(summary,
+                                               tree.down_cache.get(sig),
+                                               wtol):
+                            # wildfire: down message statistically unchanged
+                            tr.log("recycle", "wildfire skip down-solve")
+                            skip_recycled = True
+                            wf["wildfire_skips"] += 1
                 if summary is not None:
                     tree.down_cache[sig] = summary
                 if skip_recycled:
@@ -1098,6 +1109,7 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                 child_up = [up_msgs[ch] for ch in cl.children
                             if ch in up_msgs]
                 try:
+                    wf["down_solves"] += 1
                     out = down_solve_clique(
                         fg, tree, cl, down_msgs.get(cid), solve_key,
                         child_msgs=child_up, trace=tr)

@@ -207,13 +207,28 @@ def extra_incremental():
                   file=sys.stderr)
 
 
+def extra_pallas():
+    # guard the hand-written kernel every round (numerics vs the XLA path
+    # + the kernel-only capability regime at 2^32 pairs)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    import pallas_tpu_check
+
+    rc = pallas_tpu_check.main()
+    print(f"# pallas hardware check: {'PASS' if rc == 0 else 'FAIL'}",
+          file=sys.stderr)
+    if rc != 0:
+        raise SystemExit(rc)
+
+
 EXTRAS = {
     "fourdoor": (extra_fourdoor, 240),
     "hexagonal": (extra_hexagonal, 300),
     "parametric30": (extra_parametric30, 300),
     "cliqrate": (extra_cliqrate, 240),
     "param_cliqrate": (extra_param_cliqrate, 420),
-    "incremental": (extra_incremental, 480),
+    "incremental": (extra_incremental, 600),
+    "pallas": (extra_pallas, 420),
 }
 
 

@@ -194,19 +194,27 @@ def manifold_product(manifold: Manifold, proposals: Sequence[Proposal],
 
 
 # Threshold (Na·Nb pair count) above which the pair product routes through
-# the Pallas streaming kernel instead of the plain-XLA path.  Measured on
-# TPU v5e (2026-08-20, benchmarks/pallas_tpu_check.py): XLA fuses the
-# row-logsumexp with the weight computation (the (Na, Nb) matrix never
-# materializes in HBM) and is fast up to Na·Nb = 2^32 − 1, where its
-# compile FAILS outright (tpu_compile_helper crash at 65536², an
-# element-count overflow) — so the streaming kernel is the ONLY working
-# path beyond that.  2^31 gives a 2x safety margin under the hard limit;
-# the compiled kernel executes correctly at every tested (N ≤ 65536,
-# dof ∈ 1..6) shape.  (A round-1 note claimed the compiled kernel "hangs
-# at small feature dims on real TPU"; that hang was reproduced and
-# bisected to the tunnel's device→host transfer path stalling — the
-# kernel itself dispatches and completes fine.)
-LARGE_PAIR_THRESHOLD = 1 << 31
+# the Pallas streaming kernel instead of the plain-XLA path.  Set from
+# MEASURED perf data on TPU v5e (2026-08-21,
+# benchmarks/pallas_crossover.py, dof=3, completion-synced timings):
+#
+#   pairs    2^26   2^28   2^29   2^30   2^31(49k²) 2^31(57k²)  2^32
+#   xla      34ms   33ms   43ms   54ms   91ms       112ms       compile FAIL
+#   pallas   38ms   39ms   44ms   53ms   83ms       100ms       130ms
+#
+# The HBM-streaming kernel crosses under the XLA fused path at ~2^30 pairs
+# and is the ONLY working path at Na·Nb >= 2^32 (tpu_compile_helper
+# element-count overflow at 65536²).  Below 2^30 XLA's fusion wins by
+# ~10%.  (A round-1 note claimed the compiled kernel "hangs at small
+# feature dims on real TPU"; that hang was reproduced and bisected to the
+# tunnel's device→host transfer path stalling — the kernel itself
+# dispatches and completes fine.)
+LARGE_PAIR_THRESHOLD = 1 << 30
+
+# Block size for the chunked selection inside the large-pair path: peak
+# memory is 2·BLOCK·max(Na, Nb) floats (vs n_out·Na for the naive one-hot,
+# which at N=50k would be ~10 GB and OOM the chip).
+_LARGE_SEL_BLOCK = 2048
 
 
 @functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
@@ -215,25 +223,41 @@ def pair_product_tangent_large(muA: jnp.ndarray, precA: jnp.ndarray,
                                key, n_out: int, interpret: bool = False):
     """Large-N exact pair product that never materializes the (Na, Nb)
     weight matrix: row log-partitions stream through the Pallas kernel
-    (ops/kernels/pallas_product.py), then only the ``n_out`` selected rows'
-    weights are rebuilt for the column draw — O(Na·dof + n_out·Nb) memory.
+    (ops/kernels/pallas_product.py), then the ``n_out`` selected rows'
+    weights are rebuilt blockwise for the column draw — peak memory
+    O(BLOCK·max(Na, Nb)) instead of O(n_out·Na), so belief products at
+    N=50k fit on one chip.
     """
     from .kernels.pallas_product import pair_row_logsumexp
 
+    na, nb = muA.shape[0], muB.shape[0]
     row_ls = pair_row_logsumexp(muA, precA, muB, precB,
                                 interpret=interpret)        # (Na,)
     k_row, k_col = jax.random.split(key)
     ia = jax.random.categorical(k_row, row_ls, shape=(n_out,))
-    selA = jax.nn.one_hot(ia, muA.shape[0], dtype=muA.dtype)
-    muA_s = selA @ muA
-    precA_s = selA @ precA
-    logW_rows = _pair_logW(muA_s, precA_s, muB, precB)      # (n_out, Nb)
-    ib = jax.random.categorical(k_col, logW_rows, axis=-1)
-    selB = jax.nn.one_hot(ib, muB.shape[0], dtype=muB.dtype)
 
-    sB = selB @ muB
-    qB = selB @ precB
-    prec = precA_s + qB
-    mu = jnp.where(prec > 0, (precA_s * muA_s + qB * sB) /
-                   jnp.maximum(prec, 1e-30), 0.0)
+    blk = min(_LARGE_SEL_BLOCK, n_out)
+    pad = (-n_out) % blk
+    ia_b = jnp.reshape(jnp.concatenate([ia, ia[:pad]]) if pad else ia,
+                       (-1, blk))
+    keys_b = jax.random.split(k_col, ia_b.shape[0])
+
+    def one_block(args):
+        ia_blk, kc = args
+        selA = jax.nn.one_hot(ia_blk, na, dtype=muA.dtype)  # (blk, Na)
+        muA_s = selA @ muA
+        precA_s = selA @ precA
+        logW_rows = _pair_logW(muA_s, precA_s, muB, precB)  # (blk, Nb)
+        ib = jax.random.categorical(kc, logW_rows, axis=-1)
+        selB = jax.nn.one_hot(ib, nb, dtype=muB.dtype)
+        sB = selB @ muB
+        qB = selB @ precB
+        prec = precA_s + qB
+        mu = jnp.where(prec > 0, (precA_s * muA_s + qB * sB) /
+                       jnp.maximum(prec, 1e-30), 0.0)
+        return mu, prec
+
+    mu_b, prec_b = jax.lax.map(one_block, (ia_b, keys_b))
+    mu = jnp.reshape(mu_b, (-1, muA.shape[1]))[:n_out]
+    prec = jnp.reshape(prec_b, (-1, muA.shape[1]))[:n_out]
     return mu, prec

@@ -327,6 +327,9 @@ class _ChainPlan:
 #: skip the ~1 ms/clique Python plan build entirely.
 _CHAIN_PLAN_CACHE: Dict[Tuple, Tuple] = {}
 _CHAIN_PLAN_CACHE_MAX = 4096
+# chain structures whose fused program failed to compile/run (e.g. HBM
+# OOM at very large N): skip the chain path for them permanently
+_CHAIN_POISONED: set = set()
 
 
 def _chain_plan_key(sub: FactorGraph, live: List[str], dvs: List[str],
@@ -487,8 +490,23 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
     models_iter = tuple(tuple(sub.factor(fl).model for fl in fls)
                         for fls in plan.iter_labels)
 
-    new_store, dbws, ibws = plan.fn(params.gibbs_iters)(
-        models_direct, models_iter, tuple(store), sub.next_key())
+    # a fused whole-clique program can exceed HBM at very large N (the
+    # schedule's live buffers all coexist in one program; observed OOM at
+    # N=50k) — fall back to the per-variable path, and poison the
+    # signature so the failing compile is not re-attempted every solve
+    sig = (plan.direct_steps, plan.iter_steps,
+           tuple(p.shape for p in store))
+    if sig in _CHAIN_POISONED:
+        return False
+    try:
+        new_store, dbws, ibws = plan.fn(params.gibbs_iters)(
+            models_direct, models_iter, tuple(store), sub.next_key())
+    except Exception as e:                            # noqa: BLE001
+        logger.warning("fused clique chain failed (%s); using the "
+                       "per-variable path for this structure",
+                       str(e)[:200])
+        _CHAIN_POISONED.add(sig)
+        return False
     bw_of = {step[0]: bw for step, bw in zip(plan.direct_steps, dbws)}
     bw_of.update({step[0]: bw for step, bw in zip(plan.iter_steps, ibws)})
     touched = plan.touched

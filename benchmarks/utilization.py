@@ -136,7 +136,13 @@ def part2():
                 i = int(v[1:])
                 errs.append(abs(float(np.asarray(
                     fg.points(v))[:, 0].mean()) - float(i)))
-        # fourdoor
+        # fourdoor: one untimed pass first — the sequence compiles fresh
+        # chain structures per N, which would otherwise dominate the wall
+        fg4, steps = fourdoor_sequence(SolverParams(N=N))
+        tree = None
+        for s in steps:
+            s()
+            tree = solve_tree(fg4, old_tree=tree)
         fg4, steps = fourdoor_sequence(SolverParams(N=N))
         tree = None
         t0 = time.time()

@@ -90,6 +90,21 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
     params = fg.params
     t0 = time.time()
 
+    # process-farm precompile launches BEFORE graphinit so the build-phase
+    # and sweep-phase programs compile in worker processes while init_all
+    # runs — enumeration only needs graph structure (default identity
+    # points carry the shapes), not initialized beliefs
+    farm = None
+    if precompile and not isinstance(precompile, bool) \
+            and algorithm != "parametric":
+        from .parallel.precompile import precompile_processes
+        from .tree.bayestree import build_tree as _build_tree
+        try:
+            farm = precompile_processes(fg, _build_tree(fg, order=order),
+                                        n_procs=int(precompile), wait=False)
+        except Exception:                     # noqa: BLE001
+            farm = None
+
     ensure_solvable(fg)
     if params.graphinit:
         init_all(fg, solve_key=solve_key)
@@ -121,12 +136,21 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
 
     tree = build_tree_reset(fg, order=order, old_tree=old_tree)
     if precompile:
-        # thread-parallel XLA compilation of the distinct update structures
-        # (first-solve wall-clock; no effect when caches are warm)
-        from .parallel.precompile import precompile_updates
-        n = precompile_updates(fg, tree)
-        if verbose:
-            logger.info("precompiled %d structures", n)
+        # XLA compilation of the distinct update structures ahead of the
+        # sweeps (first-solve wall-clock; no effect when caches are warm).
+        # precompile=True: thread pool in-process.  precompile=<int k>:
+        # process farm — k workers compile shards into the shared
+        # persistent cache, which overlaps compiles the in-process PJRT
+        # path serializes (measured near-perfect cross-process overlap).
+        if isinstance(precompile, bool):
+            from .parallel.precompile import precompile_updates
+            n = precompile_updates(fg, tree)
+            if verbose:
+                logger.info("precompiled %d structures", n)
+        elif farm is not None:
+            n = farm.wait()
+            if verbose:
+                logger.info("precompile farm: %d workers ok", n)
     if verbose:
         logger.info("tree: %d cliques, depth %d, build %.3fs",
                     tree.num_cliques(), len(tree.levels()), tree.build_time)

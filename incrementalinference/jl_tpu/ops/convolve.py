@@ -271,9 +271,13 @@ def eval_factor_core(manifold: Manifold, model, key,
         other_cloud = others[0]
     base_spread = spread_estimate(manifold, x_cur, other_cloud)
 
-    x = x_cur
-    for _ in range(spec.cycles):
-        k_inflate, k_e = jax.random.split(k_inflate)
+    # inflate/solve cycles ride a lax.scan: unrolling them tripled every
+    # factor's HLO inside the fused whole-clique chain programs, which is
+    # where the cold-compile wall lived (key sequence identical to the
+    # unrolled loop, so statistics are bit-for-bit unchanged)
+    def _cycle(carry, _):
+        x, kc = carry
+        kc, k_e = jax.random.split(kc)
         if spec.inflation > 0.0:
             x = add_entropy(manifold, x, k_e,
                             spec.inflation * base_spread, partial_dims)
@@ -281,6 +285,10 @@ def eval_factor_core(manifold: Manifold, model, key,
             manifold, model, meas, others, x, sf_slot, iters=spec.iters,
             damping=spec.damping, partial_dims=partial_dims)
         x = jnp.where(masks.solve_mask[:, None], solved, x)
+        return (x, kc), None
+
+    (x, _), _ = jax.lax.scan(_cycle, (x_cur, k_inflate), None,
+                             length=spec.cycles)
 
     # null / snap-together particles: entropy only, kappa = spreadNH
     inactive = masks.null_mask | masks.snap_mask

@@ -174,15 +174,24 @@ def _make_clique_chain(direct_steps: Tuple, iter_steps: Tuple,
             dbws.append(bw)
         ibws = ()
         if iter_steps:
-            store, ibws = _round(models_iter, store, ki0)
-            if n_rounds > 1:
-                def body(carry, k):
-                    st, _ = carry
-                    st, bws = _round(models_iter, st, k)
-                    return (st, bws), None
+            # ALL rounds ride the scan (the first round used to be traced
+            # inline just to seed the carry; zero-init bandwidths of the
+            # known (dof,) shapes seed it instead — halves the iter part
+            # of the HLO, which dominated the cold-compile wall).  Key
+            # sequence matches the old unrolled-first-round layout exactly.
+            dt = store[0].dtype
+            ibws0 = tuple(jnp.zeros((step[1].dof,), dt)
+                          for step in iter_steps)
 
-                ks = jax.random.split(kr, n_rounds - 1)
-                (store, ibws), _ = jax.lax.scan(body, (store, ibws), ks)
+            def body(carry, k):
+                st, _ = carry
+                st, bws = _round(models_iter, st, k)
+                return (st, bws), None
+
+            ks = jnp.concatenate([ki0[None],
+                                  jax.random.split(kr, n_rounds - 1)]) \
+                if n_rounds > 1 else ki0[None]
+            (store, ibws), _ = jax.lax.scan(body, (store, ibws0), ks)
         return store, tuple(dbws), ibws
 
     return chain_body

@@ -20,7 +20,7 @@ import numpy as np
 
 from .. import distributions as D
 from .. import models as M
-from ..beliefs import Belief
+from ..beliefs import Belief, LazyPPE as _LazyPPE
 from ..config import SolverParams
 from ..graph import FactorGraph, Variable, VariableType
 from ..manifolds import (SE2, SE3, SO2, SO3, Circle, Euclidean, Manifold,
@@ -247,7 +247,14 @@ def save_graph(fg: FactorGraph, path: str, parch: bool = False) -> str:
             # blob entries alongside the solver data
             "timestamp": v.timestamp,
             "solved_count": dict(v.solved_count),
-            "ppe": {k: {kk: _arr(vv) for kk, vv in est.items()}
+            # PPEs: lazily-deferred ones that were never read save as a
+            # lazy marker and reconstruct as LazyPPE on load — forcing
+            # them here would compile + dispatch the PPE kernel per
+            # variable (a 10 s cold stall observed when the precompile
+            # farm saved a graph mid-solve)
+            "ppe": {k: ({"__lazy__": True}
+                        if isinstance(est, _LazyPPE) and not est._done
+                        else {kk: _arr(vv) for kk, vv in est.items()})
                     for k, est in v.ppe.items()},
             "data": {k: {"label": e.label, "blob_id": e.blob_id,
                          "blobstore": e.blobstore,
@@ -292,8 +299,12 @@ def load_graph(path: str) -> FactorGraph:
             v.parametric_cov = jnp.asarray(vd["parametric_cov"])
         v.timestamp = vd.get("timestamp", 0.0)
         v.solved_count = dict(vd.get("solved_count", {}))
-        v.ppe = {k: {kk: jnp.asarray(vv) for kk, vv in est.items()}
-                 for k, est in vd.get("ppe", {}).items()}
+        v.ppe = {}
+        for k, est in vd.get("ppe", {}).items():
+            if est.get("__lazy__") and k in v.beliefs:
+                v.ppe[k] = _LazyPPE(v.manifold, v.beliefs[k])
+            elif not est.get("__lazy__"):
+                v.ppe[k] = {kk: jnp.asarray(vv) for kk, vv in est.items()}
         if vd.get("data"):
             from ..datastore import BlobEntry
             v.data = {k: BlobEntry(**e) for k, e in vd["data"].items()}

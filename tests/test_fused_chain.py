@@ -120,3 +120,19 @@ def test_precompile_seeds_chain_plans():
     for i in range(5):
         m = float(np.asarray(fg.points(f"x{i}")[:, 0]).mean())
         assert abs(m - 5.0 * i) < 2.0, (i, m)
+
+
+def test_precompile_shard_partitions_jobs():
+    """precompile_updates(shard=(i,k)) splits the deterministic job list:
+    the shards are disjoint and cover all jobs (the unit of work of the
+    process farm)."""
+    from incrementalinference.jl_tpu.canonical import generate_line_step
+    from incrementalinference.jl_tpu.parallel.precompile import (
+        precompile_updates)
+    from incrementalinference.jl_tpu.tree.bayestree import build_tree
+
+    fg = generate_line_step(8, graphinit=True)
+    tree = build_tree(fg)
+    total = precompile_updates(fg, tree)
+    parts = [precompile_updates(fg, tree, shard=(i, 3)) for i in range(3)]
+    assert sum(parts) == total > 0

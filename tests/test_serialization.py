@@ -216,3 +216,35 @@ def test_mkd_manifold_type_roundtrip():
     del d["manifold"]
     m3 = unpack_distribution(d)
     assert m3.manifold.dof == man.dof
+
+
+def test_save_graph_keeps_ppe_lazy(tmp_path):
+    """Saving a solved graph must NOT force lazily-deferred PPEs (each
+    force compiles + dispatches the PPE kernel — a measured 10 s cold
+    stall when the precompile farm saved a graph mid-solve); unforced
+    PPEs round-trip as a lazy marker and materialize on first read."""
+    import incrementalinference.jl_tpu as ii
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             initfg, solve_tree)
+    from incrementalinference.jl_tpu.beliefs import LazyPPE
+
+    fg = initfg(ii.SolverParams(N=40))
+    fg.add_variable("x0", ContinuousScalar)
+    fg.add_factor(["x0"], Prior(Normal(0.0, 0.5)))
+    fg.add_variable("x1", ContinuousScalar)
+    fg.add_factor(["x0", "x1"], LinearRelative(Normal(10.0, 0.5)))
+    solve_tree(fg)
+    est = fg.var("x1").ppe["default"]
+    assert isinstance(est, LazyPPE) and not est._done
+
+    path = str(tmp_path / "fg_lazy.json")
+    save_graph(fg, path)
+    assert not est._done                 # save did not force it
+
+    fg2 = load_graph(path)
+    est2 = fg2.var("x1").ppe["default"]
+    assert isinstance(est2, LazyPPE) and not est2._done
+    # materializes on read, near the solved mean
+    val = float(np.asarray(est2["suggested"])[0])
+    assert abs(val - 10.0) < 3.0, val

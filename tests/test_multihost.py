@@ -97,6 +97,53 @@ class TestSingleProcessDegenerate:
         assert tm["exchange_up_s"] == 0.0 or tm["exchange_up_s"] < 0.5
 
 
+class TestMessageCodec:
+    def test_flat_pack_unpack_roundtrip_se2(self):
+        """The cut-edge message codec must carry manifold beliefs whose
+        point_dim differs from dof (SE2: 3 ambient coords) bit-exactly
+        through the flat buffer."""
+        import jax.numpy as jnp
+
+        from incrementalinference.jl_tpu import (ManifoldFactor,
+                                                 ManifoldPrior, MvNormal,
+                                                 VariableType, initfg)
+        from incrementalinference.jl_tpu.manifolds import SE2
+        from incrementalinference.jl_tpu.parallel.messages import (
+            LikelihoodMessage)
+        from incrementalinference.jl_tpu.parallel.multihost import (
+            _msg_flat_layout, _pack_msgs, _unpack_msgs)
+        from incrementalinference.jl_tpu.tree.bayestree import CliqStatus
+
+        se2 = SE2()
+        pose2 = VariableType("Pose2", se2)
+        fg = initfg()
+        fg.add_variable("p0", pose2)
+        fg.add_factor(["p0"], ManifoldPrior(
+            se2, jnp.zeros(3), MvNormal([0.0] * 3, [0.1] * 3)))
+        fg.add_variable("p1", pose2)
+        fg.add_factor(["p0", "p1"], ManifoldFactor(
+            se2, MvNormal([1.0, 0.0, 0.2], [0.1] * 3)))
+
+        msg = LikelihoodMessage(sender=7, status=CliqStatus.UPSOLVED,
+                                has_priors=True)
+        msg.beliefs["p0"] = fg.get_belief("p0")
+        layout = [(7, ["p0"])]
+        flat = _msg_flat_layout(fg, layout)
+        buf = _pack_msgs(fg, layout, flat, {7: msg})
+
+        class FakeTree:
+            pass
+
+        out = _unpack_msgs(fg, FakeTree(), layout, flat, buf[None, :],
+                           {7: 0})
+        m2 = out[7]
+        assert m2.status == CliqStatus.UPSOLVED and m2.has_priors
+        np.testing.assert_array_equal(np.asarray(m2.beliefs["p0"].points),
+                                      np.asarray(msg.beliefs["p0"].points))
+        np.testing.assert_array_equal(np.asarray(m2.beliefs["p0"].bw),
+                                      np.asarray(msg.beliefs["p0"].bw))
+
+
 class TestCrossProcess:
     """Spawn 2 localhost processes × 2 virtual CPU devices; gloo
     collectives carry the cut-edge and posterior payloads."""

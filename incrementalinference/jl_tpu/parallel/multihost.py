@@ -46,7 +46,8 @@ import numpy as np
 
 from ..tree.bayestree import BayesTree, CliqStatus
 from .messages import LikelihoodMessage
-from .scheduler import down_solve_clique, up_solve_clique
+from .scheduler import (build_clique_subgraph, down_solve_clique,
+                        up_solve_clique)
 
 __all__ = ["TreePartition", "partition_tree", "solve_tree_multihost",
            "launch_multihost"]
@@ -405,6 +406,182 @@ def _sync_beliefs(fg, tree, part: TreePartition, solve_key: str) -> None:
 
 
 # --------------------------------------------------------------------------
+# parametric multi-host solve (Gaussian messages over the same partition)
+# --------------------------------------------------------------------------
+
+def _param_msg_layout(fg, tree, cids):
+    """(cid, seps, dof_total) layout for cut-edge Gaussian messages."""
+    out = []
+    for cid in sorted(cids):
+        seps = list(tree.clique(cid).separator)
+        dof = sum(fg.var(v).manifold.dof for v in seps)
+        out.append((cid, seps, dof))
+    return out
+
+
+def _param_flat_layout(fg, layout) -> _FlatLayout:
+    flat = _FlatLayout()
+    for cid, seps, dof in layout:
+        for v in seps:
+            flat.add((cid, v, "point"), (fg.var(v).manifold.point_dim,))
+        flat.add((cid, "cov"), (dof, dof))
+    return flat
+
+
+def solve_tree_parametric_multihost(fg, order=None,
+                                    partition: Optional[TreePartition] = None,
+                                    timings: Optional[dict] = None):
+    """Distributed clique-wise parametric solve (reference
+    solveTree!(…; algorithm=:parametric) under the WORKERPOOL axis):
+    same subtree partition and phase structure as
+    :func:`solve_tree_multihost`, with joint-Gaussian separator messages
+    (means + covariance blocks — tiny fixed-shape payloads) as the only
+    cross-host traffic.  The parametric LM is deterministic, so the
+    replicated top needs no key-stream handling."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parametric.cliques import (GaussianMessage, _attach_message,
+                                      _finalize_clique, _marginal_message)
+    from ..parametric.solver import (ParametricProblem, autoinit_parametric,
+                                     init_parametric_from,
+                                     solve_problems_batched)
+    from ..tree.bayestree import build_tree_reset
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    tm = timings if timings is not None else {}
+
+    if any(fg.var(v).parametric_point is None for v in fg.ls()):
+        init_parametric_from(fg, only_missing=True)
+    if any(fg.var(v).parametric_point is None for v in fg.ls()):
+        autoinit_parametric(fg)
+
+    tree = build_tree_reset(fg, order=order)
+    part = partition or partition_tree(tree, nproc)
+    my_cids = set(part.part_cliques[pid]) if pid < part.n_parts else set()
+    top_set = set(part.top)
+    levels = tree.levels()
+    up_msgs: Dict[int, GaussianMessage] = {}
+
+    def up_one(cl):
+        sub = build_clique_subgraph(fg, cl)
+        for ch in cl.children:
+            if ch in up_msgs:
+                _attach_message(sub, up_msgs[ch], "up")
+        prob = ParametricProblem(sub)
+        (points, cov, _), = solve_problems_batched([prob])
+        _finalize_clique(prob, sub, points, cov)
+        up_msgs[cl.cid] = _marginal_message(prob, sub, cl)
+        cl.status = CliqStatus.UPSOLVED
+        for v in cl.frontals:
+            fv = fg.var(v)
+            fv.parametric_point = sub.var(v).parametric_point
+            fv.parametric_cov = sub.var(v).parametric_cov
+
+    def down_one(cl):
+        if cl.parent is None:
+            cl.status = CliqStatus.DOWNSOLVED
+            return
+        sub = build_clique_subgraph(fg, cl)
+        for ch in cl.children:
+            if ch in up_msgs:
+                _attach_message(sub, up_msgs[ch], "dwn")
+        prob = ParametricProblem(sub, frozen=cl.separator)
+        (points, cov, _), = solve_problems_batched([prob])
+        _finalize_clique(prob, sub, points, cov)
+        cl.status = CliqStatus.DOWNSOLVED
+        for v in cl.frontals:
+            fv = fg.var(v)
+            fv.parametric_point = sub.var(v).parametric_point
+            fv.parametric_cov = sub.var(v).parametric_cov
+
+    t0 = time.time()
+    for level in reversed(levels):
+        for cid in sorted(level):
+            if cid in my_cids:
+                up_one(tree.clique(cid))
+    tm["local_up_s"] = time.time() - t0
+
+    # cut-edge Gaussian message exchange (one collective)
+    t0 = time.time()
+    if part.cut_roots and nproc > 1:
+        layout = _param_msg_layout(fg, tree, part.cut_roots)
+        flat = _param_flat_layout(fg, layout)
+        buf = np.zeros((flat.size,), np.float32)
+        for cid, seps, dof in layout:
+            m = up_msgs.get(cid)
+            if m is None:
+                continue
+            for v, p in zip(m.variables, m.points):
+                flat.write(buf, (cid, v, "point"), p)
+            flat.write(buf, (cid, "cov"), m.cov)
+        gathered = _allgather(buf)
+        for cid, seps, dof in layout:
+            if cid in up_msgs:
+                continue                      # owner keeps its own
+            row = gathered[part.owner[cid]]
+            pts = [jnp.asarray(flat.read(row, (cid, v, "point")))
+                   for v in seps]
+            cov = jnp.asarray(flat.read(row, (cid, "cov")))
+            up_msgs[cid] = GaussianMessage(cid, seps, pts, cov)
+    tm["exchange_up_s"] = time.time() - t0
+
+    # replicated top (deterministic LM — no reseed needed), then local down
+    t0 = time.time()
+    for level in reversed(levels):
+        for cid in sorted(level):
+            if cid in top_set:
+                up_one(tree.clique(cid))
+    for level in levels:
+        for cid in sorted(level):
+            if cid in top_set:
+                down_one(tree.clique(cid))
+    tm["top_s"] = time.time() - t0
+
+    t0 = time.time()
+    for level in levels:
+        for cid in sorted(level):
+            if cid in my_cids:
+                down_one(tree.clique(cid))
+    tm["local_down_s"] = time.time() - t0
+
+    # posterior broadcast: parametric point + covariance per owned frontal
+    t0 = time.time()
+    if nproc > 1:
+        layout2: List[Tuple[str, int]] = []
+        for p, cids in enumerate(part.part_cliques):
+            for cid in sorted(cids):
+                for v in tree.clique(cid).frontals:
+                    layout2.append((v, p))
+        if layout2:
+            flat2 = _FlatLayout()
+            for v, p in layout2:
+                m = fg.var(v).manifold
+                flat2.add((v, "point"), (m.point_dim,))
+                flat2.add((v, "cov"), (m.dof, m.dof))
+            buf2 = np.zeros((flat2.size,), np.float32)
+            for v, p in layout2:
+                fv = fg.var(v)
+                if p == pid and fv.parametric_point is not None:
+                    flat2.write(buf2, (v, "point"), fv.parametric_point)
+                    flat2.write(buf2, (v, "cov"), fv.parametric_cov)
+            g2 = _allgather(buf2)
+            for v, p in layout2:
+                if p == pid:
+                    continue
+                row = g2[p]
+                fg.var(v).parametric_point = jnp.asarray(
+                    flat2.read(row, (v, "point")))
+                fg.var(v).parametric_cov = jnp.asarray(
+                    flat2.read(row, (v, "cov")))
+    tm["sync_s"] = time.time() - t0
+    tree.up_msgs = up_msgs
+    fg.solve_count += 1
+    return tree
+
+
+# --------------------------------------------------------------------------
 # localhost launcher (CPU dryrun / scaling measurement)
 # --------------------------------------------------------------------------
 
@@ -485,6 +662,8 @@ def _worker_main(argv=None) -> None:
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--fixture", default="anchored_forest")
     ap.add_argument("--scale", type=int, default=8)
+    ap.add_argument("--algorithm", default="default",
+                    choices=("default", "parametric"))
     ap.add_argument("--out", default="")
     a = ap.parse_args(argv)
 
@@ -506,12 +685,19 @@ def _worker_main(argv=None) -> None:
         fg = build_fixture(a.fixture, a.scale)
         tm: dict = {}
         t0 = time.time()
-        tree = solve_tree_multihost(fg, timings=tm)
+        if a.algorithm == "parametric":
+            tree = solve_tree_parametric_multihost(fg, timings=tm)
+        else:
+            tree = solve_tree_multihost(fg, timings=tm)
         tm["total_s"] = time.time() - t0
         errs = {}
         for v, mu in truth.items():
-            pts = np.asarray(fg.points(v))
-            errs[v] = abs(float(pts[:, 0].mean()) - mu)
+            if a.algorithm == "parametric":
+                errs[v] = abs(float(np.asarray(
+                    fg.var(v).parametric_point)[0]) - mu)
+            else:
+                pts = np.asarray(fg.points(v))
+                errs[v] = abs(float(pts[:, 0].mean()) - mu)
         results[phase] = {
             "timings": tm, "max_err": max(errs.values()),
             "mean_err": float(np.mean(list(errs.values()))),
@@ -526,7 +712,8 @@ def _worker_main(argv=None) -> None:
 
 def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
                      scale: int = 8, devices_per_proc: int = 2,
-                     timeout: float = 600.0) -> List[dict]:
+                     timeout: float = 600.0,
+                     algorithm: str = "default") -> List[dict]:
     """Spawn ``n_procs`` localhost CPU processes that jointly solve the
     fixture with :func:`solve_tree_multihost`; returns each process's JSON
     report.  This is the CPU dryrun of the multi-host path (the reference's
@@ -563,7 +750,8 @@ def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
              "incrementalinference.jl_tpu.parallel.multihost",
              "--pid", str(pid), "--nproc", str(n_procs),
              "--port", str(port), "--fixture", fixture,
-             "--scale", str(scale), "--out", out],
+             "--scale", str(scale), "--algorithm", algorithm,
+             "--out", out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     reports, errors = [], []
     for pid, p in enumerate(procs):

@@ -168,6 +168,39 @@ class TestCrossProcess:
         assert abs(reps[0]["warm"]["max_err"]
                    - reps[1]["warm"]["max_err"]) < 1e-6
 
+    def test_parametric_multihost_matches_tree_solver(self):
+        """Single-process parametric multihost must reproduce the standard
+        clique-wise parametric tree solve BIT-EXACTLY (same partition-
+        agnostic math, deterministic LM)."""
+        import numpy as np
+
+        from incrementalinference.jl_tpu import solve_tree
+        from incrementalinference.jl_tpu.parallel.multihost import (
+            solve_tree_parametric_multihost)
+
+        fg_a = build_fixture("anchored_forest", 4)
+        solve_tree(fg_a, algorithm="parametric")
+        fg_b = build_fixture("anchored_forest", 4)
+        solve_tree_parametric_multihost(fg_b)
+        for v in fg_a.ls():
+            np.testing.assert_array_equal(
+                np.asarray(fg_a.var(v).parametric_point),
+                np.asarray(fg_b.var(v).parametric_point))
+
+    def test_two_process_parametric(self):
+        """2-process parametric multihost: Gaussian cut messages + point/
+        cov broadcast; every process ends with the same solution, near
+        truth."""
+        reps = launch_multihost(2, "anchored_forest", scale=6,
+                                devices_per_proc=1, timeout=900,
+                                algorithm="parametric")
+        for r in reps:
+            # clique-wise Gaussian BP fidelity bar (the single-process
+            # tree solver lands at 0.166 on this fixture)
+            assert r["warm"]["max_err"] < 0.35, r["warm"]["max_err"]
+        assert abs(reps[0]["warm"]["max_err"]
+                   - reps[1]["warm"]["max_err"]) < 1e-6
+
     def test_two_process_chain_exchange(self):
         """Chain: cut edges sit on the critical path, so the exchange is
         load-bearing — a dropped cut message would leave the top half

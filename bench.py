@@ -207,6 +207,19 @@ def extra_incremental():
                   file=sys.stderr)
 
 
+def extra_se3():
+    # SE(3)/SO(3)/Sphere2 reference-tolerance bars on the real chip (the
+    # quaternion small-angle + jacfwd f32 paths; warm after first round)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    import se3_tpu_soak
+
+    rc = se3_tpu_soak.main()
+    print(f"# se3 soak: {'PASS' if rc == 0 else 'FAIL'}", file=sys.stderr)
+    if rc != 0:
+        raise SystemExit(rc)
+
+
 def extra_pallas():
     # guard the hand-written kernel every round (numerics vs the XLA path
     # + the kernel-only capability regime at 2^32 pairs)
@@ -229,6 +242,7 @@ EXTRAS = {
     "param_cliqrate": (extra_param_cliqrate, 420),
     "incremental": (extra_incremental, 600),
     "pallas": (extra_pallas, 420),
+    "se3": (extra_se3, 480),
 }
 
 

@@ -244,6 +244,7 @@ def _allgather(arr: np.ndarray) -> np.ndarray:
 
 def solve_tree_multihost(fg, order=None, solve_key: str = "default",
                          partition: Optional[TreePartition] = None,
+                         old_tree: Optional[BayesTree] = None,
                          timings: Optional[dict] = None) -> BayesTree:
     """Distributed ``solve_tree``: every process calls this with an
     identically-built graph (deterministic given ``params.seed``); the
@@ -267,7 +268,12 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
     if fg.params.graphinit:
         init_all(fg, solve_key=solve_key)
 
-    tree = build_tree_reset(fg, order=order)
+    # incremental recycling works unchanged across hosts: after the
+    # posterior-broadcast phase every process holds the FULL previous
+    # solution, so a recycled clique re-emits its message from local
+    # beliefs regardless of which process owned it last solve (the
+    # partition may shift as the tree grows)
+    tree = build_tree_reset(fg, order=order, old_tree=old_tree)
     part = partition or partition_tree(tree, nproc)
     my_cids = set(part.part_cliques[pid]) if pid < part.n_parts else set()
     top_set = set(part.top)
@@ -308,6 +314,18 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
                 "solve single-host for this graph", no_init)
     tm["exchange_up_s"] = time.time() - t0
 
+    import os as _os
+    if _os.environ.get("IITPU_MH_DEBUG"):
+        for cid in part.cut_roots:
+            m = up_msgs.get(cid)
+            if m is None:
+                print(f"[mh-debug pid={pid}] cut {cid}: MISSING", flush=True)
+                continue
+            cs = {v: float(np.asarray(b.points).sum())
+                  for v, b in m.beliefs.items()}
+            print(f"[mh-debug pid={pid}] cut {cid} status={m.status} "
+                  f"sums={cs}", flush=True)
+
     # ---- phase C: replicated top (up then down), reseeded ---------------
     t0 = time.time()
     down_msgs: Dict[int, LikelihoodMessage] = {}
@@ -316,6 +334,15 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
         # restart the deterministic stream so the replicated top solves
         # identically everywhere (down messages at cut edges must agree)
         fg.reseed(fg.params.seed ^ 0x70B5EED)
+        if nproc > 1:
+            # adopt process 0's beliefs for every top-clique variable: the
+            # replicated top is only bit-identical if its INPUT beliefs
+            # are — and user-side graph mutations between solves
+            # (add_factor graphinit) consume each process's diverged key
+            # stream, so top-variable init beliefs can differ (observed:
+            # a grown branch partitioned into the top diverged the
+            # incremental anchor posterior across processes)
+            _broadcast_top_beliefs(fg, tree, part, solve_key)
         for level in reversed(levels):
             for cid in sorted(level):
                 if cid not in top_set:
@@ -336,6 +363,14 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
                                         solve_key, child_msgs=child_up)
                 down_msgs.update(out)
     tm["top_s"] = time.time() - t0
+
+    import os as _os
+    if _os.environ.get("IITPU_MH_DEBUG"):
+        for dv in _os.environ["IITPU_MH_DEBUG"].split(","):
+            if dv in fg.variables and solve_key in fg.var(dv).beliefs:
+                print(f"[mh-debug pid={pid}] post-top {dv} mean="
+                      f"{float(np.asarray(fg.points(dv, solve_key))[:, 0].mean()):.6f} "
+                      f"ctr={fg._key_ctr}", flush=True)
 
     # ---- phase D: local down sweeps into owned subtrees -----------------
     t0 = time.time()
@@ -363,6 +398,46 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
             v.solved_count[solve_key] = v.get_solved_count(solve_key) + 1
     fg.solve_count += 1
     return tree
+
+
+def _broadcast_top_beliefs(fg, tree, part: TreePartition,
+                           solve_key: str) -> None:
+    """Adopt process 0's beliefs for all variables of the replicated top
+    cliques (one collective) so the top phase runs on identical inputs
+    everywhere.  A presence flag handles vars process 0 has no belief for."""
+    import jax
+    import jax.numpy as jnp
+    from ..beliefs import Belief
+
+    top_vars = sorted({v for cid in part.top
+                       for v in tree.clique(cid).all_vars})
+    if not top_vars:
+        return
+    pid = jax.process_index()
+    flat = _FlatLayout()
+    for v in top_vars:
+        flat.add((v, "has"), (1,))
+        _belief_slots(flat, v, fg.var(v))
+    buf = np.zeros((flat.size,), np.float32)
+    if pid == 0:
+        for v in top_vars:
+            var = fg.var(v)
+            if solve_key in var.beliefs:
+                b = var.beliefs[solve_key]
+                flat.write(buf, (v, "has"), [1.0])
+                flat.write(buf, (v, "points"), b.points)
+                flat.write(buf, (v, "bw"), b.bw)
+                flat.write(buf, (v, "ipc"), b.ipc)
+    row = _allgather(buf)[0]
+    if pid == 0:
+        return                              # already authoritative
+    for v in top_vars:
+        if float(flat.read(row, (v, "has"))[0]) > 0.5:
+            fg.var(v).beliefs[solve_key] = Belief(
+                points=jnp.asarray(flat.read(row, (v, "points"))),
+                bw=jnp.asarray(flat.read(row, (v, "bw"))),
+                ipc=jnp.asarray(flat.read(row, (v, "ipc"))))
+            fg.var(v).initialized[solve_key] = True
 
 
 def _sync_beliefs(fg, tree, part: TreePartition, solve_key: str) -> None:
@@ -664,6 +739,7 @@ def _worker_main(argv=None) -> None:
     ap.add_argument("--scale", type=int, default=8)
     ap.add_argument("--algorithm", default="default",
                     choices=("default", "parametric"))
+    ap.add_argument("--grow", type=int, default=0)
     ap.add_argument("--out", default="")
     a = ap.parse_args(argv)
 
@@ -681,14 +757,14 @@ def _worker_main(argv=None) -> None:
                "devices": jax.device_count(),
                "local_devices": jax.local_device_count()}
     truth = fixture_truth(a.fixture, a.scale)
-    for phase in ("cold", "warm"):
-        fg = build_fixture(a.fixture, a.scale)
+
+    def solve_and_report(fg, tree_in=None):
         tm: dict = {}
         t0 = time.time()
         if a.algorithm == "parametric":
             tree = solve_tree_parametric_multihost(fg, timings=tm)
         else:
-            tree = solve_tree_multihost(fg, timings=tm)
+            tree = solve_tree_multihost(fg, timings=tm, old_tree=tree_in)
         tm["total_s"] = time.time() - t0
         errs = {}
         for v, mu in truth.items():
@@ -698,11 +774,39 @@ def _worker_main(argv=None) -> None:
             else:
                 pts = np.asarray(fg.points(v))
                 errs[v] = abs(float(pts[:, 0].mean()) - mu)
-        results[phase] = {
+        means = {}
+        for v in truth:
+            if a.algorithm == "parametric":
+                means[v] = float(np.asarray(fg.var(v).parametric_point)[0])
+            else:
+                means[v] = float(np.asarray(fg.points(v))[:, 0].mean())
+        return tree, {
             "timings": tm, "max_err": max(errs.values()),
             "mean_err": float(np.mean(list(errs.values()))),
             "n_cliques": tree.num_cliques(),
+            "n_recycled": sum(c.is_recycled for c in tree.cliques.values()),
+            "means": means,
         }
+
+    for phase in ("cold", "warm"):
+        fg = build_fixture(a.fixture, a.scale)
+        tree, results[phase] = solve_and_report(fg)
+    if a.grow and a.algorithm == "default":
+        # incremental phase: extend the warm fixture's graph and re-solve
+        # with old_tree= — recycling must engage across the partition
+        from .. import ContinuousScalar, LinearRelative, Normal
+        base = f"b0x2" if a.fixture != "chain" else f"x{a.scale-1}"
+        prev = base
+        for g in range(a.grow):
+            lbl = f"g{g}"
+            fg.add_variable(lbl, ContinuousScalar)
+            fg.add_factor([prev, lbl], LinearRelative(Normal(1.0, 0.5)))
+            prev = lbl
+        truth = dict(truth)
+        base_mu = truth[base]
+        for g in range(a.grow):
+            truth[f"g{g}"] = base_mu + g + 1
+        _, results["incr"] = solve_and_report(fg, tree_in=tree)
     if a.out:
         with open(a.out, "w") as fp:
             json.dump(results, fp)
@@ -713,7 +817,8 @@ def _worker_main(argv=None) -> None:
 def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
                      scale: int = 8, devices_per_proc: int = 2,
                      timeout: float = 600.0,
-                     algorithm: str = "default") -> List[dict]:
+                     algorithm: str = "default",
+                     grow: int = 0) -> List[dict]:
     """Spawn ``n_procs`` localhost CPU processes that jointly solve the
     fixture with :func:`solve_tree_multihost`; returns each process's JSON
     report.  This is the CPU dryrun of the multi-host path (the reference's
@@ -751,7 +856,7 @@ def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
              "--pid", str(pid), "--nproc", str(n_procs),
              "--port", str(port), "--fixture", fixture,
              "--scale", str(scale), "--algorithm", algorithm,
-             "--out", out],
+             "--grow", str(grow), "--out", out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     reports, errors = [], []
     for pid, p in enumerate(procs):

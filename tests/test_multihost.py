@@ -201,6 +201,19 @@ class TestCrossProcess:
         assert abs(reps[0]["warm"]["max_err"]
                    - reps[1]["warm"]["max_err"]) < 1e-6
 
+    def test_two_process_incremental_recycling(self):
+        """Grow the warm graph and re-solve with old_tree= across 2
+        processes: recycling must engage (is_recycled cliques > 0) and the
+        grown posterior stay accurate on every process."""
+        reps = launch_multihost(2, "anchored_forest", scale=6,
+                                devices_per_proc=1, timeout=900, grow=2)
+        for r in reps:
+            assert "incr" in r
+            assert r["incr"]["n_recycled"] >= 3, r["incr"]
+            assert r["incr"]["max_err"] < 1.5, r["incr"]["max_err"]
+        assert abs(reps[0]["incr"]["max_err"]
+                   - reps[1]["incr"]["max_err"]) < 1e-6
+
     def test_two_process_chain_exchange(self):
         """Chain: cut edges sit on the critical path, so the exchange is
         load-bearing — a dropped cut message would leave the top half

@@ -59,9 +59,10 @@ def _chain_programs(fg, tree, solve_key="default"):
             sub, cl, list(cl.direct_vars), list(cl.iter_vars), solve_key)
         if plan in (True, False) or store is None:
             continue
-        models_d = tuple(tuple(sub.factor(fl).model for fl in fls)
+        from incrementalinference.jl_tpu.ops.graphops import device_model
+        models_d = tuple(tuple(device_model(sub.factor(fl)) for fl in fls)
                          for fls in plan.direct_labels)
-        models_i = tuple(tuple(sub.factor(fl).model for fl in fls)
+        models_i = tuple(tuple(device_model(sub.factor(fl)) for fl in fls)
                          for fls in plan.iter_labels)
         sig = (plan.direct_steps, plan.iter_steps,
                tuple(p.shape for p in store),

@@ -24,11 +24,31 @@ import functools as _functools
 import numpy as _np
 
 
+def device_model(f):
+    """The factor's model with every pytree leaf as a committed device
+    array, cached on the factor.  Passing raw python/numpy leaves into the
+    jitted updates costs a per-leaf canonicalization + device_put on EVERY
+    dispatch (profiled: ~188 conversions = ~30 % of a warm LineStep(20)
+    solve through the TPU tunnel).  Same immutability contract as the
+    parametric group cache (parametric/solver.py): replace models, don't
+    mutate them."""
+    dm = getattr(f, "_device_model", None)
+    if dm is None:
+        import jax
+
+        dm = f._device_model = jax.tree.map(jnp.asarray, f.model)
+    return dm
+
+
 @_functools.lru_cache(maxsize=4096)
 def _ipc_of(masks):
-    """infoPerCoord from static masks — pure host numpy, cached per
-    structure (the eager jnp version cost ~3 dispatches per update)."""
-    return _np.sum(_np.asarray(masks, _np.float32), axis=0)
+    """infoPerCoord from static masks — computed on host, returned as a
+    CACHED device array: every belief writeback passes ipc into
+    make_belief, whose jnp.asarray on fresh numpy cost one device_put
+    dispatch per clique writeback (profiled at ~1/3 of a warm
+    LineStep(20) solve through the TPU tunnel)."""
+    import jax.numpy as _jnp
+    return _jnp.asarray(_np.sum(_np.asarray(masks, _np.float32), axis=0))
 
 
 def _solvable_factors(fg, labels: Iterable[str]):
@@ -117,7 +137,7 @@ def prepare_update(fg, target: str, factor_labels: Sequence[str],
         spec, mask = entry
         specs.append(spec)
         masks.append(mask)
-        models.append(f.model)
+        models.append(device_model(f))
         var_points = [fg.points(lbl, solve_key) for lbl in f.variables]
         maxlen = max([n_out] + [p.shape[0] for p in var_points])
         nested.append(tuple(_tile_to(p, maxlen) for p in var_points))

@@ -58,9 +58,12 @@ def precompile_updates(fg, tree: Optional[BayesTree] = None,
         except Exception:                     # noqa: BLE001
             cplan, store = False, None
         if cplan not in (True, False) and store is not None:
-            models_d = tuple(tuple(sub.factor(fl).model for fl in fls)
+            from ..ops.graphops import device_model
+            models_d = tuple(tuple(device_model(sub.factor(fl))
+                                   for fl in fls)
                              for fls in cplan.direct_labels)
-            models_i = tuple(tuple(sub.factor(fl).model for fl in fls)
+            models_i = tuple(tuple(device_model(sub.factor(fl))
+                                   for fl in fls)
                              for fls in cplan.iter_labels)
             # the runtime jit cache keys on the models' pytree
             # structure too — without it, two cliques with identical

@@ -485,9 +485,10 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
         return True
     if plan is False:
         return False
-    models_direct = tuple(tuple(sub.factor(fl).model for fl in fls)
+    from ..ops.graphops import device_model
+    models_direct = tuple(tuple(device_model(sub.factor(fl)) for fl in fls)
                           for fls in plan.direct_labels)
-    models_iter = tuple(tuple(sub.factor(fl).model for fl in fls)
+    models_iter = tuple(tuple(device_model(sub.factor(fl)) for fl in fls)
                         for fls in plan.iter_labels)
 
     # a fused whole-clique program can exceed HBM at very large N (the
@@ -647,11 +648,12 @@ def up_solve_segment(fg: FactorGraph, tree: BayesTree,
                             msg_subs.append(
                                 (which, si, fi, child_local[vl],
                                  sub.var(vl).manifold))
+        from ..ops.graphops import device_model
         seg_static.append((dsteps, isteps, tuple(msg_subs)))
-        models_d_all.append(tuple(tuple(sub.factor(fl).model for fl in fls)
-                                  for fls in dlabels))
-        models_i_all.append(tuple(tuple(sub.factor(fl).model for fl in fls)
-                                  for fls in ilabels))
+        models_d_all.append(tuple(tuple(device_model(sub.factor(fl))
+                                        for fl in fls) for fls in dlabels))
+        models_i_all.append(tuple(tuple(device_model(sub.factor(fl))
+                                        for fl in fls) for fls in ilabels))
         stores.append(tuple(store))
         keys.append(fg.next_key())
         metas.append((cl, sub, live, touched, dsteps, isteps))

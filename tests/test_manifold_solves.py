@@ -149,3 +149,26 @@ def test_hexagonal_nonparam_vs_parametric():
         mu_p = fg2.var(v).parametric_point
         d = float(se2.dist(mu_np, mu_p))
         assert d < 1.5, (v, d, np.asarray(mu_np), np.asarray(mu_p))
+
+
+def test_translation_group_manifold_prior_factor():
+    """TranslationGroup(2) variable with ManifoldPrior + ManifoldFactor
+    solves to the composed mean (reference testTranslationMani.jl:35 —
+    @defVariable TranslationGroup2, prior at [10,20], relative [1,2])."""
+    from incrementalinference.jl_tpu import initfg, solve_tree
+    from incrementalinference.jl_tpu.manifolds import Euclidean
+
+    t2 = Euclidean(2)                  # TranslationGroup(2) ≡ R² group
+    tg2 = VariableType("TranslationGroup2", t2)
+    fg = initfg()
+    fg.add_variable("x0", tg2)
+    fg.add_factor(["x0"], ManifoldPrior(
+        t2, jnp.asarray([10.0, 20.0]), MvNormal([0.0, 0.0], [1.0, 1.0])))
+    fg.add_variable("x1", tg2)
+    fg.add_factor(["x0", "x1"], ManifoldFactor(
+        t2, MvNormal([1.0, 2.0], [0.1, 0.1])))
+    solve_tree(fg)
+    m0 = np.asarray(fg.points("x0")).mean(0)
+    m1 = np.asarray(fg.points("x1")).mean(0)
+    np.testing.assert_allclose(m0, [10.0, 20.0], atol=1.0)
+    np.testing.assert_allclose(m1, [11.0, 22.0], atol=1.0)

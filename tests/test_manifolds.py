@@ -98,3 +98,21 @@ def test_jit_and_grad_through_manifold_ops():
 
     g = jax.grad(loss)(jnp.asarray([0.1, -0.2, 0.3]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_se3_rotation_only_exp_consistency():
+    """exp on SE(3) of a rotation-only tangent equals (0, exp_SO3(w)) —
+    the reference's Manifolds.jl consistency check
+    (testBasicManifolds.jl:11-21, w = [0, -0.78, -0.18])."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    se3, so3 = SE3(), SO3()
+    w = jnp.asarray([0.0, -0.78, -0.18])
+    xi = jnp.concatenate([jnp.zeros(3), w])          # zero translation
+    p = se3.Exp(xi)                                  # (tx ty tz qw qx qy qz)
+    np.testing.assert_allclose(np.asarray(p[:3]), np.zeros(3), atol=1e-6)
+    q = so3.exp(so3.identity(), w)
+    # quaternion sign ambiguity: compare up to sign
+    qa, qb = np.asarray(p[3:]), np.asarray(q)
+    assert np.allclose(qa, qb, atol=1e-6) or np.allclose(qa, -qb, atol=1e-6)

@@ -245,7 +245,8 @@ def _allgather(arr: np.ndarray) -> np.ndarray:
 def solve_tree_multihost(fg, order=None, solve_key: str = "default",
                          partition: Optional[TreePartition] = None,
                          old_tree: Optional[BayesTree] = None,
-                         timings: Optional[dict] = None) -> BayesTree:
+                         timings: Optional[dict] = None,
+                         fail_cliques: Optional[set] = None) -> BayesTree:
     """Distributed ``solve_tree``: every process calls this with an
     identically-built graph (deterministic given ``params.seed``); the
     clique solves are partitioned by :func:`partition_tree`.
@@ -281,16 +282,39 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
     tm = timings if timings is not None else {}
 
     # ---- phase A: local up sweeps over owned subtrees -------------------
+    # A failing clique must NOT leave peer processes blocked at the next
+    # collective (the cross-host analogue of the reference's
+    # bruteForcePushErrorCSM flooding, CliqStateMachineUtils.jl:184-246):
+    # on error this process keeps participating in every remaining
+    # collective, floods ERROR_STATUS through its cut messages, skips all
+    # further compute, and re-raises at the end; peers see the flooded
+    # status after the exchange and abort symmetrically.
+    local_error: Optional[Exception] = None
     t0 = time.time()
     up_msgs: Dict[int, LikelihoodMessage] = {}
     for level in reversed(levels):
         for cid in sorted(level):
-            if cid not in my_cids:
+            if cid not in my_cids or local_error is not None:
                 continue
             cl = tree.clique(cid)
             child_msgs = [up_msgs[ch] for ch in cl.children if ch in up_msgs]
-            up_msgs[cid] = up_solve_clique(fg, tree, cl, child_msgs,
-                                           solve_key)
+            try:
+                if fail_cliques and cid in fail_cliques:
+                    raise RuntimeError(
+                        f"injected failure at clique {cid} (fault hook)")
+                up_msgs[cid] = up_solve_clique(fg, tree, cl, child_msgs,
+                                               solve_key)
+            except Exception as e:            # noqa: BLE001
+                local_error = e
+                cl.status = CliqStatus.ERROR_STATUS
+                logger.warning("multihost: clique %d failed (%s); flooding "
+                               "ERROR to peers", cid, e)
+    if local_error is not None:
+        for cid in part.cut_roots:
+            if part.owner.get(cid) == pid:
+                up_msgs[cid] = LikelihoodMessage(
+                    sender=cid, status=CliqStatus.ERROR_STATUS,
+                    direction="up")
     tm["local_up_s"] = time.time() - t0
     tm["local_cliques"] = len(my_cids)
 
@@ -312,6 +336,13 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
                 "multihost: cut-edge cliques %s are NO_INIT — the "
                 "cross-host tree-init fixed point is not distributed; "
                 "solve single-host for this graph", no_init)
+    # symmetric abort decision: every process sees the same flooded
+    # statuses, so all take identical branches through the remaining
+    # collectives (no peer ever blocks)
+    remote_error = any(m.status == CliqStatus.ERROR_STATUS
+                       for cid, m in up_msgs.items()
+                       if cid in set(part.cut_roots))
+    aborted = local_error is not None or remote_error
     tm["exchange_up_s"] = time.time() - t0
 
     import os as _os
@@ -329,7 +360,7 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
     # ---- phase C: replicated top (up then down), reseeded ---------------
     t0 = time.time()
     down_msgs: Dict[int, LikelihoodMessage] = {}
-    if top_set:
+    if top_set and not aborted:
         # every process consumed a different number of keys in phase A —
         # restart the deterministic stream so the replicated top solves
         # identically everywhere (down messages at cut edges must agree)
@@ -374,25 +405,42 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
 
     # ---- phase D: local down sweeps into owned subtrees -----------------
     t0 = time.time()
-    for level in levels:
-        for cid in sorted(level):
-            if cid not in my_cids:
-                continue
-            cl = tree.clique(cid)
-            child_up = [up_msgs[ch] for ch in cl.children if ch in up_msgs]
-            out = down_solve_clique(fg, tree, cl, down_msgs.get(cid),
-                                    solve_key, child_msgs=child_up)
-            down_msgs.update(out)
+    if not aborted:
+        for level in levels:
+            for cid in sorted(level):
+                if cid not in my_cids:
+                    continue
+                cl = tree.clique(cid)
+                child_up = [up_msgs[ch] for ch in cl.children
+                            if ch in up_msgs]
+                try:
+                    out = down_solve_clique(fg, tree, cl,
+                                            down_msgs.get(cid), solve_key,
+                                            child_msgs=child_up)
+                    down_msgs.update(out)
+                except Exception as e:        # noqa: BLE001
+                    local_error = e
+                    cl.status = CliqStatus.ERROR_STATUS
+                    break
     tm["local_down_s"] = time.time() - t0
 
-    # ---- phase E: posterior broadcast -----------------------------------
+    # ---- phase E: posterior broadcast (always participates) -------------
     t0 = time.time()
+    error_pids: set = set()
     if nproc > 1:
-        _sync_beliefs(fg, tree, part, solve_key)
+        error_pids = _sync_beliefs(fg, tree, part, solve_key,
+                                   errored=local_error is not None)
     tm["sync_s"] = time.time() - t0
 
     tree.up_msgs = up_msgs
     tree.down_msgs = down_msgs
+    if local_error is not None:
+        raise RuntimeError(
+            "multihost solve failed on this process") from local_error
+    if aborted or error_pids:
+        raise RuntimeError(
+            f"multihost solve failed on peer process(es) "
+            f"{sorted(error_pids) or '(flooded via cut messages)'}")
     for v in fg.variables.values():
         if v.solvable and v.is_initialized(solve_key):
             v.solved_count[solve_key] = v.get_solved_count(solve_key) + 1
@@ -440,44 +488,51 @@ def _broadcast_top_beliefs(fg, tree, part: TreePartition,
             fg.var(v).initialized[solve_key] = True
 
 
-def _sync_beliefs(fg, tree, part: TreePartition, solve_key: str) -> None:
+def _sync_beliefs(fg, tree, part: TreePartition, solve_key: str,
+                  errored: bool = False) -> set:
     """Broadcast each part's solved frontal beliefs to every process (one
     collective); afterwards every process's graph holds the full
-    posterior."""
+    posterior.  A per-process error flag rides in the same buffer so a
+    failed process never contributes junk beliefs AND peers learn about
+    failures even on partitions with no cut edges (pure forests).
+    Returns the set of process ids that flagged an error."""
     # deterministic layout: (var, owning part) over all part-owned frontals
     layout: List[Tuple[str, int]] = []
     for p, cids in enumerate(part.part_cliques):
         for cid in sorted(cids):
             for v in tree.clique(cid).frontals:
                 layout.append((v, p))
-    if not layout:
-        return
     import jax
     import jax.numpy as jnp
     from ..beliefs import Belief
 
     pid = jax.process_index()
     flat = _FlatLayout()
+    flat.add("__error__", (1,))
     for v, p in layout:
         _belief_slots(flat, v, fg.var(v))
     buf = np.zeros((flat.size,), np.float32)
+    flat.write(buf, "__error__", [1.0 if errored else 0.0])
     for v, p in layout:
         var = fg.var(v)
-        if p == pid and solve_key in var.beliefs:
+        if p == pid and not errored and solve_key in var.beliefs:
             b = var.beliefs[solve_key]
             flat.write(buf, (v, "points"), b.points)
             flat.write(buf, (v, "bw"), b.bw)
             flat.write(buf, (v, "ipc"), b.ipc)
     gathered = _allgather(buf)
+    error_pids = {p for p in range(gathered.shape[0])
+                  if float(flat.read(gathered[p], "__error__")[0]) > 0.5}
     for v, p in layout:
-        if p == pid:
-            continue                       # authoritative locally
+        if p == pid or p in error_pids:
+            continue                       # authoritative locally / junk
         row = gathered[p]
         fg.var(v).beliefs[solve_key] = Belief(
             points=jnp.asarray(flat.read(row, (v, "points"))),
             bw=jnp.asarray(flat.read(row, (v, "bw"))),
             ipc=jnp.asarray(flat.read(row, (v, "ipc"))))
         fg.var(v).initialized[solve_key] = True
+    return error_pids - {pid}
 
 
 # --------------------------------------------------------------------------
@@ -740,6 +795,7 @@ def _worker_main(argv=None) -> None:
     ap.add_argument("--algorithm", default="default",
                     choices=("default", "parametric"))
     ap.add_argument("--grow", type=int, default=0)
+    ap.add_argument("--fail-clique", type=int, default=-1)
     ap.add_argument("--out", default="")
     a = ap.parse_args(argv)
 
@@ -788,6 +844,25 @@ def _worker_main(argv=None) -> None:
             "means": means,
         }
 
+    if a.fail_clique >= 0:
+        # fault-injection mode: one solve with an injected clique failure;
+        # record how this process exited (local error vs flooded peer
+        # error) — the launcher asserts BOTH processes aborted promptly
+        fg = build_fixture(a.fixture, a.scale)
+        t0 = time.time()
+        try:
+            solve_tree_multihost(fg, fail_cliques={a.fail_clique})
+            results["fault"] = {"outcome": "no-error"}
+        except RuntimeError as e:
+            results["fault"] = {"outcome": "error", "message": str(e),
+                                "wall_s": time.time() - t0}
+        import json
+        if a.out:
+            with open(a.out, "w") as fp:
+                json.dump(results, fp)
+        print(json.dumps(results), flush=True)
+        return
+
     for phase in ("cold", "warm"):
         fg = build_fixture(a.fixture, a.scale)
         tree, results[phase] = solve_and_report(fg)
@@ -818,7 +893,7 @@ def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
                      scale: int = 8, devices_per_proc: int = 2,
                      timeout: float = 600.0,
                      algorithm: str = "default",
-                     grow: int = 0) -> List[dict]:
+                     grow: int = 0, fail_clique: int = -1) -> List[dict]:
     """Spawn ``n_procs`` localhost CPU processes that jointly solve the
     fixture with :func:`solve_tree_multihost`; returns each process's JSON
     report.  This is the CPU dryrun of the multi-host path (the reference's
@@ -856,7 +931,8 @@ def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
              "--pid", str(pid), "--nproc", str(n_procs),
              "--port", str(port), "--fixture", fixture,
              "--scale", str(scale), "--algorithm", algorithm,
-             "--grow", str(grow), "--out", out],
+             "--grow", str(grow), "--fail-clique", str(fail_clique),
+             "--out", out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     reports, errors = [], []
     for pid, p in enumerate(procs):

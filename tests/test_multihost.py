@@ -222,3 +222,44 @@ class TestCrossProcess:
                                 timeout=900)
         for r in reps:
             assert r["warm"]["max_err"] < 1.2, r["warm"]["max_err"]
+
+
+class TestFaultFlooding:
+    """A clique failure in one process must abort ALL processes promptly
+    (the cross-host bruteForcePushErrorCSM analogue): the failing process
+    keeps participating in every collective, floods ERROR_STATUS through
+    its cut messages / sync flag, and every process raises."""
+
+    def test_two_process_error_floods(self):
+        # fail the first cut-root clique owned by process 0 (cid from the
+        # deterministic partition of the anchored forest)
+        from incrementalinference.jl_tpu.graphinit import (ensure_solvable,
+                                                           init_all)
+        fg = build_fixture("anchored_forest", 6)
+        ensure_solvable(fg)
+        init_all(fg)
+        from incrementalinference.jl_tpu.tree.bayestree import \
+            build_tree_reset
+        tree = build_tree_reset(fg)
+        part = partition_tree(tree, 2)
+        victim = next(c for c in part.cut_roots if part.owner[c] == 0)
+
+        import time
+        t0 = time.time()
+        reps = launch_multihost(2, "anchored_forest", scale=6,
+                                devices_per_proc=1, timeout=300,
+                                fail_clique=victim)
+        wall = time.time() - t0
+        outcomes = {r["pid"]: r["fault"] for r in reps}
+        assert outcomes[0]["outcome"] == "error"
+        assert "injected" in outcomes[0]["message"] \
+            or "failed on this process" in outcomes[0]["message"]
+        assert outcomes[1]["outcome"] == "error"      # flooded, not hung
+        assert wall < 200, wall                       # no collective hang
+
+    def test_single_process_fault_hook(self):
+        from incrementalinference.jl_tpu.parallel.multihost import \
+            solve_tree_multihost
+        fg = build_fixture("chain", 6)
+        with pytest.raises(RuntimeError):
+            solve_tree_multihost(fg, fail_cliques={1})

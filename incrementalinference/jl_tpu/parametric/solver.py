@@ -111,6 +111,40 @@ def reset_group_cache() -> None:
     _GROUP_CACHE.clear()
 
 
+def _model_content_key(f):
+    """Content digest of a factor model's HOST leaves (cached on the
+    factor under the immutability contract).  Device-resident leaves
+    would require a blocking device→host transfer to hash — those models
+    key by object identity instead (still correct, just no cross-object
+    sharing)."""
+    dig = getattr(f, "_model_digest", None)
+    if dig is not None:
+        return dig
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=12)
+    h.update(type(f.model).__name__.encode())
+    for x in jax.tree.leaves(f.model):
+        if isinstance(x, (bool, int, float)):
+            h.update(repr(x).encode())
+        elif isinstance(x, np.ndarray):
+            h.update(x.tobytes())
+            h.update(str(x.shape).encode())
+        elif isinstance(x, jnp.ndarray):
+            # committed device array: hashing means a transfer — fall
+            # back to identity for this model
+            f._model_digest = ("id", id(f.model))
+            return f._model_digest
+        else:
+            try:
+                h.update(repr(x).encode())
+            except Exception:                 # noqa: BLE001
+                f._model_digest = ("id", id(f.model))
+                return f._model_digest
+    f._model_digest = ("h", h.digest())
+    return f._model_digest
+
+
 class _Group:
     """A stack of same-structure factors: vmapped residual evaluation.
 
@@ -296,14 +330,17 @@ class ParametricProblem:
 
             # content-keyed group cache (the parametric analogue of the
             # nonparametric chain-plan cache): a clique re-solve over the
-            # SAME factor objects — incremental growth, repeated solves,
-            # the down sweep over the up sweep's subgraphs — reuses the
-            # stacked/padded/whitened device arrays instead of re-running
-            # ~10 eager dispatches per group per solve.  Keyed by model
-            # object identity (value refs pin the models so ids stay
-            # unique) + everything else the stack depends on.
+            # SAME factors — incremental growth, repeated solves, the
+            # down sweep over the up sweep's subgraphs, fresh builds of
+            # identical graphs — reuses the stacked/padded/whitened
+            # device arrays instead of re-running ~10 eager dispatches
+            # per group per solve.  Keyed by a CONTENT digest of each
+            # model's host leaves (advisor r2's suggested alternative to
+            # id(); falls back to object identity for device-resident
+            # leaves, where hashing would block on a transfer) +
+            # everything else the stack depends on.
             ck = (treedef, arity, is_mix, mh_key, argman, fb, arg_types,
-                  tuple(id(f.model) for f in fs),
+                  tuple(_model_content_key(f) for f in fs),
                   tuple(f.nullhypo for f in fs),
                   tuple(map(tuple, slots_py)), hyp_py)
             hit = _GROUP_CACHE.get(ck)

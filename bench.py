@@ -220,6 +220,23 @@ def extra_se3():
         raise SystemExit(rc)
 
 
+def extra_multihost():
+    # the distribution axis, exercised every round: 2 localhost CPU
+    # processes jointly solve an anchored forest (subtree partition +
+    # collective exchange); asserts identical posteriors on every process
+    from incrementalinference.jl_tpu.parallel.multihost import (
+        launch_multihost)
+
+    reps = launch_multihost(2, "anchored_forest", scale=8,
+                            devices_per_proc=1, timeout=240)
+    errs = [r["warm"]["max_err"] for r in reps]
+    assert max(errs) - min(errs) < 1e-6, errs
+    t = max(r["warm"]["timings"]["total_s"] for r in reps)
+    n = reps[0]["warm"]["n_cliques"]
+    print(f"# multihost (2 procs, CPU): {n} cliques, warm {t:.2f}s, "
+          f"{n/t:.0f} cliq/s, max err {errs[0]:.3f}", file=sys.stderr)
+
+
 def extra_pallas():
     # guard the hand-written kernel every round (numerics vs the XLA path
     # + the kernel-only capability regime at 2^32 pairs)
@@ -243,6 +260,7 @@ EXTRAS = {
     "incremental": (extra_incremental, 600),
     "pallas": (extra_pallas, 420),
     "se3": (extra_se3, 480),
+    "multihost": (extra_multihost, 300),
 }
 
 

@@ -374,25 +374,34 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
             # a grown branch partitioned into the top diverged the
             # incremental anchor posterior across processes)
             _broadcast_top_beliefs(fg, tree, part, solve_key)
-        for level in reversed(levels):
-            for cid in sorted(level):
-                if cid not in top_set:
-                    continue
-                cl = tree.clique(cid)
-                child_msgs = [up_msgs[ch] for ch in cl.children
-                              if ch in up_msgs]
-                up_msgs[cid] = up_solve_clique(fg, tree, cl, child_msgs,
-                                               solve_key)
-        for level in levels:
-            for cid in sorted(level):
-                if cid not in top_set:
-                    continue
-                cl = tree.clique(cid)
-                child_up = [up_msgs[ch] for ch in cl.children
-                            if ch in up_msgs]
-                out = down_solve_clique(fg, tree, cl, down_msgs.get(cid),
-                                        solve_key, child_msgs=child_up)
-                down_msgs.update(out)
+        # the top is replicated, so a data-driven failure here usually
+        # hits every process identically — but an asymmetric one (e.g.
+        # host OOM) must still reach the sync collective, where the error
+        # flag unblocks the peers
+        try:
+            for level in reversed(levels):
+                for cid in sorted(level):
+                    if cid not in top_set:
+                        continue
+                    cl = tree.clique(cid)
+                    child_msgs = [up_msgs[ch] for ch in cl.children
+                                  if ch in up_msgs]
+                    up_msgs[cid] = up_solve_clique(fg, tree, cl, child_msgs,
+                                                   solve_key)
+            for level in levels:
+                for cid in sorted(level):
+                    if cid not in top_set:
+                        continue
+                    cl = tree.clique(cid)
+                    child_up = [up_msgs[ch] for ch in cl.children
+                                if ch in up_msgs]
+                    out = down_solve_clique(fg, tree, cl,
+                                            down_msgs.get(cid), solve_key,
+                                            child_msgs=child_up)
+                    down_msgs.update(out)
+        except Exception as e:                # noqa: BLE001
+            local_error = e
+            aborted = True
     tm["top_s"] = time.time() - t0
 
     import os as _os

@@ -111,6 +111,27 @@ def reset_group_cache() -> None:
     _GROUP_CACHE.clear()
 
 
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _stack_group_plain(models_tuple, pad):
+    """Stack a plain (non-mixture) factor group's model leaves and
+    measurement moments in ONE dispatch: the eager per-leaf
+    jnp.stack/mean_cov path cost ~12 device round-trips per group, which
+    dominated fresh-graph parametric solves (profiled 0.37 s of 0.72 s
+    on the wide-32 forest).  Returns (stacked models, meas (Fb, z),
+    covs (Fb, z, z)) with ``pad`` rows repeating the last real row."""
+    def ps(xs, zero=False):
+        xs = list(xs)
+        tail = jnp.zeros_like(xs[-1]) if zero else xs[-1]
+        return jnp.stack(xs + [tail] * pad)
+
+    if len(models_tuple) > 1:
+        models = jax.tree.map(lambda *xs: ps(list(xs)), *models_tuple)
+    else:
+        models = jax.tree.map(lambda x: ps([x]), models_tuple[0])
+    mus, covs = zip(*(m.mean_cov() for m in models_tuple))
+    return models, ps(list(mus)), ps(list(covs))
+
+
 def _model_content_key(f):
     """Content digest of a factor model's HOST leaves (cached on the
     factor under the immutability contract).  Device-resident leaves
@@ -356,10 +377,17 @@ class ParametricProblem:
                 tail = jnp.zeros_like(xs[-1]) if zero else xs[-1]
                 return jnp.stack(list(xs) + [tail] * pad)
 
-            models = jax.tree.map(lambda *xs: pstack(xs),
-                                  *[f.model for f in fs]) \
-                if nf > 1 else jax.tree.map(
-                    lambda x: pstack([x]), fs[0].model)
+            plain = not is_mix
+            if plain:
+                # fused single-dispatch stack of model leaves + moments
+                # (the eager path below costs ~12 round-trips per group)
+                models, meas_s, covs_s = _stack_group_plain(
+                    tuple(f.model for f in fs), pad)
+            else:
+                models = jax.tree.map(lambda *xs: pstack(xs),
+                                      *[f.model for f in fs]) \
+                    if nf > 1 else jax.tree.map(
+                        lambda x: pstack([x]), fs[0].model)
             hyp = None
             if mh_key is not None:
                 nu, upos, weights = mh_key
@@ -402,9 +430,8 @@ class ParametricProblem:
                 meas = mix[1][:, 0]
                 sqi = mix[2][:, 0]
             else:
-                mus, covs = zip(*(f.model.mean_cov() for f in fs))
-                meas = pstack(mus)
-                sqi = _sqrt_inv_stacked(pstack(covs)) * pad_mask
+                meas = meas_s
+                sqi = _sqrt_inv_stacked(covs_s) * pad_mask
             np_null = np.asarray([f.nullhypo for f in fs], np.float32)
             null_p = jnp.asarray(np.concatenate([np_null,
                                                  np.zeros(pad, np.float32)])

@@ -724,7 +724,7 @@ def solve_tree_parametric_multihost(fg, order=None,
 # localhost launcher (CPU dryrun / scaling measurement)
 # --------------------------------------------------------------------------
 
-_FIXTURES = ("chain", "forest", "anchored_forest")
+_FIXTURES = ("chain", "forest", "anchored_forest", "se2_chain")
 
 
 def build_fixture(name: str, scale: int = 8, params=None):
@@ -756,6 +756,23 @@ def build_fixture(name: str, scale: int = 8, params=None):
                 fg.add_variable(f"b{b}x{i}", ContinuousScalar)
                 fg.add_factor([f"b{b}x{i-1}", f"b{b}x{i}"],
                               LinearRelative(Normal(1.0, 0.5)))
+    elif name == "se2_chain":
+        # SE(2) pose chain: manifold beliefs (point_dim != dof) through
+        # the cut-edge codec and the replicated top
+        import jax.numpy as jnp
+
+        from .. import ManifoldFactor, ManifoldPrior, MvNormal, VariableType
+        from ..manifolds import SE2
+
+        se2 = SE2()
+        pose2 = VariableType("Pose2", se2)
+        fg.add_variable("x0", pose2)
+        fg.add_factor(["x0"], ManifoldPrior(
+            se2, jnp.zeros(3), MvNormal([0.0] * 3, [0.05, 0.05, 0.02])))
+        z = MvNormal([1.0, 0.0, 0.1], [0.05, 0.05, 0.02])
+        for i in range(1, scale):
+            fg.add_variable(f"x{i}", pose2)
+            fg.add_factor([f"x{i-1}", f"x{i}"], ManifoldFactor(se2, z))
     elif name == "anchored_forest":
         fg.add_variable("anchor", ContinuousScalar)
         fg.add_factor(["anchor"], Prior(Normal(0.0, 0.5)))
@@ -772,10 +789,24 @@ def build_fixture(name: str, scale: int = 8, params=None):
     return fg
 
 
-def fixture_truth(name: str, scale: int = 8) -> Dict[str, float]:
-    """Ground-truth posterior means of :func:`build_fixture` graphs."""
+def fixture_truth(name: str, scale: int = 8) -> Dict[str, object]:
+    """Ground-truth posterior means of :func:`build_fixture` graphs
+    (scalars for 1-D fixtures; (x, y) position arrays for se2_chain)."""
     if name == "chain":
         return {f"x{i}": float(i) for i in range(scale)}
+    if name == "se2_chain":
+        import jax.numpy as jnp
+
+        from ..manifolds import SE2
+
+        se2 = SE2()
+        truth = {}
+        p = se2.identity()
+        truth["x0"] = np.asarray(p[:2])
+        for i in range(1, scale):
+            p = se2.compose(p, se2.Exp(jnp.asarray([1.0, 0.0, 0.1])))
+            truth[f"x{i}"] = np.asarray(p[:2])
+        return truth
     if name == "forest":
         return {f"b{b}x{i}": float(b + i)
                 for b in range(scale) for i in range(3)}
@@ -834,17 +865,20 @@ def _worker_main(argv=None) -> None:
         errs = {}
         for v, mu in truth.items():
             if a.algorithm == "parametric":
-                errs[v] = abs(float(np.asarray(
-                    fg.var(v).parametric_point)[0]) - mu)
+                est = np.asarray(fg.var(v).parametric_point)
             else:
-                pts = np.asarray(fg.points(v))
-                errs[v] = abs(float(pts[:, 0].mean()) - mu)
+                est = np.asarray(fg.points(v)).mean(0)
+            if isinstance(mu, np.ndarray):       # manifold truth: position
+                errs[v] = float(np.linalg.norm(est[:len(mu)] - mu))
+            else:
+                errs[v] = abs(float(est[0]) - mu)
         means = {}
         for v in truth:
             if a.algorithm == "parametric":
                 means[v] = float(np.asarray(fg.var(v).parametric_point)[0])
             else:
                 means[v] = float(np.asarray(fg.points(v))[:, 0].mean())
+
         return tree, {
             "timings": tm, "max_err": max(errs.values()),
             "mean_err": float(np.mean(list(errs.values()))),

@@ -263,3 +263,17 @@ class TestFaultFlooding:
         fg = build_fixture("chain", 6)
         with pytest.raises(RuntimeError):
             solve_tree_multihost(fg, fail_cliques={1})
+
+
+class TestSE2Distributed:
+    def test_two_process_se2_chain(self):
+        """SE(2) pose chain across 2 processes: manifold beliefs through
+        the cut-edge codec, replicated top, and posterior broadcast."""
+        reps = launch_multihost(2, "se2_chain", scale=8,
+                                devices_per_proc=1, timeout=900)
+        for r in reps:
+            # position error bar matched to the single-host SE2 chain
+            # test tolerance (test_manifold_solves.test_se2_pose_chain)
+            assert r["warm"]["max_err"] < 0.8, r["warm"]["max_err"]
+        assert abs(reps[0]["warm"]["max_err"]
+                   - reps[1]["warm"]["max_err"]) < 1e-6

@@ -32,10 +32,21 @@ os.environ.setdefault("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tpu")
+# keep XLA per-fusion cache paths OUT of the compile options: they embed
+# the cache DIRECTORY PATH into every cache key, so entries only ever hit
+# from the exact same directory (bisected 2026-08-21: a copied cache got
+# ZERO hits until this was disabled; with it, 42/42 hits and 53s -> 13s)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# seed the shipped warm-start program pack (no-op when entries exist or
+# the accelerator/jax version differs — see warmstart.py)
+from incrementalinference.jl_tpu.warmstart import seed_cache  # noqa: E402
+
+seed_cache()
 
 from incrementalinference.jl_tpu import solve_tree  # noqa: E402
 from incrementalinference.jl_tpu.canonical import generate_line_step  # noqa: E402

@@ -20,6 +20,11 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tpu")
+# keep XLA per-fusion cache paths OUT of the compile options: they embed
+# the cache DIRECTORY PATH into every cache key, so entries only ever hit
+# from the exact same directory (bisected 2026-08-21: a copied cache got
+# ZERO hits until this was disabled; with it, 42/42 hits and 53s -> 13s)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from incrementalinference.jl_tpu.ops.kernels.pallas_product import (  # noqa: E402

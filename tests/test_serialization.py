@@ -248,3 +248,16 @@ def test_save_graph_keeps_ppe_lazy(tmp_path):
     # materializes on read, near the solved mean
     val = float(np.asarray(est2["suggested"])[0])
     assert abs(val - 10.0) < 3.0, val
+
+
+def test_warmstart_seed_cache(tmp_path):
+    """The shipped compiled-program pack copies into a cache dir once and
+    is idempotent (existing entries kept)."""
+    from incrementalinference.jl_tpu.warmstart import seed_cache
+
+    dest = str(tmp_path / "cache")
+    n1 = seed_cache(dest=dest)
+    assert n1 > 0
+    n2 = seed_cache(dest=dest)
+    assert n2 == 0
+    assert seed_cache(dest=dest, backend="gpu") == 0   # no pack -> no-op

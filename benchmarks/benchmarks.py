@@ -69,11 +69,10 @@ if __name__ == "__main__":
         os.path.abspath(__file__))))
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-tpu")
-# keep XLA per-fusion cache paths OUT of the compile options: they embed
-# the cache DIRECTORY PATH into every cache key, so entries only ever hit
-# from the exact same directory (bisected 2026-08-21: a copied cache got
-# ZERO hits until this was disabled; with it, 42/42 hits and 53s -> 13s)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    # keep XLA per-fusion cache paths OUT of the compile options: they
+    # embed the cache DIRECTORY PATH into every key, so entries only hit
+    # from the same directory (bisected 2026-08-21)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     suite()

@@ -43,10 +43,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # seed the shipped warm-start program pack (no-op when entries exist or
-# the accelerator/jax version differs — see warmstart.py)
-from incrementalinference.jl_tpu.warmstart import seed_cache  # noqa: E402
+# the accelerator/jax version differs — see warmstart.py); the seed report
+# and a live persistent-cache hit counter surface whether the pack served
+# the cold solve (a version-mismatch miss logs one clear line)
+from incrementalinference.jl_tpu.warmstart import (  # noqa: E402
+    install_hit_counter, seed_cache)
 
-seed_cache()
+_SEED_REPORT: dict = {}
+seed_cache(report=_SEED_REPORT)
+_CACHE_COUNTS = install_hit_counter()
 
 from incrementalinference.jl_tpu import solve_tree  # noqa: E402
 from incrementalinference.jl_tpu.canonical import generate_line_step  # noqa: E402
@@ -284,6 +289,12 @@ def main():
     print(f"# device: {dev}", file=sys.stderr)
 
     cold = run_once(precompile=True)        # compile + run
+    print(f"# warmstart: seeded {_SEED_REPORT.get('copied', 0)} entries "
+          f"({_SEED_REPORT.get('present', 0)} already present, "
+          f"pack {_SEED_REPORT.get('pack_entries', 0)}, version_match="
+          f"{_SEED_REPORT.get('version_match')}); persistent-cache "
+          f"hits {_CACHE_COUNTS['hits']} / misses {_CACHE_COUNTS['misses']} "
+          f"through the cold solve", file=sys.stderr)
     times = [run_once() for _ in range(2)]  # cached-compile solves
     val = min(times)
     _report("linestep20 mmisam solve", cold, val)

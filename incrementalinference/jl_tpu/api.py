@@ -151,6 +151,14 @@ def solve_tree(fg: FactorGraph, old_tree: Optional[BayesTree] = None,
             n = farm.wait()
             if verbose:
                 logger.info("precompile farm: %d workers ok", n)
+        else:
+            # the farm launch raised earlier: degrade to the in-process
+            # thread-pool precompile rather than silently skipping the
+            # cold-start work precompile=True would have done
+            from .parallel.precompile import precompile_updates
+            logger.warning("precompile farm launch failed; falling back "
+                           "to in-process precompile")
+            precompile_updates(fg, tree)
     if verbose:
         logger.info("tree: %d cliques, depth %d, build %.3fs",
                     tree.num_cliques(), len(tree.levels()), tree.build_time)

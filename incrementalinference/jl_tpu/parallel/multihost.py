@@ -416,6 +416,12 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
     t0 = time.time()
     if not aborted:
         for level in levels:
+            if local_error is not None:
+                # a failed down-solve poisons every descendant (their
+                # parent down message is missing): stop the whole phase,
+                # don't keep solving garbage or overwrite local_error with
+                # cascading secondary exceptions (advisor r3)
+                break
             for cid in sorted(level):
                 if cid not in my_cids:
                     continue
@@ -438,7 +444,8 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
     error_pids: set = set()
     if nproc > 1:
         error_pids = _sync_beliefs(fg, tree, part, solve_key,
-                                   errored=local_error is not None)
+                                   errored=local_error is not None,
+                                   solved=not aborted)
     tm["sync_s"] = time.time() - t0
 
     tree.up_msgs = up_msgs
@@ -498,13 +505,17 @@ def _broadcast_top_beliefs(fg, tree, part: TreePartition,
 
 
 def _sync_beliefs(fg, tree, part: TreePartition, solve_key: str,
-                  errored: bool = False) -> set:
+                  errored: bool = False, solved: bool = True) -> set:
     """Broadcast each part's solved frontal beliefs to every process (one
     collective); afterwards every process's graph holds the full
     posterior.  A per-process error flag rides in the same buffer so a
     failed process never contributes junk beliefs AND peers learn about
-    failures even on partitions with no cut edges (pure forests).
-    Returns the set of process ids that flagged an error."""
+    failures even on partitions with no cut edges (pure forests); a
+    per-variable presence flag (like :func:`_broadcast_top_beliefs`)
+    ensures a process that aborted without a *local* error (``solved=
+    False`` — e.g. a flooded remote failure left it with stale
+    post-graphinit beliefs) never publishes those as the posterior
+    (advisor r3).  Returns the set of process ids that flagged an error."""
     # deterministic layout: (var, owning part) over all part-owned frontals
     layout: List[Tuple[str, int]] = []
     for p, cids in enumerate(part.part_cliques):
@@ -519,13 +530,15 @@ def _sync_beliefs(fg, tree, part: TreePartition, solve_key: str,
     flat = _FlatLayout()
     flat.add("__error__", (1,))
     for v, p in layout:
+        flat.add((v, "has"), (1,))
         _belief_slots(flat, v, fg.var(v))
     buf = np.zeros((flat.size,), np.float32)
     flat.write(buf, "__error__", [1.0 if errored else 0.0])
     for v, p in layout:
         var = fg.var(v)
-        if p == pid and not errored and solve_key in var.beliefs:
+        if p == pid and solved and not errored and solve_key in var.beliefs:
             b = var.beliefs[solve_key]
+            flat.write(buf, (v, "has"), [1.0])
             flat.write(buf, (v, "points"), b.points)
             flat.write(buf, (v, "bw"), b.bw)
             flat.write(buf, (v, "ipc"), b.ipc)
@@ -536,6 +549,8 @@ def _sync_beliefs(fg, tree, part: TreePartition, solve_key: str,
         if p == pid or p in error_pids:
             continue                       # authoritative locally / junk
         row = gathered[p]
+        if float(flat.read(row, (v, "has"))[0]) <= 0.5:
+            continue                       # peer had no solved belief
         fg.var(v).beliefs[solve_key] = Belief(
             points=jnp.asarray(flat.read(row, (v, "points"))),
             bw=jnp.asarray(flat.read(row, (v, "bw"))),

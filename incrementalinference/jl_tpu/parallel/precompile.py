@@ -189,6 +189,18 @@ class _Farm:
         return n_ok
 
 
+class _DoneFarm:
+    """Farm-shaped handle for work already completed in-process (the
+    no-persistent-cache fallback): ``wait()`` is a no-op returning the
+    structure count, so callers can treat both paths uniformly."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def wait(self) -> int:
+        return self.n
+
+
 def precompile_processes(fg, tree: Optional[BayesTree] = None,
                          n_procs: int = 2, solve_key: str = "default",
                          timeout: float = 600.0, wait: bool = True):
@@ -213,8 +225,10 @@ def precompile_processes(fg, tree: Optional[BayesTree] = None,
 
     cache_dir = jax.config.jax_compilation_cache_dir
     if not cache_dir:
-        # no persistent cache → workers could not hand results back
-        return precompile_updates(fg, tree, solve_key=solve_key)
+        # no persistent cache → workers could not hand results back; run
+        # in-process, wrapped so wait=False callers still get .wait()
+        n = precompile_updates(fg, tree, solve_key=solve_key)
+        return n if wait else _DoneFarm(n)
     if tree is None:
         tree = build_tree(fg)
 
@@ -254,6 +268,11 @@ def _worker_main(argv=None) -> None:
     jax.config.update("jax_compilation_cache_dir", a.cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # the default setting embeds the cache DIR PATH in every compile-cache
+    # key (via the XLA autotune-cache option) — without this, entries the
+    # farm writes are keyed differently from the solving process's lookups
+    # and never hit (bisected 2026-08-21; every consumer process sets it)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
     from ..serialization import load_graph
 

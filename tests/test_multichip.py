@@ -159,9 +159,12 @@ def test_clique_sharded_incremental_recycling():
     tree2 = solve_tree(fg, old_tree=tree, mesh=mesh, distribute="cliques",
                        order=fg.ls())
     assert sum(c.is_recycled for c in tree2.cliques.values()) >= 2
+    # bar derivation mirrors __graft_entry__.dryrun_multichip: chain-end
+    # posterior sigma_6 = 0.5*sqrt(7) ~= 1.32, N=64 mean s.e. ~= 0.165,
+    # bar = 4 s.e. ~= 0.66
     for i in range(7):
         m = float(np.asarray(fg.points(f"r{i}")[:, 0]).mean())
-        assert abs(m - i) < 1.0, (i, m)
+        assert abs(m - i) < 0.66, (i, m)
 
 
 def test_clique_sharded_multihypo():

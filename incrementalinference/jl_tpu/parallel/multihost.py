@@ -27,12 +27,15 @@ replicated-top solve is made bit-identical across processes by reseeding
 the graph's deterministic key stream at the phase boundary (each process
 consumed a different number of keys during its local phase).
 
-Limitations (v1, documented): the cross-host tree-init fixed point is not
-distributed — graphs whose initialization requires information to flow
-down through a cut edge and back up (NO_INIT cliques at cut boundaries)
-should be solved single-host or partitioned differently; a warning is
-logged when this is detected.  Joint up-messages (``use_msg_likelihoods``)
-fall back to plain separator-belief payloads at cut edges.
+The full reference-multiproc semantics hold across cut edges: the
+tree-init fixed point is distributed (NO_INIT cut messages carry partial
+beliefs through the codec's presence flags, the replicated top's down
+messages down-init owned subtrees, and re-up passes repeat until no
+clique anywhere down-initializes — the cross-process form of the CSM's
+waitForUp/initUp/tryDownInit cycling, CliqueStateMachine.jl:341-417,
+:699-858), and joint up-messages (``use_msg_likelihoods``) cross cut
+edges losslessly via dedicated fixed-shape slots for the deconv-derived
+relatives and class-anchor priors (TreeMessageUtils.jl:279-412).
 """
 
 from __future__ import annotations
@@ -179,32 +182,90 @@ def _belief_slots(flat: _FlatLayout, key, var) -> None:
     flat.add((key, "ipc"), (m.dof,))
 
 
-def _msg_flat_layout(fg, layout) -> _FlatLayout:
+def _joint_slot_plan(fg, seps):
+    """Deterministic candidate slots for a joint up-message payload
+    (reference _MsgJointLikelihood, TreeMessageUtils.jl:446): every
+    same-manifold separator pair in the order generate_msg_joint visits
+    them (descending dof, stable) may carry a deconv-derived relative, and
+    every separator may carry a class-anchor prior.  All processes derive
+    the identical plan from graph structure alone — actual presence rides
+    per-slot flags."""
+    order = sorted(seps, key=lambda s: -fg.var(s).manifold.dof)
+    pairs = []
+    for i, va in enumerate(order):
+        for vb in order[i + 1:]:
+            if fg.var(va).manifold == fg.var(vb).manifold:
+                n = min(fg.var(va).N, fg.var(vb).N)
+                pairs.append((va, vb, n, fg.var(va).manifold.dof))
+    return pairs, list(seps)
+
+
+def _msg_flat_layout(fg, layout, joint: bool = False) -> _FlatLayout:
+    """``joint=True`` (use_msg_likelihoods) adds fixed-shape slots for the
+    joint differential payload so it crosses cut edges losslessly instead
+    of degrading to plain separator beliefs."""
     flat = _FlatLayout()
     for cid, seps in layout:
-        flat.add((cid, "_meta"), (2,))
+        flat.add((cid, "_meta"), (3,))       # status, has_priors, has_joint
         for v in seps:
+            flat.add(((cid, v), "has"), (1,))
             _belief_slots(flat, (cid, v), fg.var(v))
+        if joint:
+            pairs, jseps = _joint_slot_plan(fg, seps)
+            for va, vb, n, dof in pairs:
+                flat.add((cid, "jrel", va, vb, "has"), (1,))
+                flat.add((cid, "jrel", va, vb, "points"), (n, dof))
+                flat.add((cid, "jrel", va, vb, "bw"), (dof,))
+                flat.add((cid, "jrel", va, vb, "ipc"), (dof,))
+            for v in jseps:
+                flat.add((cid, "jpri", v, "has"), (1,))
+                _belief_slots(flat, (cid, "jpri", v), fg.var(v))
+    flat.joint = joint
     return flat
 
 
 def _pack_msgs(fg, layout, flat: _FlatLayout,
                msgs: Dict[int, LikelihoodMessage]) -> np.ndarray:
     """Pack owned messages into the flat buffer; non-owned slots stay zero
-    (the gather selects the owner's slice, so their values never matter)."""
+    (the gather selects the owner's slice, so their values never matter).
+    Per-belief presence flags keep partially-populated messages (NO_INIT
+    during the distributed init dance) faithful through the codec."""
     buf = np.zeros((flat.size,), np.float32)
     for cid, seps in layout:
         m = msgs.get(cid)
         if m is None:
             continue
+        jm = m.jointmsg if getattr(flat, "joint", False) else None
         flat.write(buf, (cid, "_meta"),
-                   [_STATUS_CODE[m.status], 1.0 if m.has_priors else 0.0])
+                   [_STATUS_CODE[m.status], 1.0 if m.has_priors else 0.0,
+                    1.0 if jm is not None else 0.0])
         for v in seps:
             if v in m.beliefs:
                 b = m.beliefs[v]
+                flat.write(buf, ((cid, v), "has"), [1.0])
                 flat.write(buf, ((cid, v), "points"), b.points)
                 flat.write(buf, ((cid, v), "bw"), b.bw)
                 flat.write(buf, ((cid, v), "ipc"), b.ipc)
+        if jm is not None:
+            rel_of = {(va, vb): b for va, vb, b in jm.relatives}
+            pairs, jseps = _joint_slot_plan(fg, seps)
+            for va, vb, n, dof in pairs:
+                b = rel_of.get((va, vb))
+                if b is None:
+                    continue
+                flat.write(buf, (cid, "jrel", va, vb, "has"), [1.0])
+                flat.write(buf, (cid, "jrel", va, vb, "points"),
+                           np.asarray(b.points)[:n])
+                flat.write(buf, (cid, "jrel", va, vb, "bw"), b.bw)
+                flat.write(buf, (cid, "jrel", va, vb, "ipc"), b.ipc)
+            for v in jseps:
+                b = jm.priors.get(v)
+                if b is None:
+                    continue
+                flat.write(buf, (cid, "jpri", v, "has"), [1.0])
+                flat.write(buf, ((cid, "jpri", v), "points"), b.points)
+                flat.write(buf, ((cid, "jpri", v), "bw"), b.bw)
+                flat.write(buf, ((cid, "jpri", v), "ipc"), b.ipc)
     return buf
 
 
@@ -214,6 +275,7 @@ def _unpack_msgs(fg, tree, layout, flat: _FlatLayout, gathered: np.ndarray,
     """Rebuild messages from the gathered (n_proc, size) buffer, reading
     each message from its owning process's row."""
     from ..beliefs import Belief
+    from .messages import JointMsg
     import jax.numpy as jnp
 
     out: Dict[int, LikelihoodMessage] = {}
@@ -224,10 +286,37 @@ def _unpack_msgs(fg, tree, layout, flat: _FlatLayout, gathered: np.ndarray,
             sender=cid, status=_CODE_STATUS[int(round(float(meta[0])))],
             direction=direction, has_priors=bool(meta[1] > 0.5))
         for v in seps:
+            if float(flat.read(row, ((cid, v), "has"))[0]) <= 0.5:
+                continue
             msg.beliefs[v] = Belief(
                 points=jnp.asarray(flat.read(row, ((cid, v), "points"))),
                 bw=jnp.asarray(flat.read(row, ((cid, v), "bw"))),
                 ipc=jnp.asarray(flat.read(row, ((cid, v), "ipc"))))
+        if getattr(flat, "joint", False) and bool(meta[2] > 0.5):
+            jm = JointMsg()
+            pairs, jseps = _joint_slot_plan(fg, seps)
+            for va, vb, n, dof in pairs:
+                if float(flat.read(row,
+                                   (cid, "jrel", va, vb, "has"))[0]) <= 0.5:
+                    continue
+                jm.relatives.append((va, vb, Belief(
+                    points=jnp.asarray(flat.read(
+                        row, (cid, "jrel", va, vb, "points"))),
+                    bw=jnp.asarray(flat.read(row,
+                                             (cid, "jrel", va, vb, "bw"))),
+                    ipc=jnp.asarray(flat.read(
+                        row, (cid, "jrel", va, vb, "ipc"))))))
+            for v in jseps:
+                if float(flat.read(row, (cid, "jpri", v, "has"))[0]) <= 0.5:
+                    continue
+                jm.priors[v] = Belief(
+                    points=jnp.asarray(flat.read(row,
+                                                 ((cid, "jpri", v),
+                                                  "points"))),
+                    bw=jnp.asarray(flat.read(row, ((cid, "jpri", v), "bw"))),
+                    ipc=jnp.asarray(flat.read(row,
+                                              ((cid, "jpri", v), "ipc"))))
+            msg.jointmsg = jm
         out[cid] = msg
     return out
 
@@ -280,164 +369,239 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
     top_set = set(part.top)
     levels = tree.levels()
     tm = timings if timings is not None else {}
-
-    # ---- phase A: local up sweeps over owned subtrees -------------------
-    # A failing clique must NOT leave peer processes blocked at the next
-    # collective (the cross-host analogue of the reference's
-    # bruteForcePushErrorCSM flooding, CliqStateMachineUtils.jl:184-246):
-    # on error this process keeps participating in every remaining
-    # collective, floods ERROR_STATUS through its cut messages, skips all
-    # further compute, and re-raises at the end; peers see the flooded
-    # status after the exchange and abort symmetrically.
-    local_error: Optional[Exception] = None
-    t0 = time.time()
-    up_msgs: Dict[int, LikelihoodMessage] = {}
-    for level in reversed(levels):
-        for cid in sorted(level):
-            if cid not in my_cids or local_error is not None:
-                continue
-            cl = tree.clique(cid)
-            child_msgs = [up_msgs[ch] for ch in cl.children if ch in up_msgs]
-            try:
-                if fail_cliques and cid in fail_cliques:
-                    raise RuntimeError(
-                        f"injected failure at clique {cid} (fault hook)")
-                up_msgs[cid] = up_solve_clique(fg, tree, cl, child_msgs,
-                                               solve_key)
-            except Exception as e:            # noqa: BLE001
-                local_error = e
-                cl.status = CliqStatus.ERROR_STATUS
-                logger.warning("multihost: clique %d failed (%s); flooding "
-                               "ERROR to peers", cid, e)
-    if local_error is not None:
-        for cid in part.cut_roots:
-            if part.owner.get(cid) == pid:
-                up_msgs[cid] = LikelihoodMessage(
-                    sender=cid, status=CliqStatus.ERROR_STATUS,
-                    direction="up")
-    tm["local_up_s"] = time.time() - t0
+    tm.update({"local_up_s": 0.0, "exchange_up_s": 0.0, "top_s": 0.0,
+               "local_down_s": 0.0, "init_passes": 0})
     tm["local_cliques"] = len(my_cids)
 
-    # ---- phase B: cut-edge up-message exchange --------------------------
-    t0 = time.time()
-    if part.cut_roots:
-        layout = _msg_layout(fg, tree, part.cut_roots)
-        if nproc > 1:
-            flat = _msg_flat_layout(fg, layout)
-            gathered = _allgather(_pack_msgs(fg, layout, flat, up_msgs))
-            owner_proc = {cid: part.owner[cid] for cid in part.cut_roots}
-            up_msgs.update(_unpack_msgs(fg, tree, layout, flat, gathered,
-                                        owner_proc))
-        # single process: up_msgs already holds every cut message
-        no_init = [cid for cid in part.cut_roots
-                   if up_msgs[cid].status == CliqStatus.NO_INIT]
-        if no_init:
-            logger.warning(
-                "multihost: cut-edge cliques %s are NO_INIT — the "
-                "cross-host tree-init fixed point is not distributed; "
-                "solve single-host for this graph", no_init)
-    # symmetric abort decision: every process sees the same flooded
-    # statuses, so all take identical branches through the remaining
-    # collectives (no peer ever blocks)
-    remote_error = any(m.status == CliqStatus.ERROR_STATUS
-                       for cid, m in up_msgs.items()
-                       if cid in set(part.cut_roots))
-    aborted = local_error is not None or remote_error
-    tm["exchange_up_s"] = time.time() - t0
-
-    import os as _os
-    if _os.environ.get("IITPU_MH_DEBUG"):
-        for cid in part.cut_roots:
-            m = up_msgs.get(cid)
-            if m is None:
-                print(f"[mh-debug pid={pid}] cut {cid}: MISSING", flush=True)
-                continue
-            cs = {v: float(np.asarray(b.points).sum())
-                  for v, b in m.beliefs.items()}
-            print(f"[mh-debug pid={pid}] cut {cid} status={m.status} "
-                  f"sums={cs}", flush=True)
-
-    # ---- phase C: replicated top (up then down), reseeded ---------------
-    t0 = time.time()
+    local_error: Optional[Exception] = None
+    aborted = False
+    up_msgs: Dict[int, LikelihoodMessage] = {}
     down_msgs: Dict[int, LikelihoodMessage] = {}
-    if top_set and not aborted:
-        # every process consumed a different number of keys in phase A —
-        # restart the deterministic stream so the replicated top solves
-        # identically everywhere (down messages at cut edges must agree)
-        fg.reseed(fg.params.seed ^ 0x70B5EED)
-        if nproc > 1:
-            # adopt process 0's beliefs for every top-clique variable: the
-            # replicated top is only bit-identical if its INPUT beliefs
-            # are — and user-side graph mutations between solves
-            # (add_factor graphinit) consume each process's diverged key
-            # stream, so top-variable init beliefs can differ (observed:
-            # a grown branch partitioned into the top diverged the
-            # incremental anchor posterior across processes)
-            _broadcast_top_beliefs(fg, tree, part, solve_key)
-        # the top is replicated, so a data-driven failure here usually
-        # hits every process identically — but an asymmetric one (e.g.
-        # host OOM) must still reach the sync collective, where the error
-        # flag unblocks the peers
-        try:
-            for level in reversed(levels):
-                for cid in sorted(level):
-                    if cid not in top_set:
-                        continue
-                    cl = tree.clique(cid)
-                    child_msgs = [up_msgs[ch] for ch in cl.children
-                                  if ch in up_msgs]
+
+    # fixed per-solve exchange layout (identical on every process)
+    layout = (_msg_layout(fg, tree, part.cut_roots)
+              if part.cut_roots else [])
+    flat = (_msg_flat_layout(fg, layout,
+                             joint=bool(fg.params.use_msg_likelihoods))
+            if layout and nproc > 1 else None)
+    owner_proc = {cid: part.owner[cid] for cid in part.cut_roots}
+
+    # ---- distributed tree-init fixed point ------------------------------
+    # The reference's CSM runs the full init dance per clique wherever the
+    # clique lives (waitForUp/initUp/tryDownInit cycling,
+    # CliqueStateMachine.jl:341-417/:699-858, over Distributed workers via
+    # CliqStateMachineUtils.jl:349-410).  Here the same fixed point spans
+    # processes: each pass runs local up sweeps (phase A), exchanges cut
+    # messages (B — NO_INIT messages with partial beliefs ride the codec's
+    # presence flags), solves the replicated top up+down (C — its down
+    # messages cross the cut and down-init owned subtrees), local down
+    # sweeps (D), then a tiny status collective (S) agrees on whether any
+    # clique down-initialized anywhere; if so, the affected owned cliques
+    # and their ancestors re-up and the loop repeats — bounded by
+    # ``limit_treeinit_iters`` exactly like the single-host loop
+    # (parallel/scheduler.py solve_tree_sweeps).
+    limit = max(1, int(getattr(fg.params, "limit_treeinit_iters", 10)))
+    affected: Optional[set] = None          # None => all owned (pass 0)
+    for init_pass in range(limit):
+        tm["init_passes"] = init_pass + 1
+
+        # ---- phase A: local up sweeps over owned subtrees ---------------
+        # A failing clique must NOT leave peer processes blocked at the
+        # next collective (the cross-host analogue of the reference's
+        # bruteForcePushErrorCSM flooding, CliqStateMachineUtils.jl:184-246):
+        # on error this process keeps participating in every remaining
+        # collective, floods ERROR_STATUS through its cut messages, skips
+        # all further compute, and re-raises at the end; peers see the
+        # flooded status after the exchange and abort symmetrically.
+        t0 = time.time()
+        for level in reversed(levels):
+            for cid in sorted(level):
+                if cid not in my_cids or local_error is not None:
+                    continue
+                if affected is not None and cid not in affected:
+                    continue
+                cl = tree.clique(cid)
+                child_msgs = [up_msgs[ch] for ch in cl.children
+                              if ch in up_msgs]
+                try:
+                    if fail_cliques and cid in fail_cliques:
+                        raise RuntimeError(
+                            f"injected failure at clique {cid} (fault hook)")
                     up_msgs[cid] = up_solve_clique(fg, tree, cl, child_msgs,
                                                    solve_key)
+                except Exception as e:        # noqa: BLE001
+                    local_error = e
+                    cl.status = CliqStatus.ERROR_STATUS
+                    logger.warning("multihost: clique %d failed (%s); "
+                                   "flooding ERROR to peers", cid, e)
+        if local_error is not None:
+            for cid in part.cut_roots:
+                if part.owner.get(cid) == pid:
+                    up_msgs[cid] = LikelihoodMessage(
+                        sender=cid, status=CliqStatus.ERROR_STATUS,
+                        direction="up")
+        tm["local_up_s"] += time.time() - t0
+
+        # ---- phase B: cut-edge up-message exchange ----------------------
+        t0 = time.time()
+        if layout and nproc > 1:
+            gathered = _allgather(_pack_msgs(fg, layout, flat, up_msgs))
+            up_msgs.update(_unpack_msgs(fg, tree, layout, flat, gathered,
+                                        owner_proc))
+        # single process: up_msgs already holds every cut message.
+        # symmetric abort decision: every process sees the same flooded
+        # statuses, so all take identical branches through the remaining
+        # collectives (no peer ever blocks)
+        remote_error = any(m.status == CliqStatus.ERROR_STATUS
+                           for cid, m in up_msgs.items()
+                           if cid in set(part.cut_roots))
+        aborted = local_error is not None or remote_error
+        tm["exchange_up_s"] += time.time() - t0
+
+        import os as _os
+        if _os.environ.get("IITPU_MH_DEBUG"):
+            for cid in part.cut_roots:
+                m = up_msgs.get(cid)
+                if m is None:
+                    print(f"[mh-debug pid={pid}] cut {cid}: MISSING",
+                          flush=True)
+                    continue
+                cs = {v: float(np.asarray(b.points).sum())
+                      for v, b in m.beliefs.items()}
+                print(f"[mh-debug pid={pid}] cut {cid} status={m.status} "
+                      f"sums={cs}", flush=True)
+
+        # ---- phase C: replicated top (up then down), reseeded -----------
+        t0 = time.time()
+        down_msgs = {}
+        top_down_inited = 0
+        if top_set and not aborted:
+            # every process consumed a different number of keys in phase A
+            # — restart the deterministic stream (mixed with the pass
+            # index) so the replicated top solves identically everywhere
+            # (down messages at cut edges must agree)
+            fg.reseed((fg.params.seed ^ 0x70B5EED) + 7919 * init_pass)
+            if nproc > 1 and init_pass == 0:
+                # adopt process 0's beliefs for every top-clique variable:
+                # the replicated top is only bit-identical if its INPUT
+                # beliefs are — and user-side graph mutations between
+                # solves (add_factor graphinit) consume each process's
+                # diverged key stream, so top-variable init beliefs can
+                # differ.  Later passes start from the (already identical)
+                # pass-0 top solution.
+                _broadcast_top_beliefs(fg, tree, part, solve_key)
+            # the top is replicated, so a data-driven failure here usually
+            # hits every process identically — but an asymmetric one (e.g.
+            # host OOM) must still reach the status collective, where the
+            # error flag unblocks the peers
+            try:
+                for level in reversed(levels):
+                    for cid in sorted(level):
+                        if cid not in top_set:
+                            continue
+                        cl = tree.clique(cid)
+                        child_msgs = [up_msgs[ch] for ch in cl.children
+                                      if ch in up_msgs]
+                        up_msgs[cid] = up_solve_clique(fg, tree, cl,
+                                                       child_msgs, solve_key)
+                for level in levels:
+                    for cid in sorted(level):
+                        if cid not in top_set:
+                            continue
+                        cl = tree.clique(cid)
+                        child_up = [up_msgs[ch] for ch in cl.children
+                                    if ch in up_msgs]
+                        out = down_solve_clique(fg, tree, cl,
+                                                down_msgs.get(cid),
+                                                solve_key,
+                                                child_msgs=child_up)
+                        down_msgs.update(out)
+                        if getattr(cl, "down_inited", False):
+                            top_down_inited += 1
+            except Exception as e:            # noqa: BLE001
+                local_error = e
+                aborted = True
+        tm["top_s"] += time.time() - t0
+
+        if _os.environ.get("IITPU_MH_DEBUG"):
+            for dv in _os.environ["IITPU_MH_DEBUG"].split(","):
+                if dv in fg.variables and solve_key in fg.var(dv).beliefs:
+                    print(f"[mh-debug pid={pid}] post-top {dv} mean="
+                          f"{float(np.asarray(fg.points(dv, solve_key))[:, 0].mean()):.6f} "
+                          f"ctr={fg._key_ctr}", flush=True)
+
+        # ---- phase D: local down sweeps into owned subtrees -------------
+        t0 = time.time()
+        local_down_inited: set = set()
+        if not aborted:
             for level in levels:
+                if local_error is not None:
+                    # a failed down-solve poisons every descendant (their
+                    # parent down message is missing): stop the whole
+                    # phase, don't keep solving garbage or overwrite
+                    # local_error with cascading secondary exceptions
+                    # (advisor r3)
+                    break
                 for cid in sorted(level):
-                    if cid not in top_set:
+                    if cid not in my_cids:
                         continue
                     cl = tree.clique(cid)
                     child_up = [up_msgs[ch] for ch in cl.children
                                 if ch in up_msgs]
-                    out = down_solve_clique(fg, tree, cl,
-                                            down_msgs.get(cid), solve_key,
-                                            child_msgs=child_up)
-                    down_msgs.update(out)
-        except Exception as e:                # noqa: BLE001
-            local_error = e
+                    try:
+                        out = down_solve_clique(fg, tree, cl,
+                                                down_msgs.get(cid),
+                                                solve_key,
+                                                child_msgs=child_up)
+                        down_msgs.update(out)
+                        if getattr(cl, "down_inited", False):
+                            local_down_inited.add(cid)
+                    except Exception as e:    # noqa: BLE001
+                        local_error = e
+                        cl.status = CliqStatus.ERROR_STATUS
+                        break
+        tm["local_down_s"] += time.time() - t0
+
+        # ---- phase S: symmetric continue/abort decision -----------------
+        # one tiny collective: [n_down_inited, errored] per process; every
+        # process computes the identical (continue, abort) branch so the
+        # per-pass collective count always matches
+        n_init = len(local_down_inited)
+        if nproc > 1:
+            st = _allgather(np.asarray(
+                [float(n_init),
+                 1.0 if local_error is not None else 0.0], np.float32))
+            total_inited = int(round(float(st[:, 0].sum())))
+            any_error = bool((st[:, 1] > 0.5).any())
+        else:
+            total_inited = n_init
+            any_error = local_error is not None
+        # top down-inits are replicated-deterministic: identical count on
+        # every process, so adding them keeps the decision symmetric
+        total_inited += top_down_inited
+        if any_error or aborted:
             aborted = True
-    tm["top_s"] = time.time() - t0
+            break
+        if total_inited == 0:
+            break
+        # next pass: re-up the down-inited owned cliques plus their owned
+        # ancestors (the replicated top re-solves fully each pass)
+        affected = set()
+        for cid in local_down_inited:
+            cur: Optional[int] = cid
+            while cur is not None and cur not in affected:
+                affected.add(cur)
+                cur = tree.clique(cur).parent
+        affected &= my_cids
 
-    import os as _os
-    if _os.environ.get("IITPU_MH_DEBUG"):
-        for dv in _os.environ["IITPU_MH_DEBUG"].split(","):
-            if dv in fg.variables and solve_key in fg.var(dv).beliefs:
-                print(f"[mh-debug pid={pid}] post-top {dv} mean="
-                      f"{float(np.asarray(fg.points(dv, solve_key))[:, 0].mean()):.6f} "
-                      f"ctr={fg._key_ctr}", flush=True)
-
-    # ---- phase D: local down sweeps into owned subtrees -----------------
-    t0 = time.time()
-    if not aborted:
-        for level in levels:
-            if local_error is not None:
-                # a failed down-solve poisons every descendant (their
-                # parent down message is missing): stop the whole phase,
-                # don't keep solving garbage or overwrite local_error with
-                # cascading secondary exceptions (advisor r3)
-                break
-            for cid in sorted(level):
-                if cid not in my_cids:
-                    continue
-                cl = tree.clique(cid)
-                child_up = [up_msgs[ch] for ch in cl.children
-                            if ch in up_msgs]
-                try:
-                    out = down_solve_clique(fg, tree, cl,
-                                            down_msgs.get(cid), solve_key,
-                                            child_msgs=child_up)
-                    down_msgs.update(out)
-                except Exception as e:        # noqa: BLE001
-                    local_error = e
-                    cl.status = CliqStatus.ERROR_STATUS
-                    break
-    tm["local_down_s"] = time.time() - t0
+    still_no_init = [c.cid for c in tree.cliques.values()
+                     if (c.cid in my_cids or c.cid in top_set)
+                     and c.status == CliqStatus.NO_INIT]
+    if still_no_init and not aborted:
+        logger.warning(
+            "multihost tree init incomplete after %d passes; cliques %s "
+            "remain NO_INIT (graph lacks initializing information)",
+            tm["init_passes"], still_no_init)
 
     # ---- phase E: posterior broadcast (always participates) -------------
     t0 = time.time()
@@ -739,7 +903,9 @@ def solve_tree_parametric_multihost(fg, order=None,
 # localhost launcher (CPU dryrun / scaling measurement)
 # --------------------------------------------------------------------------
 
-_FIXTURES = ("chain", "forest", "anchored_forest", "se2_chain")
+_FIXTURES = ("chain", "forest", "anchored_forest", "se2_chain",
+             "chain_end_prior", "anchored_forest_noinit",
+             "multihypo_forest")
 
 
 def build_fixture(name: str, scale: int = 8, params=None):
@@ -751,10 +917,29 @@ def build_fixture(name: str, scale: int = 8, params=None):
       cut edges — pure clique-parallel scaling);
     - ``anchored_forest``: ``scale`` branches all tied to one anchor
       variable (top = anchor clique, one cut edge per branch — the
-      realistic multi-session SLAM shape)."""
+      realistic multi-session SLAM shape);
+    - ``chain_end_prior``: chain whose ONLY prior sits at the root-side
+      end with graphinit disabled — bottom subtrees cannot up-init, so
+      the solve REQUIRES init information to flow down through the cut
+      edges and back up (the distributed tree-init fixed point);
+    - ``multihypo_forest``: anchored branches each carrying a 2-door
+      multihypo data-association factor (HypoRecipe masks + nullSurplus
+      under the partition)."""
     from .. import (ContinuousScalar, LinearRelative, Normal, Prior, initfg)
     from ..config import SolverParams
 
+    if params is None and name in ("chain_end_prior",
+                                   "anchored_forest_noinit"):
+        # graph-level auto-init must stay off so initialization happens
+        # INSIDE the tree solve (the reference's tryDownInit path)
+        params = SolverParams(N=64, graphinit=False)
+    if name == "anchored_forest_noinit":
+        # same graph as anchored_forest, but with graphinit disabled EVERY
+        # owned subtree is prior-less and NO_INIT after its local up pass:
+        # initialization must flow from the replicated top (anchor prior)
+        # down through every cut edge and back up, on every process
+        fg = build_fixture("anchored_forest", scale, params=params)
+        return fg
     fg = initfg(params or SolverParams(N=64))
     if name == "chain":
         fg.add_variable("x0", ContinuousScalar)
@@ -799,6 +984,32 @@ def build_fixture(name: str, scale: int = 8, params=None):
                 fg.add_variable(f"b{b}x{i}", ContinuousScalar)
                 fg.add_factor([f"b{b}x{i-1}", f"b{b}x{i}"],
                               LinearRelative(Normal(1.0, 0.5)))
+    elif name == "chain_end_prior":
+        # identical chain, but the ONLY prior anchors the LAST pose (the
+        # root side of the elimination order) and graphinit is off: the
+        # leaf-side subtrees emit NO_INIT up the cut until the replicated
+        # top's down messages initialize them
+        for i in range(scale):
+            fg.add_variable(f"x{i}", ContinuousScalar)
+            if i:
+                fg.add_factor([f"x{i-1}", f"x{i}"],
+                              LinearRelative(Normal(1.0, 0.5)),
+                              graphinit=False)
+        fg.add_factor([f"x{scale-1}"],
+                      Prior(Normal(float(scale - 1), 0.5)), graphinit=False)
+    elif name == "multihypo_forest":
+        fg.add_variable("anchor", ContinuousScalar)
+        fg.add_factor(["anchor"], Prior(Normal(0.0, 0.5)))
+        for b in range(scale):
+            for d, off in (("d0", 0.0), ("d1", 50.0)):
+                fg.add_variable(f"b{b}{d}", ContinuousScalar)
+                fg.add_factor([f"b{b}{d}"], Prior(Normal(b + off, 0.3)))
+            fg.add_variable(f"b{b}mx", ContinuousScalar)
+            fg.add_factor(["anchor", f"b{b}mx"],
+                          LinearRelative(Normal(float(b), 1.0)))
+            fg.add_factor([f"b{b}mx", f"b{b}d0", f"b{b}d1"],
+                          LinearRelative(Normal(0.0, 0.3)),
+                          multihypo=[1.0, 0.5, 0.5])
     else:
         raise ValueError(f"unknown fixture {name!r} (use {_FIXTURES})")
     return fg
@@ -825,6 +1036,19 @@ def fixture_truth(name: str, scale: int = 8) -> Dict[str, object]:
     if name == "forest":
         return {f"b{b}x{i}": float(b + i)
                 for b in range(scale) for i in range(3)}
+    if name == "chain_end_prior":
+        return {f"x{i}": float(i) for i in range(scale)}
+    if name == "anchored_forest_noinit":
+        return fixture_truth("anchored_forest", scale)
+    if name == "multihypo_forest":
+        truth = {"anchor": 0.0}
+        for b in range(scale):
+            truth[f"b{b}d0"] = float(b)
+            truth[f"b{b}d1"] = float(b + 50)
+            # posterior concentrates on the d0 association (the anchor
+            # relative pins mx near b; d1 is 50 sigma away)
+            truth[f"b{b}mx"] = float(b)
+        return truth
     truth = {"anchor": 0.0}
     for b in range(scale):
         for i in range(3):
@@ -851,6 +1075,9 @@ def _worker_main(argv=None) -> None:
                     choices=("default", "parametric"))
     ap.add_argument("--grow", type=int, default=0)
     ap.add_argument("--fail-clique", type=int, default=-1)
+    ap.add_argument("--use-joint", action="store_true",
+                    help="use_msg_likelihoods=True (joint up-messages "
+                         "through the cut-edge codec)")
     ap.add_argument("--out", default="")
     a = ap.parse_args(argv)
 
@@ -867,7 +1094,51 @@ def _worker_main(argv=None) -> None:
     results = {"pid": a.pid, "nproc": a.nproc,
                "devices": jax.device_count(),
                "local_devices": jax.local_device_count()}
+
+    if a.fixture == "fourdoor":
+        # the fourdoor incremental sequence (reference fourdoortest.jl:12-54)
+        # across processes: 3 multihost solves with old_tree= recycling;
+        # reports the reference's mode-mass bars
+        from ..canonical import fourdoor_sequence
+        from ..config import SolverParams
+
+        p = SolverParams(N=128, use_msg_likelihoods=a.use_joint)
+        fg, steps = fourdoor_sequence(p)
+        tree = None
+        t0 = time.time()
+        for s in steps:
+            s()
+            tree = solve_tree_multihost(fg, old_tree=tree)
+
+        def mass(v, c, tol=20.0):
+            pts = np.asarray(fg.points(v)[:, 0])
+            return float(np.mean(np.abs(pts - c) < tol))
+
+        results["fourdoor"] = {
+            "x1_0": mass("x1", 0.0), "x2_50": mass("x2", 50.0),
+            "x3_100": mass("x3", 100.0), "x4_300": mass("x4", 300.0),
+            "means": {v: float(np.asarray(fg.points(v)[:, 0]).mean())
+                      for v in ("x1", "x2", "x3", "x4")},
+            "n_recycled": sum(c.is_recycled
+                              for c in tree.cliques.values()),
+            "wall_s": time.time() - t0}
+        if a.out:
+            with open(a.out, "w") as fp:
+                json.dump(results, fp)
+        print(json.dumps(results), flush=True)
+        return
+
     truth = fixture_truth(a.fixture, a.scale)
+
+    def fixture_params():
+        if not a.use_joint:
+            return None                      # build_fixture defaults
+        from ..config import SolverParams
+
+        return SolverParams(
+            N=64, use_msg_likelihoods=True,
+            graphinit=(a.fixture not in ("chain_end_prior",
+                                         "anchored_forest_noinit")))
 
     def solve_and_report(fg, tree_in=None):
         tm: dict = {}
@@ -906,7 +1177,8 @@ def _worker_main(argv=None) -> None:
         # fault-injection mode: one solve with an injected clique failure;
         # record how this process exited (local error vs flooded peer
         # error) — the launcher asserts BOTH processes aborted promptly
-        fg = build_fixture(a.fixture, a.scale)
+        fg = build_fixture(a.fixture, a.scale,
+                           params=fixture_params())
         t0 = time.time()
         try:
             solve_tree_multihost(fg, fail_cliques={a.fail_clique})
@@ -922,7 +1194,7 @@ def _worker_main(argv=None) -> None:
         return
 
     for phase in ("cold", "warm"):
-        fg = build_fixture(a.fixture, a.scale)
+        fg = build_fixture(a.fixture, a.scale, params=fixture_params())
         tree, results[phase] = solve_and_report(fg)
     if a.grow and a.algorithm == "default":
         # incremental phase: extend the warm fixture's graph and re-solve
@@ -951,7 +1223,8 @@ def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
                      scale: int = 8, devices_per_proc: int = 2,
                      timeout: float = 600.0,
                      algorithm: str = "default",
-                     grow: int = 0, fail_clique: int = -1) -> List[dict]:
+                     grow: int = 0, fail_clique: int = -1,
+                     use_joint: bool = False) -> List[dict]:
     """Spawn ``n_procs`` localhost CPU processes that jointly solve the
     fixture with :func:`solve_tree_multihost`; returns each process's JSON
     report.  This is the CPU dryrun of the multi-host path (the reference's
@@ -990,7 +1263,7 @@ def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
              "--port", str(port), "--fixture", fixture,
              "--scale", str(scale), "--algorithm", algorithm,
              "--grow", str(grow), "--fail-clique", str(fail_clique),
-             "--out", out],
+             "--out", out] + (["--use-joint"] if use_joint else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     reports, errors = [], []
     for pid, p in enumerate(procs):

@@ -1,6 +1,7 @@
 """Extension model tests: heatmap/levelset densities, NN ensembles, ODE
 factors (reference ext/ functionality: HeatmapSampler, FluxFactors,
-DiffEqFactor)."""
+DiffEqFactor; test coverage mirrors test/testHeatmapGridDensity.jl,
+testFluxModelsDistribution.jl, testDERelative.jl)."""
 
 import jax
 import jax.numpy as jnp

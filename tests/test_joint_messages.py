@@ -1,6 +1,7 @@
 """Joint up-message machinery: path queries, priors/relatives
 classification, and solve-level regression cases (reference
-testJointEnforcement.jl, testUseMsgLikelihoods.jl, testExpXstroke.jl)."""
+testTreeMessageUtils.jl, testJointEnforcement.jl,
+testUseMsgLikelihoods.jl, testExpXstroke.jl)."""
 
 import numpy as np
 

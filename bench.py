@@ -134,17 +134,29 @@ def extra_cliqrate():
     # clique-solves/s on one chip (the BASELINE.json north-star unit):
     # a wide 32-branch forest = 64 clique solves per full sweep pair.
     # Sequential path: bounded compile footprint (the stacked B=64 kernel
-    # is a multi-minute one-time compile; measure it offline instead)
+    # is a multi-minute one-time compile; measure it offline instead).
+    # Two rates, best of 3 (the tunnel's latency wobbles minute-to-minute):
+    # the historical bench-style number times graph build + graphinit +
+    # solve (comparable to r1-r3 records); solve-only isolates the sweep
+    # (benchmarks/cliq_breakdown.py publishes the host-time buckets)
     from incrementalinference.jl_tpu.config import SolverParams
 
     pr = SolverParams(batch_cliques=False)
     tree = solve_tree(_wide_forest(pr))             # warm
-    t0 = time.time()
     tree = solve_tree(_wide_forest(pr))
-    dt = time.time() - t0
+    best_total = best_solve = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        fg = _wide_forest(pr)
+        t1 = time.time()
+        tree = solve_tree(fg)
+        t2 = time.time()
+        best_total = min(best_total, t2 - t0)
+        best_solve = min(best_solve, t2 - t1)
     nsolves = 2 * tree.num_cliques()                # up + down
     print(f"# clique-solves/s (1 chip, wide32 sequential): "
-          f"{nsolves / dt:.0f}", file=sys.stderr)
+          f"{nsolves / best_total:.0f} incl. build+graphinit, "
+          f"{nsolves / best_solve:.0f} solve-only", file=sys.stderr)
 
 
 def extra_param_cliqrate():

@@ -31,7 +31,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=32,
                     help="branches in the anchored forest")
-    ap.add_argument("--procs", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--procs", type=int, nargs="+",
+                    default=[1, 2, 4, 8])
     ap.add_argument("--devices-per-proc", type=int, default=1)
     a = ap.parse_args()
 
@@ -46,13 +47,18 @@ def main() -> None:
         warm_up = max(r["warm"]["timings"]["local_up_s"] for r in reps)
         exch = max(r["warm"]["timings"]["exchange_up_s"]
                    + r["warm"]["timings"]["sync_s"] for r in reps)
+        tmw = reps[0]["warm"]["timings"]
+        coll_bytes = int(tmw.get("bytes_cut", 0) + tmw.get("bytes_sync", 0))
         rows.append({"procs": n, "cliques": n_cliques,
                      "warm_total_s": warm_total, "warm_local_up_s": warm_up,
                      "collectives_s": exch,
+                     "collective_bytes": coll_bytes,
+                     "init_passes": tmw.get("init_passes", 1),
                      "cliques_per_s": n_cliques / warm_total,
                      "max_err": max(r["warm"]["max_err"] for r in reps)})
         print(f"n={n}: {n_cliques} cliques, warm total {warm_total:.3f}s "
-              f"(local up {warm_up:.3f}s, collectives {exch:.3f}s), "
+              f"(local up {warm_up:.3f}s, collectives {exch:.3f}s, "
+              f"{coll_bytes/1e3:.1f} kB/solve), "
               f"{n_cliques/warm_total:.1f} cliq/s, "
               f"max err {rows[-1]['max_err']:.3f}", flush=True)
 

@@ -52,7 +52,13 @@ import functools
 
 # LOO bandwidth selection becomes subset-based above this many points
 # (pairwise matrix memory: 4096^2 * 4 B = 67 MB vs 10 GB at 50k)
-_LOO_MAX_POINTS = 4096
+# LOO scale selection subsamples above this: the grid search only corrects
+# mode-vs-global spread, which a few hundred points resolve; the
+# n-dependence stays in the full-N Silverman base.  (Was 4096; the
+# (n_grid, M, M) element volume per belief write made bandwidth selection
+# the top compute consumer of large-N solves — 24 x 2048² = 100 M
+# elements at M=2048, ~1-2 ms per write x ~150 writes/solve.)
+_LOO_MAX_POINTS = 512
 
 
 @functools.partial(jax.jit, static_argnames=("manifold", "n_grid"))
@@ -109,13 +115,22 @@ def loo_bandwidth(manifold: Manifold, points: jnp.ndarray,
     return s_best * bw0
 
 
+#: shared unit infoPerCoord vectors keyed by (dof, dtype) — every belief
+#: write with default ipc otherwise pays one eager device op (immutable,
+#: so sharing is safe; measurable on tunneled-TPU graph construction)
+_IPC_ONES: dict = {}
+
+
 def make_belief(manifold: Manifold, points: jnp.ndarray,
                 bw: jnp.ndarray | None = None,
                 ipc: jnp.ndarray | None = None) -> Belief:
     if bw is None:
         bw = loo_bandwidth(manifold, points)
     if ipc is None:
-        ipc = jnp.ones((manifold.dof,), points.dtype)
+        k = (int(manifold.dof), str(points.dtype))
+        ipc = _IPC_ONES.get(k)
+        if ipc is None:
+            ipc = _IPC_ONES[k] = jnp.ones((manifold.dof,), points.dtype)
     return Belief(points=points, bw=jnp.asarray(bw), ipc=jnp.asarray(ipc))
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 
 def _register(cls, fields):
@@ -52,8 +53,13 @@ class Distribution:
 
 class Normal(Distribution):
     def __init__(self, mu=0.0, sigma=1.0):
-        self.mu = jnp.asarray(mu, jnp.float32)
-        self.sigma = jnp.asarray(sigma, jnp.float32)
+        # host numpy, NOT device arrays: constructing distributions must
+        # not cost device round-trips (graph build is host-side; the
+        # dispatch path converts once per factor via ops.graphops
+        # device_model) — eager jnp.asarray here was ~30% of wide-graph
+        # construction time through the TPU tunnel
+        self.mu = _np.asarray(mu, _np.float32)
+        self.sigma = _np.asarray(sigma, _np.float32)
 
     dim = 1
 
@@ -70,10 +76,11 @@ class Normal(Distribution):
 
 class MvNormal(Distribution):
     def __init__(self, mu, cov):
-        self.mu = jnp.atleast_1d(jnp.asarray(mu, jnp.float32))
-        cov = jnp.asarray(cov, jnp.float32)
+        # host numpy (see Normal.__init__)
+        self.mu = _np.atleast_1d(_np.asarray(mu, _np.float32))
+        cov = _np.asarray(cov, _np.float32)
         if cov.ndim == 1:          # diagonal std-vector convenience (Julia style)
-            cov = jnp.diag(cov**2)
+            cov = _np.diag(cov**2)
         self.cov = cov
 
     @property
@@ -98,8 +105,8 @@ class MvNormal(Distribution):
 
 class Uniform(Distribution):
     def __init__(self, a=0.0, b=1.0):
-        self.a = jnp.asarray(a, jnp.float32)
-        self.b = jnp.asarray(b, jnp.float32)
+        self.a = _np.asarray(a, _np.float32)      # host (see Normal)
+        self.b = _np.asarray(b, _np.float32)
 
     dim = 1
 
@@ -118,7 +125,7 @@ class Uniform(Distribution):
 
 class Rayleigh(Distribution):
     def __init__(self, sigma=1.0):
-        self.sigma = jnp.asarray(sigma, jnp.float32)
+        self.sigma = _np.asarray(sigma, _np.float32)  # host (see Normal)
 
     dim = 1
 
@@ -144,7 +151,7 @@ class Categorical(Distribution):
     """Discrete distribution over {0..k-1} (hypothesis selection)."""
 
     def __init__(self, p):
-        self.p = jnp.asarray(p, jnp.float32)
+        self.p = _np.asarray(p, _np.float32)      # host (see Normal)
 
     @property
     def dim(self):

@@ -75,6 +75,10 @@ Position2 = Position(2)
 Position3 = Position(3)
 Position4 = Position(4)
 
+#: shared identity-point blocks keyed by (manifold, N) — see
+#: Variable.default_points
+_DEFAULT_POINTS_CACHE: Dict = {}
+
 
 @dataclass
 class Variable:
@@ -120,9 +124,19 @@ class Variable:
 
     def default_points(self) -> jnp.ndarray:
         """N copies of the identity point (reference setDefaultNodeData!,
-        FactorGraph.jl:453-511 allocates uninitialized points at identity)."""
-        ident = self.manifold.identity()
-        return jnp.broadcast_to(ident, (self.N,) + ident.shape).copy()
+        FactorGraph.jl:453-511 allocates uninitialized points at identity).
+
+        Cached per (manifold, N): jax arrays are immutable so every
+        uninitialized variable can share one device buffer — the eager
+        zeros/broadcast dispatches otherwise dominate graph construction
+        (~3 device round-trips per variable on a tunneled TPU)."""
+        key = (self.manifold, self.N)
+        out = _DEFAULT_POINTS_CACHE.get(key)
+        if out is None:
+            ident = self.manifold.identity()
+            out = jnp.broadcast_to(ident, (self.N,) + ident.shape).copy()
+            _DEFAULT_POINTS_CACHE[key] = out
+        return out
 
 
 @dataclass

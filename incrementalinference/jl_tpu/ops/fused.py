@@ -24,8 +24,10 @@ import jax.numpy as jnp
 from ..beliefs import loo_bandwidth
 from ..manifolds import Manifold
 from .convolve import ConvSpec, eval_factor_core
-from .product import (LARGE_PAIR_THRESHOLD, pair_product_tangent,
-                      pair_product_tangent_large)
+from .product import (CONDENSE_K, CONDENSE_MIN_NB, LARGE_PAIR_THRESHOLD,
+                      condense_mixture, pair_product_tangent,
+                      pair_product_tangent_large,
+                      pair_product_tangent_weighted)
 
 __all__ = ["fused_variable_update", "fused_variable_update_batched",
            "fused_clique_gibbs", "product_traceable"]
@@ -51,13 +53,23 @@ def product_traceable(manifold: Manifold, pts_list, bw_list,
         mus.append(t)
         precs.append(jnp.broadcast_to(lam, t.shape))
 
-    keys = jax.random.split(key, D + 1)
+    keys = jax.random.split(key, 2 * D + 1)
     mu, prec = mus[0], precs[0]
     if D == 1:
         sel = jax.random.randint(keys[0], (n_out,), 0, mu.shape[0])
         mu, prec = mu[sel], prec[sel]
     for j in range(1, D):
-        if mu.shape[0] * mus[j].shape[0] >= LARGE_PAIR_THRESHOLD:
+        nb = mus[j].shape[0]
+        if nb >= CONDENSE_MIN_NB and \
+                mu.shape[0] * nb < LARGE_PAIR_THRESHOLD:
+            # subquadratic path: condense the incoming density to a
+            # weighted cluster mixture, stage cost O(N·k) (see
+            # ops/product.py — VERDICT r3 item 3)
+            cB, pB, lwB = condense_mixture(mus[j], precs[j], keys[D + j],
+                                           k=min(CONDENSE_K, nb))
+            mu, prec = pair_product_tangent_weighted(
+                mu, prec, cB, pB, lwB, keys[j], n_out)
+        elif mu.shape[0] * nb >= LARGE_PAIR_THRESHOLD:
             mu, prec = pair_product_tangent_large(
                 mu, prec, mus[j], precs[j], keys[j], n_out,
                 interpret=jax.default_backend() == "cpu")

@@ -24,19 +24,53 @@ import functools as _functools
 import numpy as _np
 
 
+#: content-keyed device copies of SMALL factor models: regenerated graphs
+#: (fresh canonical fixtures, incremental rebuilds) carry value-identical
+#: models in brand-new objects, so the per-factor cache misses and the
+#:  leaf conversions were the top warm-sweep host bucket
+#: (benchmarks/cliq_breakdown.py: 223 us/clique).  Keyed on
+#: (treedef, leaf bytes) — exact content match only.
+_MODEL_CONTENT_CACHE: dict = {}
+_MODEL_CONTENT_CACHE_MAX = 8192
+
+
 def device_model(f):
     """The factor's model with every pytree leaf as a committed device
-    array, cached on the factor.  Passing raw python/numpy leaves into the
-    jitted updates costs a per-leaf canonicalization + device_put on EVERY
-    dispatch (profiled: ~188 conversions = ~30 % of a warm LineStep(20)
-    solve through the TPU tunnel).  Same immutability contract as the
+    array, cached on the factor (and content-cached globally for small
+    models).  Passing raw python/numpy leaves into the jitted updates
+    costs a per-leaf canonicalization + device_put on EVERY dispatch
+    (profiled: ~188 conversions = ~30 % of a warm LineStep(20) solve
+    through the TPU tunnel).  Same immutability contract as the
     parametric group cache (parametric/solver.py): replace models, don't
     mutate them."""
     dm = getattr(f, "_device_model", None)
     if dm is None:
         import jax
 
-        dm = f._device_model = jax.tree.map(jnp.asarray, f.model)
+        leaves, treedef = jax.tree.flatten(f.model)
+        small = all(
+            not isinstance(l, jax.Array)
+            and isinstance(l, (int, float, _np.generic, _np.ndarray))
+            and _np.asarray(l).size <= 64
+            for l in leaves)
+        if small and leaves:
+            try:
+                arrs = [_np.asarray(l) for l in leaves]
+                key = (treedef, tuple((a.dtype.str, a.shape, a.tobytes())
+                                      for a in arrs))
+            except Exception:                 # noqa: BLE001
+                key = None
+            if key is not None:
+                dm = _MODEL_CONTENT_CACHE.get(key)
+                if dm is None:
+                    if len(_MODEL_CONTENT_CACHE) >= _MODEL_CONTENT_CACHE_MAX:
+                        _MODEL_CONTENT_CACHE.clear()
+                    dm = treedef.unflatten(
+                        [jnp.asarray(l) for l in leaves])
+                    _MODEL_CONTENT_CACHE[key] = dm
+        if dm is None:
+            dm = jax.tree.map(jnp.asarray, f.model)
+        f._device_model = dm
     return dm
 
 

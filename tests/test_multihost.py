@@ -100,8 +100,9 @@ class TestSingleProcessDegenerate:
 class TestMessageCodec:
     def test_flat_pack_unpack_roundtrip_se2(self):
         """The cut-edge message codec must carry manifold beliefs whose
-        point_dim differs from dof (SE2: 3 ambient coords) bit-exactly
-        through the flat buffer."""
+        point_dim differs from dof (SE2: 3 ambient coords) through the
+        flat buffer to within the scaled-f16 wire precision (points ship
+        as f16 to halve the collective bytes; bw/ipc stay f32)."""
         import jax.numpy as jnp
 
         from incrementalinference.jl_tpu import (ManifoldFactor,
@@ -138,8 +139,9 @@ class TestMessageCodec:
                            {7: 0})
         m2 = out[7]
         assert m2.status == CliqStatus.UPSOLVED and m2.has_priors
-        np.testing.assert_array_equal(np.asarray(m2.beliefs["p0"].points),
-                                      np.asarray(msg.beliefs["p0"].points))
+        np.testing.assert_allclose(np.asarray(m2.beliefs["p0"].points),
+                                   np.asarray(msg.beliefs["p0"].points),
+                                   rtol=1e-3, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(m2.beliefs["p0"].bw),
                                       np.asarray(msg.beliefs["p0"].bw))
 
@@ -212,10 +214,11 @@ class TestMessageCodec:
         assert len(jm2.relatives) == 1 and list(jm2.priors) == ["a"]
         va, vb, rb = jm2.relatives[0]
         assert (va, vb) == ("a", "b")
-        np.testing.assert_array_equal(np.asarray(rb.points),
-                                      np.asarray(diffs))
-        np.testing.assert_array_equal(np.asarray(jm2.priors["a"].points),
-                                      np.asarray(jm.priors["a"].points))
+        np.testing.assert_allclose(np.asarray(rb.points),
+                                   np.asarray(diffs), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(jm2.priors["a"].points),
+                                   np.asarray(jm.priors["a"].points),
+                                   rtol=1e-3, atol=1e-3)
 
     def test_flat_codec_no_joint_when_disabled(self):
         """joint=False layouts must not waste buffer space on joint slots."""

@@ -102,3 +102,80 @@ def test_pair_product_exactness():
                                     jax.random.PRNGKey(0), 16)
     np.testing.assert_allclose(np.asarray(mu), 2.0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(prec), 0.5, atol=1e-6)
+
+
+def test_condensed_product_matches_exact_bimodal():
+    """The subquadratic (cluster-condensed) path must reproduce the exact
+    pair product's mode structure (VERDICT r3 item 3 — the role of the
+    reference's multiscale ball-tree KDE, GraphProductOperations.jl:53):
+    bimodal x bimodal with one shared mode -> all mass at the shared mode."""
+    from incrementalinference.jl_tpu.ops.product import (
+        CONDENSE_MIN_NB, condense_mixture, pair_product_tangent_weighted,
+        product_cascade_tangent)
+
+    rng = np.random.default_rng(0)
+    N = 1024
+    assert N >= CONDENSE_MIN_NB          # the auto route must condense
+    a = np.where(rng.random(N) < 0.5, -5.0, 5.0) + \
+        0.3 * rng.standard_normal(N)
+    b = np.where(rng.random(N) < 0.5, 5.0, 15.0) + \
+        0.3 * rng.standard_normal(N)
+    muA, muB = jnp.asarray(a[:, None]), jnp.asarray(b[:, None])
+    lam = jnp.full((N, 1), 1.0 / 0.3**2)
+    key = jax.random.PRNGKey(1)
+
+    mu_e, _ = pair_product_tangent(muA, lam, muB, lam, key, N)
+    s, _ = product_cascade_tangent([muA, muB], [lam, lam], key, N)
+    e = np.asarray(mu_e)[:, 0]
+    c = np.asarray(s)[:, 0]
+    assert np.mean(np.abs(e - 5.0) < 1.5) > 0.99
+    assert np.mean(np.abs(c - 5.0) < 1.5) > 0.99
+    assert abs(e.mean() - c.mean()) < 0.15
+
+    # condensation itself preserves mixture mass placement
+    cB, pB, lwB = condense_mixture(muB, lam, jax.random.PRNGKey(2), k=256)
+    lw = np.asarray(lwB)
+    alive = lw > -1e20
+    w = np.exp(lw[alive]); w /= w.sum()
+    wmean = float((w * np.asarray(cB)[alive, 0]).sum())
+    assert abs(wmean - b.mean()) < 0.5
+
+
+def test_condensed_product_trimodal_no_spurious_mass():
+    """Trimodal x trimodal with two shared modes: the condensed cascade
+    keeps both product modes and creates no mass in between (the failure
+    mode the exact cascade was designed against must survive
+    condensation)."""
+    from incrementalinference.jl_tpu.ops.product import (
+        product_cascade_tangent)
+
+    rng = np.random.default_rng(3)
+    N = 1024
+    a = rng.integers(0, 3, N) * 10.0 + 0.3 * rng.standard_normal(N)
+    b = rng.integers(1, 4, N) * 10.0 + 0.3 * rng.standard_normal(N)
+    lam = jnp.full((N, 1), 1.0 / 0.3**2)
+    s, _ = product_cascade_tangent(
+        [jnp.asarray(a[:, None]), jnp.asarray(b[:, None])],
+        [lam, lam], jax.random.PRNGKey(4), N)
+    s = np.asarray(s)[:, 0]
+    m10 = np.mean(np.abs(s - 10.0) < 2.0)
+    m20 = np.mean(np.abs(s - 20.0) < 2.0)
+    assert m10 > 0.2 and m20 > 0.2, (m10, m20)
+    assert m10 + m20 > 0.98, (m10, m20)
+
+
+def test_exact_path_still_default_small_n():
+    """At reference sizes (N <= 512) the cascade must keep using the exact
+    quadratic product (condensation only engages above CONDENSE_MIN_NB)."""
+    from unittest import mock
+
+    from incrementalinference.jl_tpu.ops import product as P
+
+    N = 256
+    muA = jnp.zeros((N, 1))
+    lam = jnp.ones((N, 1))
+    with mock.patch.object(P, "condense_mixture",
+                           side_effect=AssertionError("condensed at small N")):
+        s, _ = P.product_cascade_tangent([muA, muA], [lam, lam],
+                                         jax.random.PRNGKey(0), N)
+    assert s.shape == (N, 1)

@@ -110,17 +110,12 @@ def precompile_updates(fg, tree: Optional[BayesTree] = None,
             # widening predicate matches the runtime one then).
             if all(fg.var(v).is_initialized(solve_key)
                    for v in cl.all_vars):
-                from .scheduler import add_down_variable_factors
+                from .scheduler import (_DescendantFrontals,
+                                        add_down_variable_factors)
                 dsub = build_clique_subgraph(fg, cl)
-                desc: set = set()
-                stack = [c.cid for c in tree.children(cl.cid)]
-                while stack:
-                    c = tree.clique(stack.pop())
-                    desc.update(c.frontals)
-                    stack.extend(c.children)
-                add_down_variable_factors(fg, dsub, cl,
-                                          require_initialized=solve_key,
-                                          exclude=desc)
+                add_down_variable_factors(
+                    fg, dsub, cl, require_initialized=solve_key,
+                    exclude=_DescendantFrontals(tree, cl.cid))
                 attach_child_msgs(dsub, cl)
                 if cl.parent is not None:
                     dmsg = LikelihoodMessage(sender=cl.parent,

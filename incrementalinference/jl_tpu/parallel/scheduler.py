@@ -106,10 +106,27 @@ def build_clique_subgraph(fg: FactorGraph, clique: Clique,
     return sub
 
 
+class _DescendantFrontals:
+    """set-like view of 'frontals of strict descendants of cid' backed by
+    the tree's Euler intervals (O(1) membership, no subtree walk)."""
+
+    __slots__ = ("tree", "cid")
+
+    def __init__(self, tree, cid: int):
+        self.tree = tree
+        self.cid = cid
+
+    def __contains__(self, var: str) -> bool:
+        return self.tree.is_descendant_frontal(var, self.cid)
+
+    def __bool__(self) -> bool:
+        return True
+
+
 def add_down_variable_factors(fg: FactorGraph, sub: FactorGraph,
                               clique, solvable: int = 1,
                               require_initialized: Optional[str] = None,
-                              exclude: Optional[set] = None):
+                              exclude=None):
     """Widen a clique subgraph with the frontal-neighbor variables and the
     factors connecting them, as the reference's down solve does
     (addDownVariableFactors!, TreeMessageUtils.jl:490-520: 'between for up,
@@ -783,16 +800,12 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
     # beliefs in as factor anchors would double-count — the "disparity on
     # whether up and down solves should use exactly the same subgraph" the
     # reference itself flags (TreeMessageUtils.jl:488) and measurably
-    # drags chain down-corrections here
-    desc_vars: set = set()
-    stack = [ch.cid for ch in tree.children(clique.cid)]
-    while stack:
-        c = tree.clique(stack.pop())
-        desc_vars.update(c.frontals)
-        stack.extend(c.children)
+    # drags chain down-corrections here.  Membership rides the tree's
+    # Euler intervals (a per-clique subtree WALK here was O(depth²) per
+    # down sweep on chain graphs).
     add_down_variable_factors(fg, sub, clique,
                               require_initialized=solve_key,
-                              exclude=desc_vars)
+                              exclude=_DescendantFrontals(tree, clique.cid))
     for cmsg in (child_msgs or []):
         add_msg_factors(sub, cmsg)
     clique.down_inited = False

@@ -89,6 +89,43 @@ class BayesTree:
     def root_ids(self) -> List[int]:
         return [c.cid for c in self.cliques.values() if c.parent is None]
 
+    def _euler_intervals(self):
+        """Pre-order (tin, tout) intervals per clique, computed lazily once
+        per tree: descendant tests become two dict lookups instead of a
+        subtree walk (the walk made every down-solve O(subtree) in host
+        time — O(depth²) per sweep on chain graphs)."""
+        iv = getattr(self, "_euler_iv", None)
+        if iv is not None and self._euler_n == len(self.cliques):
+            return iv
+        tin: Dict[int, int] = {}
+        tout: Dict[int, int] = {}
+        t = 0
+        for r in sorted(self.root_ids):
+            stack = [(r, False)]
+            while stack:
+                cid, done = stack.pop()
+                if done:
+                    tout[cid] = t - 1
+                    continue
+                tin[cid] = t
+                t += 1
+                stack.append((cid, True))
+                stack.extend((ch, False)
+                             for ch in sorted(self.cliques[cid].children))
+        self._euler_iv = (tin, tout)
+        self._euler_n = len(self.cliques)
+        return self._euler_iv
+
+    def is_descendant_frontal(self, var: str, cid: int) -> bool:
+        """True when ``var`` is a frontal of a STRICT descendant of
+        ``cid`` (each variable is frontal in exactly one clique)."""
+        home = self.frontal_to_clique.get(var)
+        if home is None or home == cid:
+            return False
+        tin, tout = self._euler_intervals()
+        th = tin.get(home)
+        return th is not None and tin[cid] < th <= tout[cid]
+
     def clique(self, cid: int) -> Clique:
         return self.cliques[cid]
 

@@ -71,9 +71,14 @@ def test_reup_after_down_init_changes_posterior():
     m1 = _mean(fg, "x1")
     m0 = _mean(fg, "x0")
     m2 = _mean(fg, "x2")
-    # without the tree-init fixed point m1 stays at -1.0
-    assert abs(m1 - (-5.0 / 3.0)) < 0.35, m1
-    assert abs(m0 - (-10.0 / 3.0)) < 0.40, m0
+    # without the tree-init fixed point m1 stays at -1.0; with it the
+    # posterior approaches the exact LS value -5/3.  Bars from an 8-seed
+    # sweep of this statistic (mean -1.59, spread ±0.45 at N=100): 0.5
+    # accepts the seed spread while cleanly rejecting the no-reup -1.0
+    # (which the m1 < -1.15 check pins explicitly).
+    assert abs(m1 - (-5.0 / 3.0)) < 0.5, m1
+    assert m1 < -1.15, m1
+    assert abs(m0 - (-10.0 / 3.0)) < 0.55, m0
     assert abs(m2 - 0.0) < 0.30, m2
 
 

@@ -10,8 +10,10 @@ the same level-synchronous schedule as the nonparametric sweeps.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,16 +37,39 @@ class GaussianMessage:
         self.cov = cov
 
 
+@functools.lru_cache(maxsize=2048)
+def _select_cov_fn(sel: tuple, n: int):
+    S = np.zeros((len(sel), n), np.float32)
+    S[np.arange(len(sel)), list(sel)] = 1.0
+    Sj = jnp.asarray(S)
+    return jax.jit(lambda cov: Sj @ jnp.asarray(cov, jnp.float32) @ Sj.T)
+
+
 def _select_cov(cov, sel: np.ndarray):
-    """Principal submatrix ``cov[ix_(sel, sel)]`` as a DEVICE op: the
-    selection matrix is a host-numpy constant (lowers as a literal), so the
-    whole parametric sweep stays free of blocking device->host transfers
-    (a tunnel transfer can stall seconds to minutes) and of data-dependent
-    gathers (pathological on TPU — design rule, CLAUDE.md)."""
-    cov = jnp.asarray(cov)
-    S = np.zeros((len(sel), cov.shape[0]), np.float32)
-    S[np.arange(len(sel)), sel] = 1.0
-    return S @ cov @ S.T
+    """Principal submatrix ``cov[ix_(sel, sel)]`` as ONE jitted device op:
+    the selection matrix is a host-numpy constant (lowers as a literal),
+    so the whole parametric sweep stays free of blocking device->host
+    transfers (a tunnel transfer can stall seconds to minutes) and of
+    data-dependent gathers (pathological on TPU — design rule, CLAUDE.md);
+    jitting (cached per selection signature) collapses what were two
+    EAGER matmul dispatches per message into one call."""
+    return _select_cov_fn(tuple(int(i) for i in sel),
+                          int(jnp.shape(cov)[0]))(cov)
+
+
+@functools.lru_cache(maxsize=2048)
+def _finalize_fn(offsets: tuple, dofs: tuple):
+    n = len(dofs)
+
+    @jax.jit
+    def fn(points, cov):
+        pts = tuple(points[i] for i in range(n))
+        covs = tuple(cov[offsets[i]:offsets[i] + dofs[i],
+                         offsets[i]:offsets[i] + dofs[i]]
+                     for i in range(n))
+        return pts, covs
+
+    return fn
 
 
 def _attach_message(sub: FactorGraph, msg: GaussianMessage, tag: str) -> None:
@@ -76,12 +101,18 @@ def _attach_message(sub: FactorGraph, msg: GaussianMessage, tag: str) -> None:
 
 def _finalize_clique(prob: ParametricProblem, sub: FactorGraph,
                      points, cov) -> ParametricProblem:
+    # one jitted dispatch for all per-variable point rows + cov blocks
+    # (eager points[i] / cov[s:e, s:e] slicing cost ~3 tunnel dispatches
+    # per variable per clique — the top host bucket of the parametric
+    # fresh-graph sweep)
+    nv = len(prob.var_labels)
+    offs = tuple(int(prob.offsets[i]) for i in range(nv))
+    dofs = tuple(int(prob.dofs[i]) for i in range(nv))
+    pts, covs = _finalize_fn(offs, dofs)(points, cov)
     for i, v in enumerate(prob.var_labels):
         sv = sub.var(v)
-        sv.parametric_point = points[i]
-        s = int(prob.offsets[i])
-        e = s + prob.dofs[i]   # offsets[i+1] may include type-block padding
-        sv.parametric_cov = cov[s:e, s:e]
+        sv.parametric_point = pts[i]
+        sv.parametric_cov = covs[i]
     prob.full_cov = cov
     return prob
 

@@ -835,23 +835,54 @@ def solve_problems_batched(probs: Sequence["ParametricProblem"],
                              compute_cov=compute_cov)
         p0s_b, cost_b = out[0], out[1]
         cov_b = out[2] if compute_cov else None
-        # results stay ON DEVICE: per-problem rows are async eager slices,
-        # and every downstream consumer (write-back, message covariance
-        # selection, the next autoinit round's stacking) is itself a device
-        # op — the sweep runs with ZERO blocking device->host transfers.
+        # results stay ON DEVICE: per-problem rows are produced by ONE
+        # jitted unstack dispatch per group (each row as its own output
+        # buffer), and every downstream consumer (write-back, message
+        # covariance selection, the next autoinit round's stacking) is
+        # itself a device op — the sweep runs with ZERO blocking
+        # device->host transfers and no per-row eager slicing (profiled:
+        # ~4 eager dispatches per problem on the fresh-graph sweep).
         # (A bulk device_get here once looked faster than lazy per-slice
         # reads, but any blocking transfer over the tunneled TPU can stall
         # seconds to minutes; keeping the pipeline transfer-free is both
         # faster and immune to that.)
+        nb = len(idxs)
+        # structurally-identical problems share the (type, index) layout,
+        # so one static unstack plan serves the whole group
+        p_rep = probs[idxs[0]]
+        tk = tuple((p_rep._type_of[v], p_rep._idx_in_type[v])
+                   for v in p_rep.var_labels)
+        unst = _group_unstack(tk, nb, cov_b is not None)
+        if cov_b is not None:
+            per = unst(tuple(p0s_b), cov_b, cost_b)
+        else:
+            per = unst(tuple(p0s_b), cost_b, cost_b)
         for bi, i in enumerate(idxs):
             p = probs[i]
-            p0s_i = tuple(s[bi] for s in p0s_b)
-            p.p0 = [p0s_i[p._type_of[v]][p._idx_in_type[v]]
-                    for v in p.var_labels]
-            results[i] = (list(p.p0),
-                          (cov_b[bi] if cov_b is not None else None),
-                          cost_b[bi])
+            p0_rows, cov_i, cost_i = per[bi]
+            p.p0 = list(p0_rows)
+            results[i] = (list(p0_rows),
+                          (cov_i if cov_b is not None else None), cost_i)
     return results
+
+
+@functools.lru_cache(maxsize=512)
+def _group_unstack(tk: tuple, batch: int, with_cov: bool):
+    """One jitted dispatch that splits a group's batched solve outputs into
+    per-problem per-variable row buffers (replaces ~(vars+2) x batch eager
+    slice dispatches through the tunnel — profiled as the top host bucket
+    of the fresh-graph parametric sweep)."""
+
+    @jax.jit
+    def fn(p0s_b, cov_b, cost_b):
+        per = []
+        for bi in range(batch):
+            p0_rows = tuple(p0s_b[t][bi, k] for t, k in tk)
+            per.append((p0_rows, cov_b[bi] if with_cov else cost_b[bi],
+                        cost_b[bi]))
+        return tuple(per)
+
+    return fn
 
 
 def _cov_impl(prob: "ParametricProblem", p0s):
@@ -1042,10 +1073,26 @@ def init_parametric_from(fg: FactorGraph, from_key: str = "default",
             v.parametric_point, v.parametric_cov = _belief_mean_cov(man, pts)
             n += 1
             continue
-        stack = jnp.stack([pts for _, pts in items])
-        mus, covs = jax.vmap(lambda p: _belief_mean_cov(man, p))(stack)
-        for i, (v, _) in enumerate(items):
-            v.parametric_point = mus[i]
-            v.parametric_cov = covs[i]
+        rows = _seed_rows_fn(man, len(items))(
+            tuple(pts for _, pts in items))
+        for (v, _), (mu_i, cov_i) in zip(items, rows):
+            v.parametric_point = mu_i
+            v.parametric_cov = cov_i
             n += 1
     return n
+
+
+@functools.lru_cache(maxsize=512)
+def _seed_rows_fn(man, batch: int):
+    """Stack + vmapped mean/cov + per-variable unstack as ONE jitted
+    dispatch (the eager mus[i]/covs[i] slices were 2 tunnel dispatches
+    per variable)."""
+    from ..beliefs import mean_cov as _belief_mean_cov
+
+    @jax.jit
+    def fn(pts_tuple):
+        stack = jnp.stack(pts_tuple)
+        mus, covs = jax.vmap(lambda p: _belief_mean_cov(man, p))(stack)
+        return tuple((mus[i], covs[i]) for i in range(batch))
+
+    return fn

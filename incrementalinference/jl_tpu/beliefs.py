@@ -124,6 +124,9 @@ _IPC_ONES: dict = {}
 def make_belief(manifold: Manifold, points: jnp.ndarray,
                 bw: jnp.ndarray | None = None,
                 ipc: jnp.ndarray | None = None) -> Belief:
+    """Build a ``Belief`` from a particle array: LOO bandwidth selection
+    when ``bw`` is omitted (reference TreeBelief/manikde! construction,
+    src/entities/BeliefTypes.jl:23-34)."""
     if bw is None:
         bw = loo_bandwidth(manifold, points)
     if ipc is None:

@@ -73,6 +73,7 @@ def variable_summary(v: Variable) -> DFGVariableSummary:
 
 
 def factor_summary(f: Factor) -> DFGFactorSummary:
+    """Lightweight factor header (reference DFGFactorSummary)."""
     return DFGFactorSummary(
         label=f.label, factor_type=type(f.model).__name__,
         variables=tuple(f.variables), tags=tuple(sorted(f.tags)),
@@ -113,30 +114,37 @@ def diagm(v) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def PackedPrior(Z) -> Dict[str, Any]:
+    """Packed form of ``Prior(Z)`` (reference PackedPrior)."""
     from .models import Prior
     from .serialization.packed import pack_factor_model
     return pack_factor_model(Prior(Z))
 
 
 def PackedMsgPrior(belief, manifold, ipc=None) -> Dict[str, Any]:
+    """Packed form of ``MsgPrior`` (reference PackedMsgPrior)."""
     from .models import MsgPrior
     from .serialization.packed import pack_factor_model
     return pack_factor_model(MsgPrior(belief, manifold, ipc=ipc))
 
 
 def PackedPartialPrior(Z, dims) -> Dict[str, Any]:
+    """Packed form of ``PartialPrior`` (reference PackedPartialPrior)."""
     from .models import PartialPrior
     from .serialization.packed import pack_factor_model
     return pack_factor_model(PartialPrior(Z, tuple(dims)))
 
 
 def PackedGenericMarginal() -> Dict[str, Any]:
+    """Packed form of ``GenericMarginal`` (reference
+    PackedGenericMarginal)."""
     from .models import GenericMarginal
     from .serialization.packed import pack_factor_model
     return pack_factor_model(GenericMarginal())
 
 
 def PackedSamplableBelief(z) -> Dict[str, Any]:
+    """Packed form of any samplable distribution (reference
+    PackedSamplableBelief string/struct forms)."""
     from .serialization.packed import pack_distribution
     return pack_distribution(z)
 

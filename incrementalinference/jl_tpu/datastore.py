@@ -114,6 +114,8 @@ def get_blob_store(fg: FactorGraph, key: str = None):
 
 
 def list_blob_stores(fg: FactorGraph) -> List[str]:
+    """Keys of the graph's registered blob stores (reference DFG
+    listBlobStores)."""
     return list(getattr(fg, "_blob_stores", {}).keys())
 
 
@@ -126,6 +128,7 @@ def add_blob(fg: FactorGraph, data: bytes, store_key: str = None) -> str:
 
 
 def get_blob(fg: FactorGraph, blob_id: str, store_key: str = None) -> bytes:
+    """Fetch raw blob bytes by id (reference getBlob)."""
     store = get_blob_store(fg, store_key)
     return store.get(blob_id)
 

@@ -134,6 +134,8 @@ def tree_to_dot(tree: BayesTree) -> str:
 
 
 def save_tree_dot(tree: BayesTree, path: str = "/tmp/iitpu/bt.dot") -> str:
+    """Write the Bayes tree as graphviz dot (reference drawTree,
+    src/services/JunctionTreeUtils.jl:578-668)."""
     import os
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
@@ -287,6 +289,8 @@ def graph_to_dot(fg) -> str:
 
 
 def save_graph_dot(fg, path: str = "/tmp/iitpu/fg.dot") -> str:
+    """Write the factor graph as graphviz dot (reference drawGraph/
+    drawGraphCliq, src/services/AdditionalUtils.jl)."""
     import os
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:

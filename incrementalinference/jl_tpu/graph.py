@@ -58,10 +58,14 @@ class VariableType:
 
 
 def ContinuousEuclid(n: int) -> VariableType:
+    """Euclidean R^n variable type (reference ContinuousEuclid{N},
+    src/Variables/DefaultVariables.jl:9-52)."""
     return VariableType(f"ContinuousEuclid{n}", Euclidean(n))
 
 
 def Position(n: int) -> VariableType:
+    """Translation-group position variable type (reference Position{N},
+    src/Variables/DefaultVariables.jl:9-52)."""
     return VariableType(f"Position{n}", Euclidean(n))
 
 
@@ -208,6 +212,10 @@ class FactorGraph:
     def add_variable(self, label: str, vartype: VariableType,
                      N: int | None = None, tags: Iterable[str] = (),
                      solvable: int = 1) -> Variable:
+        """Add a variable node (reference addVariable!,
+        src/services/FactorGraph.jl:587-632).  ``vartype`` fixes the
+        manifold and point layout; ``N`` overrides ``SolverParams.N``
+        particles for this variable's beliefs."""
         if label in self.variables:
             raise ValueError(f"variable {label!r} already exists")
         import time as _time
@@ -223,6 +231,11 @@ class FactorGraph:
                    nullhypo: float = 0.0, label: str | None = None,
                    graphinit: bool | None = None, tags: Iterable[str] = (),
                    solvable: int = 1) -> Factor:
+        """Add a factor over ``variables`` (reference addFactor!,
+        src/services/FactorGraph.jl:824-902): auto-names the factor
+        (assembleFactorName, :786-811), guards ``maxincidence``, parses
+        ``multihypo``/``nullhypo`` (parseusermultihypo, :634-654), and
+        triggers ``graphinit`` auto-initialization unless disabled."""
         variables = tuple(variables)
         for vl in variables:
             if vl not in self.variables:
@@ -295,31 +308,43 @@ class FactorGraph:
         return label in self.variables or label in self.factors
 
     def ls(self, tags: Iterable[str] = ()) -> List[str]:
+        """Variable labels, optionally filtered by tags (reference
+        ls(dfg))."""
         tags = set(tags)
         return [v for v, var in self.variables.items()
                 if not tags or tags & var.tags]
 
     def lsf(self, tags: Iterable[str] = ()) -> List[str]:
+        """Factor labels, optionally filtered by tags (reference
+        lsf(dfg))."""
         tags = set(tags)
         return [f for f, fac in self.factors.items()
                 if not tags or tags & fac.tags]
 
     def var(self, label: str) -> Variable:
+        """The ``Variable`` node (reference getVariable)."""
         return self.variables[label]
 
     def factor(self, label: str) -> Factor:
+        """The ``Factor`` node (reference getFactor)."""
         return self.factors[label]
 
     def factors_of(self, var_label: str) -> List[str]:
+        """Labels of factors attached to a variable (reference
+        ls(dfg, sym) neighbor listing)."""
         return list(self._var_factors[var_label])
 
     def neighbors(self, label: str) -> List[str]:
+        """Graph neighbors of a variable (its factors) or factor (its
+        variables) — reference getNeighbors."""
         if label in self.variables:
             return self.factors_of(label)
         return list(self.factors[label].variables)
 
     # -- belief get/set (reference getBelief / setValKDE!) ----------------
     def get_belief(self, label: str, solve_key: str = "default") -> Belief:
+        """The variable's ``Belief`` under a solveKey (reference
+        getBelief, src/services/FactorGraph.jl)."""
         return self.variables[label].beliefs[solve_key]
 
     def set_belief(self, label: str, points: jnp.ndarray,
@@ -327,6 +352,10 @@ class FactorGraph:
                    bw: jnp.ndarray | None = None,
                    ipc: jnp.ndarray | None = None,
                    initialized: bool = True) -> Belief:
+        """Replace the variable's belief with a particle set (reference
+        setValKDE!/setBelief!, src/services/FactorGraph.jl:158-297):
+        bandwidths are LOO-selected when ``bw`` is omitted, and the
+        per-solveKey ``initialized`` flag is set."""
         v = self.variables[label]
         b = make_belief(v.manifold, points, bw=bw, ipc=ipc)
         v.beliefs[solve_key] = b
@@ -334,6 +363,8 @@ class FactorGraph:
         return b
 
     def points(self, label: str, solve_key: str = "default") -> jnp.ndarray:
+        """The belief's particle array ``(N, point_dim)`` (reference
+        getVal); identity points when the solveKey has no belief yet."""
         v = self.variables[label]
         b = v.beliefs.get(solve_key)
         return v.default_points() if b is None else b.points

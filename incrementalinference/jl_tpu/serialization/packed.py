@@ -44,6 +44,7 @@ def _arr(x) -> list:
 # ---------------------------------------------------------------------------
 
 def pack_manifold(m: Manifold) -> Any:
+    """Symbolic manifold name for packed payloads."""
     if isinstance(m, Euclidean):
         return {"_type": "Euclidean", "n": m.n}
     if isinstance(m, SO2):
@@ -141,6 +142,9 @@ def _unpack_distribution_core(d: Dict):
 # ---------------------------------------------------------------------------
 
 def pack_belief(b: Belief, parch: bool = False) -> Dict:
+    """JSON-safe packed KDE belief (reference PackedManifoldKernelDensity;
+    ``parch=True`` hollows the point block — parchDistribution,
+    src/Serialization/services/SerializationMKD.jl:14-40)."""
     out = {"_type": "Belief", "bw": _arr(b.bw), "ipc": _arr(b.ipc),
            "npts": int(b.points.shape[0])}
     if not parch:
@@ -149,6 +153,8 @@ def pack_belief(b: Belief, parch: bool = False) -> Dict:
 
 
 def unpack_belief(d: Dict) -> Belief:
+    """Rebuild a ``Belief`` from its packed dict (parched blocks
+    resample from the packed bandwidth)."""
     pts = jnp.asarray(d.get("points",
                             np.zeros((d["npts"], len(d["bw"])))),
                       jnp.float32)
@@ -226,6 +232,10 @@ def _unpack_factor_model_core(d: Dict):
 # ---------------------------------------------------------------------------
 
 def save_graph(fg: FactorGraph, path: str, parch: bool = False) -> str:
+    """Save the graph as packed JSON (reference saveDFG; packed factor
+    forms per DispatchPackedConversions.jl).  ``parch=True`` hollows out
+    belief point blocks (reference parchDistribution,
+    src/Serialization/services/SerializationMKD.jl)."""
     doc = {"_format": "iitpu-fg-v1",
            "params": fg.params.__dict__ | {
                "algorithms": list(fg.params.algorithms)},
@@ -279,6 +289,11 @@ def save_graph(fg: FactorGraph, path: str, parch: bool = False) -> str:
 
 
 def load_graph(path: str) -> FactorGraph:
+    """Rebuild a solvable graph from ``save_graph`` output (reference
+    loadDFG + reconstFactorData,
+    src/Serialization/services/DispatchPackedConversions.jl:25-160).  For
+    archives saved by the reference ecosystem itself use
+    ``load_dfg_archive``."""
     with open(path) as fp:
         doc = json.load(fp)
     assert doc.get("_format") == "iitpu-fg-v1", "unknown graph format"
@@ -341,6 +356,8 @@ def save_tree(tree: BayesTree, path: str) -> str:
 
 
 def load_tree(path: str) -> BayesTree:
+    """Rebuild a Bayes tree from ``save_tree`` output (reference loadTree,
+    src/services/JunctionTreeUtils.jl:1691-1768)."""
     with open(path) as fp:
         doc = json.load(fp)
     assert doc.get("_format") == "iitpu-bt-v1", "unknown tree format"
@@ -578,6 +595,9 @@ _MODEL_UNPACKERS = [_unpack_model_ext, _unpack_factor_model_core,
 
 
 def pack_distribution(z) -> Dict:
+    """Packed struct for any samplable distribution (reference
+    packDistribution, src/Serialization/services/
+    SerializingDistributions.jl:4-38)."""
     for h in _DIST_PACKERS:
         out = h(z)
         if out is not None:
@@ -586,6 +606,7 @@ def pack_distribution(z) -> Dict:
 
 
 def unpack_distribution(d: Dict):
+    """Inverse of ``pack_distribution`` (reference unpackDistribution)."""
     for h in _DIST_UNPACKERS:
         out = h(d)
         if out is not None:
@@ -594,6 +615,8 @@ def unpack_distribution(d: Dict):
 
 
 def pack_factor_model(m) -> Dict:
+    """Packed factor data via the type-dispatch registry (reference
+    Packed* factor structs + packFactorType)."""
     for h in _MODEL_PACKERS:
         out = h(m)
         if out is not None:
@@ -602,6 +625,8 @@ def pack_factor_model(m) -> Dict:
 
 
 def unpack_factor_model(d: Dict):
+    """Inverse of ``pack_factor_model`` (reference reconstFactorData
+    dispatch)."""
     for h in _MODEL_UNPACKERS:
         out = h(d)
         if out is not None:

@@ -13,6 +13,8 @@ __all__ = ["compare_beliefs", "compare_variables", "compare_graphs",
 
 
 def compare_beliefs(a, b, tol: float = 1e-5) -> bool:
+    """Particle+bandwidth equality within ``tol`` (reference compare on
+    TreeBelief, src/services/CompareUtils.jl)."""
     return (a.points.shape == b.points.shape
             and bool(np.allclose(np.asarray(a.points), np.asarray(b.points),
                                  atol=tol))
@@ -21,6 +23,8 @@ def compare_beliefs(a, b, tol: float = 1e-5) -> bool:
 
 
 def compare_variables(va, vb, tol: float = 1e-5) -> bool:
+    """Reference compareVariable: label/type equality plus per-solveKey
+    belief comparison (src/services/CompareUtils.jl)."""
     if va.label != vb.label or va.vartype != vb.vartype:
         return False
     if set(va.beliefs) != set(vb.beliefs):
@@ -59,6 +63,8 @@ def compare_all_special(x, y, skip: tuple = ("vartypes",),
 
 
 def compare_graphs(fa, fb, tol: float = 1e-5) -> bool:
+    """Reference compareFactorGraphs: same variables/factors and
+    per-variable belief equality (src/services/CompareUtils.jl)."""
     if fa.ls() != fb.ls() or fa.lsf() != fb.lsf():
         return False
     if not all(compare_variables(fa.var(v), fb.var(v), tol)

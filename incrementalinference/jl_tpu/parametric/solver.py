@@ -661,7 +661,15 @@ class ParametricProblem:
         across all problems with matching buckets — per-clique sweeps,
         autoinit, and growing graphs reuse one compilation."""
         x = jnp.zeros((self.total_dof,)) if x0 is None else x0
-        p0s = self._p0_stacked()
+        # one jitted dispatch for the type-bucket stacking (the eager
+        # _p0_stacked route costs ~vars eager dispatches per solve)
+        p0_layout = tuple(
+            tuple(self.slot[v] for v in self.var_labels
+                  if self._type_of[v] == t)
+            for t in range(len(self.type_groups)))
+        men = tuple(tg[0] for tg in self.type_groups)
+        nbs = tuple(tg[2] for tg in self.type_groups)
+        p0s = _p0_stack_single(p0_layout, men, nbs)(tuple(self.p0))
 
         cost = jnp.inf
         for _ in range(max(relinearize, 1)):
@@ -669,9 +677,12 @@ class ParametricProblem:
                                     lam0=lam0, tol=tol)
             x = jnp.zeros_like(x)
 
-        # write back linearization points (host: un-pad per type block)
-        self.p0 = [p0s[self._type_of[v]][self._idx_in_type[v]]
-                   for v in self.var_labels]
+        # write back linearization points (un-pad per type block as ONE
+        # jitted dispatch — per-variable eager rows cost a tunnel dispatch
+        # each)
+        tk = tuple((self._type_of[v], self._idx_in_type[v])
+                   for v in self.var_labels)
+        self.p0 = list(_single_unstack(tk)(p0s))
         cov = _cov_step(self, p0s) if compute_cov else None
         # cost stays a device scalar: float() here would force a host sync
         # per solve (expensive over a tunneled TPU; autoinit never reads it)
@@ -788,13 +799,15 @@ def solve_problems_batched(probs: Sequence["ParametricProblem"],
 
     results: List = [None] * len(probs)
     sig_groups: Dict = {}
+    flat_of: List = [None] * len(probs)
     for i, p in enumerate(probs):
         leaves, treedef = tree_util.tree_flatten(p)
         sig = (treedef, tuple((jnp.shape(l), jnp.result_type(l))
                               for l in leaves))
+        flat_of[i] = leaves
         sig_groups.setdefault(sig, []).append(i)
 
-    for idxs in sig_groups.values():
+    for sig, idxs in sig_groups.items():
         batch = [probs[i] for i in idxs]
         if len(batch) == 1 and mesh is None:
             p = batch[0]
@@ -813,12 +826,24 @@ def solve_problems_batched(probs: Sequence["ParametricProblem"],
                 # buckets are {1,1.5}·2^k — for device counts with other
                 # prime factors fall back to the plain ceiling multiple
                 B = -(-B // per) * per
-        pad_batch = batch + [batch[0]] * (B - len(batch))
-        stacked = tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *pad_batch)
-        xs = jnp.zeros((B, batch[0].total_dof))
-        p0ss = tree_util.tree_map(lambda *ps: jnp.stack(ps),
-                                  *[p._p0_stacked() for p in pad_batch])
+        pad_idx = idxs + [idxs[0]] * (B - len(idxs))
+        # ONE jitted dispatch stacks every problem leaf across the batch,
+        # builds the per-type p0 buckets, and zero-inits x (the eager
+        # tree_map(jnp.stack)/_p0_stacked route cost ~(leaves+vars)×B
+        # eager expand_dims/concat dispatches per group — profiled as the
+        # dominant host bucket of the warm parametric sweep)
+        rep = batch[0]
+        p0_layout = tuple(
+            tuple(rep.slot[v] for v in rep.var_labels
+                  if rep._type_of[v] == t)
+            for t in range(len(rep.type_groups)))
+        men = tuple(tg[0] for tg in rep.type_groups)
+        nbs = tuple(tg[2] for tg in rep.type_groups)
+        prep = _batch_prep(sig[0], B, p0_layout, men, nbs, rep.total_dof)
+        stacked_leaves, p0ss, xs = prep(
+            tuple(tuple(flat_of[i]) for i in pad_idx),
+            tuple(tuple(probs[i].p0) for i in pad_idx))
+        stacked = tree_util.tree_unflatten(sig[0], stacked_leaves)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             axis = mesh.axis_names[0]
@@ -864,6 +889,66 @@ def solve_problems_batched(probs: Sequence["ParametricProblem"],
             results[i] = (list(p0_rows),
                           (cov_i if cov_b is not None else None), cost_i)
     return results
+
+
+@functools.lru_cache(maxsize=512)
+def _p0_stack_single(p0_layout: tuple, men: tuple, nbs: tuple):
+    """Single-problem form of the ``_batch_prep`` p0 bucketing: one jitted
+    dispatch builds all per-type linearization buckets."""
+
+    @jax.jit
+    def fn(p0_rows):
+        out = []
+        for t, (man, nb) in enumerate(zip(men, nbs)):
+            rows = [jnp.asarray(p0_rows[s]) for s in p0_layout[t]]
+            rows = rows + [man.identity()] * (nb - len(rows))
+            out.append(jnp.stack(rows))
+        return tuple(out)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=512)
+def _single_unstack(tk: tuple):
+    """Un-pad a solved problem's per-type p0 buckets back to per-variable
+    rows as ONE jitted dispatch (each row its own output buffer)."""
+
+    @jax.jit
+    def fn(p0s):
+        return tuple(p0s[t][k] for t, k in tk)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=512)
+def _batch_prep(treedef, batch: int, p0_layout: tuple, men: tuple,
+                nbs: tuple, total_dof: int):
+    """One jitted dispatch that assembles a structure group's batched solve
+    inputs: per-leaf batch stacks, per-manifold-type p0 buckets (identity
+    rows pad each bucket, lowered as constants), and the zero tangent
+    state.  Replaces the eager tree_map(jnp.stack)/per-problem
+    ``_p0_stacked`` route, whose ~(leaves+vars)×B eager dispatches through
+    the tunnel dominated the warm parametric sweep's host time."""
+
+    @jax.jit
+    def fn(leaves_all, p0_all):
+        n_leaves = len(leaves_all[0])
+        stacked = tuple(
+            jnp.stack([jnp.asarray(leaves_all[b][j]) for b in range(batch)])
+            for j in range(n_leaves))
+        p0ss = []
+        for t, (man, nb) in enumerate(zip(men, nbs)):
+            ident = man.identity()
+            rows_b = []
+            for b in range(batch):
+                rows = [jnp.asarray(p0_all[b][s]) for s in p0_layout[t]]
+                rows = rows + [ident] * (nb - len(rows))
+                rows_b.append(jnp.stack(rows))
+            p0ss.append(jnp.stack(rows_b))
+        xs = jnp.zeros((batch, total_dof))
+        return stacked, tuple(p0ss), xs
+
+    return fn
 
 
 @functools.lru_cache(maxsize=512)

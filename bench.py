@@ -166,16 +166,22 @@ def extra_param_cliqrate():
     t0 = time.time()
     tree = solve_tree(_wide_forest(pr), algorithm="parametric")    # warm
     cold_dt = time.time() - t0
-    t0 = time.time()
-    fg = _wide_forest(pr)
-    tree = solve_tree(fg, algorithm="parametric")
-    fresh_dt = time.time() - t0
+    # best-of-3 both ways: single-shot timings through the tunnel wobble
+    # 2-4x minute to minute (same methodology as the nonparametric extra)
+    fresh_dt = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        fg = _wide_forest(pr)
+        tree = solve_tree(fg, algorithm="parametric")
+        fresh_dt = min(fresh_dt, time.time() - t0)
     # same-graph re-solve: the incremental/production case — structural
     # group cache + warm linearization points (matches how the reference's
     # CSM re-solves a live graph)
-    t0 = time.time()
-    tree = solve_tree(fg, algorithm="parametric")
-    dt = time.time() - t0
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        tree = solve_tree(fg, algorithm="parametric")
+        dt = min(dt, time.time() - t0)
     print(f"# parametric clique-solves/s (1 chip, wide32 batched): "
           f"{2 * tree.num_cliques() / dt:.0f} re-solve / "
           f"{2 * tree.num_cliques() / fresh_dt:.0f} fresh-graph "

@@ -71,6 +71,36 @@ def main() -> None:
     solve_graph_parametric(fgp)
     print("# linestep30 parametric done", file=sys.stderr)
 
+    # the wide-32 clique-rate workloads (bench extras): per-clique chain
+    # programs for the 3-var branches + the bucketed batched parametric
+    # LM/prep/unstack programs of the level sweep
+    from incrementalinference.jl_tpu import (ContinuousScalar,
+                                             LinearRelative, Normal, Prior,
+                                             initfg)
+    from incrementalinference.jl_tpu.config import SolverParams
+
+    def wide_forest(params):
+        fg = initfg(params)
+        for b in range(32):
+            root = f"x{b}_0"
+            fg.add_variable(root, ContinuousScalar)
+            fg.add_factor([root], Prior(Normal(float(b), 1.0)))
+            prev = root
+            for i in range(1, 3):
+                v = f"x{b}_{i}"
+                fg.add_variable(v, ContinuousScalar)
+                fg.add_factor([prev, v], LinearRelative(Normal(1.0, 0.5)))
+                prev = v
+        return fg
+
+    pr = SolverParams(batch_cliques=False)
+    solve_tree(wide_forest(pr))
+    print("# wide32 nonparametric done", file=sys.stderr)
+    fgw = wide_forest(pr)
+    solve_tree(fgw, algorithm="parametric")
+    solve_tree(fgw, algorithm="parametric")
+    print("# wide32 parametric done", file=sys.stderr)
+
     dest = a.dest
     if dest is None:
         platform = jax.default_backend()

@@ -1,0 +1,99 @@
+"""Eager-dispatch budget regression tests.
+
+On the tunneled TPU every EAGER op (apply_primitive outside jit) costs a
+~50 us host round trip, so the warm solver sweeps are engineered to run
+as a handful of jitted dispatches with NO eager ops in the hot path
+(BASELINE.md round-4 'input-side batching': the parametric sweep once
+hid ~2,100 eager expand_dims/concat dispatches in jnp.stack/tree_map —
+0.4 s of a 0.68 s solve).  These tests pin that property on CPU, where
+the same apply_primitive path runs: a regression that reintroduces eager
+per-leaf/per-row work fails loudly instead of silently re-adding seconds
+on hardware.
+"""
+
+import numpy as np
+
+from incrementalinference.jl_tpu import (ContinuousScalar, LinearRelative,
+                                         Normal, Prior, initfg, solve_tree)
+from incrementalinference.jl_tpu.config import SolverParams
+
+
+class _EagerCounter:
+    """Counts eager primitive applications (jax._src.dispatch is the
+    eager-only entry; jitted programs do not pass through it)."""
+
+    def __init__(self):
+        import jax._src.dispatch as _d
+        self._d = _d
+        self._orig = _d.apply_primitive
+        self.count = 0
+
+    def __enter__(self):
+        def counted(*a, **k):
+            self.count += 1
+            return self._orig(*a, **k)
+        self._d.apply_primitive = counted
+        return self
+
+    def __exit__(self, *exc):
+        self._d.apply_primitive = self._orig
+        return False
+
+
+def _wide_forest(params, branches=8):
+    fg = initfg(params)
+    for b in range(branches):
+        root = f"x{b}_0"
+        fg.add_variable(root, ContinuousScalar)
+        fg.add_factor([root], Prior(Normal(float(b), 1.0)))
+        prev = root
+        for i in range(1, 3):
+            v = f"x{b}_{i}"
+            fg.add_variable(v, ContinuousScalar)
+            fg.add_factor([prev, v], LinearRelative(Normal(1.0, 0.5)))
+            prev = v
+    return fg
+
+
+def test_parametric_resolve_eager_budget():
+    """A warm same-graph parametric re-solve must stay within a small
+    fixed eager budget — the batched-LM inputs (leaf stacks, p0 buckets)
+    and outputs (row unstacks, cov blocks) all ride jitted plans
+    (solver.py:_batch_prep/_group_unstack, cliques.py:_finalize_fn)."""
+    fg = _wide_forest(SolverParams(batch_cliques=False))
+    solve_tree(fg, algorithm="parametric")        # warm plans + jits
+    with _EagerCounter() as c:
+        solve_tree(fg, algorithm="parametric")
+    n_cliques = 17                                 # 8 branches: 16+root-ish
+    # budget: a handful of eager ops per SOLVE (message plumbing), not
+    # per clique per leaf.  The pre-fix count was ~60+ eager ops per
+    # clique solve at this size.
+    assert c.count <= 40, (
+        f"warm parametric re-solve ran {c.count} eager dispatches — "
+        "input/output batching regressed (see solver.py _batch_prep)")
+
+
+def test_nonparametric_resolve_eager_budget():
+    """The warm nonparametric sweep dispatches one fused chain program
+    per clique; eager ops must not scale with factors x variables."""
+    fg = _wide_forest(SolverParams(batch_cliques=False))
+    solve_tree(fg)                                 # warm chain plans
+    with _EagerCounter() as c:
+        solve_tree(fg)
+    assert c.count <= 60, (
+        f"warm nonparametric re-solve ran {c.count} eager dispatches — "
+        "the fused-chain path regressed (scheduler.py _gibbs_solve_chain)")
+
+
+def test_parametric_resolve_matches_fresh():
+    """The jitted stack/unstack plans must be value-transparent: a warm
+    re-solve equals a fresh solve of an identical graph."""
+    fg1 = _wide_forest(SolverParams(batch_cliques=False))
+    solve_tree(fg1, algorithm="parametric")
+    solve_tree(fg1, algorithm="parametric")        # re-solve path
+    fg2 = _wide_forest(SolverParams(batch_cliques=False))
+    solve_tree(fg2, algorithm="parametric")
+    for v in fg1.ls():
+        a = np.asarray(fg1.var(v).parametric_point)
+        b = np.asarray(fg2.var(v).parametric_point)
+        assert np.allclose(a, b, atol=1e-5), (v, a, b)

@@ -64,11 +64,10 @@ def test_parametric_resolve_eager_budget():
     solve_tree(fg, algorithm="parametric")        # warm plans + jits
     with _EagerCounter() as c:
         solve_tree(fg, algorithm="parametric")
-    n_cliques = 17                                 # 8 branches: 16+root-ish
-    # budget: a handful of eager ops per SOLVE (message plumbing), not
-    # per clique per leaf.  The pre-fix count was ~60+ eager ops per
-    # clique solve at this size.
-    assert c.count <= 40, (
+    # measured count is 0 (2026-08-21); the small slack allows benign
+    # future plumbing.  The pre-fix count was ~60+ eager ops per clique
+    # solve at this size.
+    assert c.count <= 8, (
         f"warm parametric re-solve ran {c.count} eager dispatches — "
         "input/output batching regressed (see solver.py _batch_prep)")
 
@@ -80,7 +79,8 @@ def test_nonparametric_resolve_eager_budget():
     solve_tree(fg)                                 # warm chain plans
     with _EagerCounter() as c:
         solve_tree(fg)
-    assert c.count <= 60, (
+    # measured count is 0 (2026-08-21)
+    assert c.count <= 8, (
         f"warm nonparametric re-solve ran {c.count} eager dispatches — "
         "the fused-chain path regressed (scheduler.py _gibbs_solve_chain)")
 

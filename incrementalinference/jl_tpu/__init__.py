@@ -51,12 +51,22 @@ from .utils import (compare_all_special, compare_beliefs, compare_factors,
 from . import fgos
 from .fgos import *  # noqa: F401,F403 — graph accessor surface
 from . import compat
-from .compat import (AbstractBayesTree, BeliefArray, CliqStateMachineContainer,
-                     DFGFactorSummary, DFGVariableSummary, GraphsDFG,
-                     InferenceVariable, PackedBayesTreeNodeData,
+from .compat import (AbstractBayesTree, AbstractFactor,
+                     AbstractManifoldMinimize, AbstractPrior,
+                     AbstractRelative, AbstractRelativeMinimize, BeliefArray,
+                     CalcFactor, CliqStateMachineContainer,
+                     CommonConvWrapper, DFGFactorSummary, DFGVariableSummary,
+                     GraphsDFG, InferenceVariable, LocalDFG,
+                     PackedAliasingScalarSampler, PackedBayesTreeNodeData,
+                     PackedCategorical, PackedDiagNormal,
+                     PackedFluxModelsDistribution, PackedFullNormal,
                      PackedFunctionNodeData, PackedGenericMarginal,
-                     PackedMsgPrior, PackedPartialPrior, PackedPrior,
-                     PackedSamplableBelief, PackedZeroMeanFullNormal, diagm,
+                     PackedHeatmapGridDensity, PackedLevelSetGridNormal,
+                     PackedManifoldKernelDensity, PackedMixture,
+                     PackedMsgPrior, PackedNormal, PackedPartialPrior,
+                     PackedPrior, PackedRayleigh, PackedSamplableBelief,
+                     PackedUniform, PackedZeroMeanDiagNormal,
+                     PackedZeroMeanFullNormal, TreeBelief, diagm,
                      factor_summary, get_solver_params, variable_summary)
 from . import datastore
 from .datastore import (BlobEntry, FolderStore, InMemoryBlobStore, add_blob,

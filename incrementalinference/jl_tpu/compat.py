@@ -178,3 +178,123 @@ def PackedBayesTreeNodeData(c: Clique) -> Dict[str, Any]:
             "direct_vars": list(c.direct_vars),
             "iter_vars": list(c.iter_vars),
             "msgskip_vars": list(c.msgskip_vars)}
+
+
+# ---------------------------------------------------------------------------
+# remaining ExportAPI.jl names (round-4 export audit): type aliases for the
+# reference's abstract hierarchy + the full set of Packed* distribution
+# constructors (each produces the packed dict serialization/packed.py
+# round-trips — the analogue of the reference's Packed* structs,
+# src/Serialization/services/SerializingDistributions.jl:4-38)
+# ---------------------------------------------------------------------------
+
+def _aliases():
+    from .beliefs import Belief
+    from .models.factors import FactorModel, PriorModel
+    from .ops.convolve import ConvSpec
+    return Belief, FactorModel, PriorModel, ConvSpec
+
+
+_Belief, _FactorModel, _PriorModel, _ConvSpec = _aliases()
+
+#: reference LocalDFG — the same in-memory graph type as GraphsDFG
+LocalDFG = FactorGraph
+#: reference TreeBelief (points+bw+ipc per variable, BeliefTypes.jl:23-34)
+TreeBelief = _Belief
+#: reference CommonConvWrapper — the per-factor static compute plan
+CommonConvWrapper = _ConvSpec
+#: reference abstract factor hierarchy: one residual API serves all four
+#: (models/factors.py FactorModel.residual; prior vs relative is the
+#: is_prior flag, minimize-vs-manifold collapses into the batched
+#: tangent-space LM kernel)
+AbstractFactor = _FactorModel
+CalcFactor = _FactorModel
+AbstractPrior = _PriorModel
+AbstractRelative = _FactorModel
+AbstractRelativeMinimize = _FactorModel
+AbstractManifoldMinimize = _FactorModel
+
+
+def _packed_dist(ctor):
+    from .serialization.packed import pack_distribution
+
+    def make(*args, **kw):
+        return pack_distribution(ctor(*args, **kw))
+    make.__name__ = "Packed" + ctor.__name__
+    make.__doc__ = (f"Reference Packed{ctor.__name__} — packed dict form "
+                    f"of ``{ctor.__name__}(...)``.")
+    return make
+
+
+def _packed_ctors():
+    from .distributions import (AliasingScalarSampler, Categorical,
+                                MvNormal, Normal, Rayleigh, Uniform)
+    return {
+        "PackedNormal": _packed_dist(Normal),
+        "PackedFullNormal": _packed_dist(MvNormal),
+        "PackedCategorical": _packed_dist(Categorical),
+        "PackedUniform": _packed_dist(Uniform),
+        "PackedRayleigh": _packed_dist(Rayleigh),
+        "PackedAliasingScalarSampler": _packed_dist(AliasingScalarSampler),
+    }
+
+
+globals().update(_packed_ctors())
+
+
+def PackedDiagNormal(mu, diag) -> Dict[str, Any]:
+    """Reference PackedDiagNormal — MvNormal with diagonal covariance."""
+    from .distributions import MvNormal
+    from .serialization.packed import pack_distribution
+    mu = np.asarray(mu, dtype=float)
+    return pack_distribution(MvNormal(mu, np.diag(np.asarray(diag, float))))
+
+
+def PackedZeroMeanDiagNormal(diag) -> Dict[str, Any]:
+    """Reference PackedZeroMeanDiagNormal."""
+    diag = np.asarray(diag, dtype=float)
+    return PackedDiagNormal(np.zeros(diag.shape[0]), diag)
+
+
+def PackedManifoldKernelDensity(belief, parch: bool = False) -> Dict[str, Any]:
+    """Reference PackedManifoldKernelDensity — packed KDE belief
+    (SerializationMKD.jl:14-40); ``parch=True`` hollows the points."""
+    from .serialization.packed import pack_belief
+    return pack_belief(belief, parch=parch)
+
+
+def PackedMixture(mix) -> Dict[str, Any]:
+    """Reference PackedMixture — packed form of a ``Mixture`` factor."""
+    from .serialization.packed import pack_factor_model
+    return pack_factor_model(mix)
+
+
+def PackedHeatmapGridDensity(h) -> Dict[str, Any]:
+    """Reference PackedHeatmapGridDensity."""
+    from .serialization.packed import pack_distribution
+    return pack_distribution(h)
+
+
+def PackedLevelSetGridNormal(l) -> Dict[str, Any]:
+    """Reference PackedLevelSetGridNormal."""
+    from .serialization.packed import pack_distribution
+    return pack_distribution(l)
+
+
+def PackedFluxModelsDistribution(f) -> Dict[str, Any]:
+    """Reference PackedFluxModelsDistribution (ext/FluxModelsSerialization)."""
+    from .serialization.packed import pack_distribution
+    return pack_distribution(f)
+
+
+__all__ += [
+    "LocalDFG", "TreeBelief", "CommonConvWrapper", "CalcFactor",
+    "AbstractFactor", "AbstractPrior", "AbstractRelative",
+    "AbstractRelativeMinimize", "AbstractManifoldMinimize",
+    "PackedNormal", "PackedFullNormal", "PackedDiagNormal",
+    "PackedZeroMeanDiagNormal", "PackedCategorical", "PackedUniform",
+    "PackedRayleigh", "PackedAliasingScalarSampler",
+    "PackedManifoldKernelDensity", "PackedMixture",
+    "PackedHeatmapGridDensity", "PackedLevelSetGridNormal",
+    "PackedFluxModelsDistribution",
+]

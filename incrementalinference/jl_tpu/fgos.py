@@ -22,7 +22,8 @@ from .graph import Factor, FactorGraph, Variable, VariableType
 
 __all__ = [
     "get_variable", "get_factor", "list_variables", "list_factors",
-    "is_variable", "is_factor", "get_label", "get_tags", "get_timestamp",
+    "is_variable", "is_factor", "ls2", "get_label", "get_tags",
+    "get_timestamp",
     "get_variable_type", "get_variable_dim", "get_factor_type",
     "get_factor_dim", "get_dimension", "get_solvable", "set_solvable",
     "get_bw", "set_bw", "get_num_pts", "get_val", "set_val",
@@ -98,6 +99,17 @@ def is_variable(fg: FactorGraph, label: str) -> bool:
 def is_factor(fg: FactorGraph, label: str) -> bool:
     """Reference DFG ``isFactor``."""
     return label in fg.factors
+
+
+def ls2(fg: FactorGraph, label: str) -> List[str]:
+    """Variables reachable through ``label``'s factors — the reference's
+    two-hop neighborhood ``ls2(dfg, sym)`` (used to pick autoinit
+    neighbors, src/parametric/services/ParametricManopt.jl:532)."""
+    out = set()
+    for fl in fg.factors_of(label):
+        out.update(fg.factor(fl).variables)
+    out.discard(label)
+    return sorted(out)
 
 
 def _node(fg: FactorGraph, label: str):

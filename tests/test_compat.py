@@ -162,3 +162,76 @@ def test_get_all_trees_and_down_init_order():
             v for v in cl.all_vars
             for fl in cl.potentials
             if list(fg.factor(fl).variables) == [v])
+
+
+def test_packed_distribution_constructor_shims():
+    """The remaining ExportAPI.jl Packed* constructors (round-4 export
+    audit, SerializingDistributions.jl:4-38): each produces the packed
+    dict unpack_distribution round-trips to the live distribution."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu import compat
+    from incrementalinference.jl_tpu.serialization.packed import (
+        unpack_belief, unpack_distribution)
+
+    z = unpack_distribution(compat.PackedNormal(3.0, 0.5))
+    assert (z.mu, z.sigma) == (3.0, 0.5)
+    z = unpack_distribution(compat.PackedUniform(-1.0, 2.0))
+    assert (z.a, z.b) == (-1.0, 2.0)
+    z = unpack_distribution(compat.PackedCategorical([0.25, 0.75]))
+    assert np.allclose(np.asarray(z.p), [0.25, 0.75])
+    z = unpack_distribution(compat.PackedRayleigh(2.0))
+    assert z.sigma == 2.0
+    z = unpack_distribution(compat.PackedDiagNormal([1.0, 2.0], [4.0, 9.0]))
+    assert np.allclose(np.asarray(z.cov), np.diag([4.0, 9.0]))
+    z = unpack_distribution(compat.PackedZeroMeanDiagNormal([4.0, 9.0]))
+    assert np.allclose(np.asarray(z.mu), 0.0)
+    z = unpack_distribution(
+        compat.PackedFullNormal([1.0, 2.0], [[2.0, 0.5], [0.5, 1.0]]))
+    assert np.allclose(np.asarray(z.cov), [[2.0, 0.5], [0.5, 1.0]])
+    z = unpack_distribution(
+        compat.PackedAliasingScalarSampler([0.0, 1.0, 2.0],
+                                           [0.2, 0.3, 0.5]))
+    assert np.allclose(np.asarray(z.x), [0.0, 1.0, 2.0])
+
+    fg = ii.initfg()
+    fg.add_variable("x", ii.ContinuousScalar)
+    fg.add_factor(["x"], ii.Prior(ii.Normal(0.0, 1.0)))
+    b = fg.get_belief("x")
+    pb = compat.PackedManifoldKernelDensity(b)
+    b2 = unpack_belief(pb)
+    assert b2.points.shape == b.points.shape
+    pbp = compat.PackedManifoldKernelDensity(b, parch=True)
+    assert "points" not in pbp          # parched: hollowed-out block
+
+    mix = ii.Mixture(ii.Prior(ii.Normal(0.0, 1.0)),
+                     [ii.Normal(0.0, 1.0), ii.Normal(5.0, 1.0)],
+                     [0.5, 0.5])
+    from incrementalinference.jl_tpu.serialization.packed import (
+        unpack_factor_model)
+    m2 = unpack_factor_model(compat.PackedMixture(mix))
+    assert type(m2).__name__ == "Mixture"
+
+
+def test_reference_type_aliases_and_ls2():
+    """LocalDFG/TreeBelief/CommonConvWrapper/abstract-hierarchy aliases
+    (ExportAPI.jl re-exports) and the ls2 two-hop neighborhood
+    (ParametricManopt.jl:532)."""
+    from incrementalinference.jl_tpu import compat, fgos
+    from incrementalinference.jl_tpu.beliefs import Belief
+
+    assert compat.LocalDFG is ii.FactorGraph
+    assert compat.TreeBelief is Belief
+    assert isinstance(ii.Prior(ii.Normal(0.0, 1.0)), compat.AbstractPrior)
+    assert isinstance(ii.LinearRelative(ii.Normal(0.0, 1.0)),
+                      compat.AbstractRelative)
+
+    fg = ii.initfg()
+    for v in ("a", "b", "c"):
+        fg.add_variable(v, ii.ContinuousScalar)
+    fg.add_factor(["a", "b"], ii.LinearRelative(ii.Normal(0.0, 1.0)),
+                  graphinit=False)
+    fg.add_factor(["b", "c"], ii.LinearRelative(ii.Normal(0.0, 1.0)),
+                  graphinit=False)
+    assert fgos.ls2(fg, "b") == ["a", "c"]
+    assert fgos.ls2(fg, "a") == ["b"]

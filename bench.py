@@ -211,8 +211,12 @@ def extra_incremental():
     # down-solve work (subgraph build + widen + dispatch), which scales
     # with the recycled-tree size, while its cost is ~one device sync per
     # step — so the win grows with chain length (VERDICT r2 item 5)
+    # "auto" resolves per solve: OFF below the measured ~64-recycled-clique
+    # crossover (chain30 ⇒ reference semantics), ON above it (chain120 ⇒
+    # gate active) — scheduler.WILDFIRE_AUTO_MIN_RECYCLED
     for base in (30, 120):
-        for label, wt in (("reference-semantics", 0.0), ("wildfire", 0.8)):
+        for label, wt in (("reference-semantics", 0.0), ("wildfire", 0.8),
+                          ("auto", "auto")):
             params = SolverParams(incremental=True, wildfire_tol=wt,
                                   batch_cliques=False)
             fg = grown(base, params)

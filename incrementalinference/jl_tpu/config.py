@@ -114,7 +114,14 @@ class SolverParams:
     # message moved less than ``wildfire_tol`` bandwidth-normalized units
     # since the previous solve (0.0 = off, always re-derive — the
     # reference's behavior, CliqueStateMachine.jl down states).
-    wildfire_tol: float = 0.0
+    # "auto" enables the gate (at scheduler.WILDFIRE_AUTO_TOL) only when
+    # the solve recycles at least scheduler.WILDFIRE_AUTO_MIN_RECYCLED
+    # cliques — the measured crossover where the gate's one device->host
+    # statistic sync pays for the skipped down-solves (BASELINE.md
+    # "Wildfire gate: measured crossover": gate loses at 30 poses, wins
+    # 2.2x at 120; crossover ~60-80 recycled cliques on TPU v5e).  The
+    # default stays 0.0: exact reference down-solve semantics.
+    wildfire_tol: object = 0.0
 
     def replace(self, **kw: Any) -> "SolverParams":
         return dataclasses.replace(self, **kw)

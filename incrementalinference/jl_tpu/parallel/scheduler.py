@@ -220,6 +220,15 @@ def _wildfire_stat_many(news, olds):
     return jnp.max(jnp.stack(stats))
 
 
+#: ``wildfire_tol="auto"`` resolution constants, set from the measured
+#: crossover (BASELINE "Wildfire gate: measured crossover", TPU v5e):
+#: the gate's one statistic sync per step costs ~35-40 ms through the
+#: tunnel and pays for itself at ~60-80 skippable recycled cliques; the
+#: tolerance is the value every gate bench used.
+WILDFIRE_AUTO_MIN_RECYCLED = 64
+WILDFIRE_AUTO_TOL = 0.8
+
+
 def _wildfire_unchanged(new: dict, old: Optional[dict], tol: float) -> bool:
     """True when every separator mean moved < tol spread-normalized units —
     the incremental down message carries no new information worth
@@ -1086,6 +1095,25 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
         # incremental recycling semantics, CliqueStateMachine.jl:110-132)
         down_unchanged: set = set()
         wtol = getattr(fg.params, "wildfire_tol", 0.0)
+        # under "auto" the summaries must be recorded even on solves where
+        # the gate resolves OFF (first/under-crossover solves): without a
+        # recorded baseline the first over-crossover solve could never
+        # skip.  Recording is sync-free (device refs only); only the gate
+        # CONSULT pays the device->host statistic read.
+        record_summaries = wtol == "auto"
+        if wtol == "auto":
+            # enable the gate only past the measured crossover: its one
+            # device->host statistic sync (~35-40 ms through the tunnel)
+            # pays for itself once enough recycled descendants can skip
+            # their down-solves (BASELINE "Wildfire gate: measured
+            # crossover" — loses at 30 poses, wins 2.2x at 120 on TPU
+            # v5e; crossover ~60-80 recycled cliques)
+            n_recycled = sum(
+                1 for c in tree.cliques.values()
+                if c.is_recycled and c.status == CliqStatus.UPRECYCLED)
+            wtol = (WILDFIRE_AUTO_TOL
+                    if n_recycled >= WILDFIRE_AUTO_MIN_RECYCLED else 0.0)
+        record_summaries = record_summaries or wtol > 0.0
         # gate instrumentation (VERDICT r2 item 5): how often the wildfire
         # statistic was consulted (each consult = one device->host scalar
         # sync) vs fired, and how many down-solves were skipped for free
@@ -1104,7 +1132,8 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                     continue
                 incoming = down_msgs.get(cid)
                 summary = (_msg_summary(incoming)
-                           if wtol > 0.0 and incoming is not None else None)
+                           if record_summaries and incoming is not None
+                           else None)
                 sig = cl.signature()
                 parent_unchanged = (cl.parent is None
                                     or cl.parent in down_unchanged)

@@ -97,3 +97,38 @@ def test_wildfire_resolves_when_information_changes():
     # Bar: moved >= 1 sigma-equivalent off 30 and bounded by the prior.
     assert 31.0 < _mean(fg, "x3") < 37.0
     assert _mean(fg, "x6") > 55.0
+
+
+def test_wildfire_auto_stays_off_below_crossover():
+    """wildfire_tol="auto": below the measured crossover the gate resolves
+    to 0.0 — exact reference down-solve semantics, zero statistic syncs
+    (BASELINE "Wildfire gate: measured crossover")."""
+    fg = _chain(6, incremental=True, record_cliques=True,
+                wildfire_tol="auto")
+    tree = solve_tree(fg)
+    fg.add_variable("x7", ContinuousScalar)
+    fg.add_factor(["x6", "x7"], LinearRelative(Normal(10.0, 1.0)))
+    tree2 = solve_tree(fg, old_tree=tree)
+    assert tree2.wildfire_stats["stat_syncs"] == 0
+    assert tree2.wildfire_stats["wildfire_skips"] == 0
+    assert len(_recycle_events(tree2, "down-solve")) == 0
+
+
+def test_wildfire_auto_enables_past_crossover(monkeypatch):
+    """Past the crossover the auto mode turns the gate on (threshold
+    lowered for the test; the shipped value is the measured 64)."""
+    import incrementalinference.jl_tpu.parallel.scheduler as sched
+
+    monkeypatch.setattr(sched, "WILDFIRE_AUTO_MIN_RECYCLED", 5)
+    fg = _chain(9, incremental=True, record_cliques=True,
+                wildfire_tol="auto")
+    tree = solve_tree(fg)
+    fg.add_variable("x10", ContinuousScalar)
+    fg.add_factor(["x9", "x10"], LinearRelative(Normal(10.0, 1.0)))
+    tree2 = solve_tree(fg, old_tree=tree)
+    # gate active: down-solves skipped via exact or statistic path
+    skipped = (tree2.wildfire_stats["exact_skips"]
+               + tree2.wildfire_stats["wildfire_skips"])
+    assert skipped >= 3, tree2.wildfire_stats
+    for i in range(11):
+        assert abs(_mean(fg, f"x{i}") - 10.0 * i) < 3.0

@@ -174,16 +174,21 @@ def extra_param_cliqrate():
         fg = _wide_forest(pr)
         tree = solve_tree(fg, algorithm="parametric")
         fresh_dt = min(fresh_dt, time.time() - t0)
-    # same-graph re-solve: the incremental/production case — structural
-    # group cache + warm linearization points (matches how the reference's
-    # CSM re-solves a live graph)
+    # same-graph STEADY-STATE re-solve: repeated solves of a live graph
+    # (the incremental/production case — structural group cache + warm
+    # linearization points).  Later re-solves start from converged p0, so
+    # their LM loops exit early: this metric is the steady-state floor,
+    # NOT the first re-solve after a change (that cost is the fresh-graph
+    # number's solve portion).  On the dispatch-ACK runtime the host wall
+    # is iteration-count-independent anyway; the label keeps the
+    # distinction honest for runtimes with completion semantics.
     dt = 1e9
     for _ in range(3):
         t0 = time.time()
         tree = solve_tree(fg, algorithm="parametric")
         dt = min(dt, time.time() - t0)
     print(f"# parametric clique-solves/s (1 chip, wide32 batched): "
-          f"{2 * tree.num_cliques() / dt:.0f} re-solve / "
+          f"{2 * tree.num_cliques() / dt:.0f} steady-state re-solve / "
           f"{2 * tree.num_cliques() / fresh_dt:.0f} fresh-graph "
           f"(cold sweep {cold_dt:.2f}s)", file=sys.stderr)
 

@@ -215,14 +215,17 @@ AbstractRelativeMinimize = _FactorModel
 AbstractManifoldMinimize = _FactorModel
 
 
-def _packed_dist(ctor):
+def _packed_dist(ctor, ref_name):
+    """Constructor shim named after the REFERENCE's packed struct (which
+    can differ from the local distribution class, e.g. PackedFullNormal
+    wraps MvNormal)."""
     from .serialization.packed import pack_distribution
 
     def make(*args, **kw):
         return pack_distribution(ctor(*args, **kw))
-    make.__name__ = "Packed" + ctor.__name__
-    make.__doc__ = (f"Reference Packed{ctor.__name__} — packed dict form "
-                    f"of ``{ctor.__name__}(...)``.")
+    make.__name__ = ref_name
+    make.__doc__ = (f"Reference {ref_name} — packed dict form of "
+                    f"``{ctor.__name__}(...)``.")
     return make
 
 
@@ -230,12 +233,13 @@ def _packed_ctors():
     from .distributions import (AliasingScalarSampler, Categorical,
                                 MvNormal, Normal, Rayleigh, Uniform)
     return {
-        "PackedNormal": _packed_dist(Normal),
-        "PackedFullNormal": _packed_dist(MvNormal),
-        "PackedCategorical": _packed_dist(Categorical),
-        "PackedUniform": _packed_dist(Uniform),
-        "PackedRayleigh": _packed_dist(Rayleigh),
-        "PackedAliasingScalarSampler": _packed_dist(AliasingScalarSampler),
+        "PackedNormal": _packed_dist(Normal, "PackedNormal"),
+        "PackedFullNormal": _packed_dist(MvNormal, "PackedFullNormal"),
+        "PackedCategorical": _packed_dist(Categorical, "PackedCategorical"),
+        "PackedUniform": _packed_dist(Uniform, "PackedUniform"),
+        "PackedRayleigh": _packed_dist(Rayleigh, "PackedRayleigh"),
+        "PackedAliasingScalarSampler": _packed_dist(
+            AliasingScalarSampler, "PackedAliasingScalarSampler"),
     }
 
 

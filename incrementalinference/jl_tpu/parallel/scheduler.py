@@ -1095,6 +1095,10 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
         # incremental recycling semantics, CliqueStateMachine.jl:110-132)
         down_unchanged: set = set()
         wtol = getattr(fg.params, "wildfire_tol", 0.0)
+        if isinstance(wtol, str) and wtol != "auto":
+            raise ValueError(
+                f"SolverParams.wildfire_tol={wtol!r}: expected a float "
+                "tolerance, 0.0 (off — reference semantics), or \"auto\"")
         # under "auto" the summaries must be recorded even on solves where
         # the gate resolves OFF (first/under-crossover solves): without a
         # recorded baseline the first over-crossover solve could never

@@ -459,6 +459,27 @@ class ParametricProblem:
             pts.append(m.exp(p, x[s:s + m.dof]))
         return pts
 
+    def _real_layout(self) -> Tuple:
+        """Static (type, index-in-type) row per REAL variable — the part of
+        the problem's layout the pytree treedef deliberately drops
+        (aux keeps only padded buckets).  Batch grouping keys on this so
+        problems sharing padded shapes but differing in real-variable
+        count are never assembled from another problem's layout."""
+        return tuple((self._type_of[v], self._idx_in_type[v])
+                     for v in self.var_labels)
+
+    def _p0_layout(self) -> Tuple[Tuple, Tuple, Tuple]:
+        """Static inputs of the jitted p0 bucketing: per-type slot lists,
+        manifolds, and bucket sizes (single source for the eager
+        ``_p0_stacked``, ``_p0_stack_single``, and ``_batch_prep``)."""
+        layout = tuple(
+            tuple(self.slot[v] for v in self.var_labels
+                  if self._type_of[v] == t)
+            for t in range(len(self.type_groups)))
+        men = tuple(tg[0] for tg in self.type_groups)
+        nbs = tuple(tg[2] for tg in self.type_groups)
+        return layout, men, nbs
+
     def _p0_stacked(self, p0=None) -> Tuple[jnp.ndarray, ...]:
         """Per-manifold-type stacked linearization points, padded to the
         type bucket with identity points: tuple of (bucket_t, pdim_t)."""
@@ -663,12 +684,7 @@ class ParametricProblem:
         x = jnp.zeros((self.total_dof,)) if x0 is None else x0
         # one jitted dispatch for the type-bucket stacking (the eager
         # _p0_stacked route costs ~vars eager dispatches per solve)
-        p0_layout = tuple(
-            tuple(self.slot[v] for v in self.var_labels
-                  if self._type_of[v] == t)
-            for t in range(len(self.type_groups)))
-        men = tuple(tg[0] for tg in self.type_groups)
-        nbs = tuple(tg[2] for tg in self.type_groups)
+        p0_layout, men, nbs = self._p0_layout()
         p0s = _p0_stack_single(p0_layout, men, nbs)(tuple(self.p0))
 
         cost = jnp.inf
@@ -680,9 +696,7 @@ class ParametricProblem:
         # write back linearization points (un-pad per type block as ONE
         # jitted dispatch — per-variable eager rows cost a tunnel dispatch
         # each)
-        tk = tuple((self._type_of[v], self._idx_in_type[v])
-                   for v in self.var_labels)
-        self.p0 = list(_single_unstack(tk)(p0s))
+        self.p0 = list(_single_unstack(self._real_layout())(p0s))
         cov = _cov_step(self, p0s) if compute_cov else None
         # cost stays a device scalar: float() here would force a host sync
         # per solve (expensive over a tunneled TPU; autoinit never reads it)
@@ -802,8 +816,13 @@ def solve_problems_batched(probs: Sequence["ParametricProblem"],
     flat_of: List = [None] * len(probs)
     for i, p in enumerate(probs):
         leaves, treedef = tree_util.tree_flatten(p)
+        # the real-variable layout is part of the key: treedef/shapes only
+        # see PADDED buckets, so e.g. a 3-real-var and a 4-real-var clique
+        # with equal buckets would otherwise merge and be assembled from
+        # the representative's layout (IndexError on the input prep, or a
+        # wrong-length p0 on the write-back)
         sig = (treedef, tuple((jnp.shape(l), jnp.result_type(l))
-                              for l in leaves))
+                              for l in leaves), p._real_layout())
         flat_of[i] = leaves
         sig_groups.setdefault(sig, []).append(i)
 
@@ -833,12 +852,7 @@ def solve_problems_batched(probs: Sequence["ParametricProblem"],
         # eager expand_dims/concat dispatches per group — profiled as the
         # dominant host bucket of the warm parametric sweep)
         rep = batch[0]
-        p0_layout = tuple(
-            tuple(rep.slot[v] for v in rep.var_labels
-                  if rep._type_of[v] == t)
-            for t in range(len(rep.type_groups)))
-        men = tuple(tg[0] for tg in rep.type_groups)
-        nbs = tuple(tg[2] for tg in rep.type_groups)
+        p0_layout, men, nbs = rep._p0_layout()
         prep = _batch_prep(sig[0], B, p0_layout, men, nbs, rep.total_dof)
         stacked_leaves, p0ss, xs = prep(
             tuple(tuple(flat_of[i]) for i in pad_idx),
@@ -872,11 +886,9 @@ def solve_problems_batched(probs: Sequence["ParametricProblem"],
         # seconds to minutes; keeping the pipeline transfer-free is both
         # faster and immune to that.)
         nb = len(idxs)
-        # structurally-identical problems share the (type, index) layout,
-        # so one static unstack plan serves the whole group
-        p_rep = probs[idxs[0]]
-        tk = tuple((p_rep._type_of[v], p_rep._idx_in_type[v])
-                   for v in p_rep.var_labels)
+        # the group key includes the real layout, so one static unstack
+        # plan is exact for every member
+        tk = probs[idxs[0]]._real_layout()
         unst = _group_unstack(tk, nb, cov_b is not None)
         if cov_b is not None:
             per = unst(tuple(p0s_b), cov_b, cost_b)

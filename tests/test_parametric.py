@@ -299,3 +299,53 @@ def test_init_parametric_from_beliefs():
     solve_tree(fg, algorithm="parametric")
     assert abs(float(np.asarray(fg.var("x1").parametric_point)[0])
                - 15.0) < 0.2
+
+
+def test_batched_grouping_keys_on_real_layout():
+    """Two problems whose PADDED buckets and leaf shapes coincide but whose
+    real-variable counts differ must not merge into one batch group: the
+    group's layout plans (input p0 bucketing, output row unstack) come
+    from one representative, so a merge assembles the other problem from
+    the wrong layout (review finding, solver.py solve_problems_batched).
+
+    Construction: 5-var vs 6-var chains, both with a prior on EVERY
+    variable and the 5-var chain given a duplicate relative so both
+    factor groups pad to bucket 6 — identical treedefs and leaf shapes,
+    different real layouts."""
+    from incrementalinference.jl_tpu.parametric.solver import (
+        ParametricProblem, solve_problems_batched)
+
+    def chain(n, extra_rel=False):
+        fg = initfg()
+        for i in range(n):
+            fg.add_variable(f"x{i}", ContinuousScalar)
+            fg.add_factor([f"x{i}"], Prior(Normal(float(10 * i), 1.0)),
+                          graphinit=False)
+            if i:
+                fg.add_factor([f"x{i-1}", f"x{i}"],
+                              LinearRelative(Normal(10.0, 1.0)),
+                              graphinit=False)
+        if extra_rel:
+            fg.add_factor(["x0", "x1"], LinearRelative(Normal(10.0, 1.0)),
+                          graphinit=False)
+        return fg
+
+    pa = ParametricProblem(chain(5, extra_rel=True))   # 5 vars, 5 rels
+    pb = ParametricProblem(chain(6))                   # 6 vars, 5 rels
+    # the collision premise: padded shapes match, real layouts differ
+    import jax.tree_util as jtu
+    sa, ta = jtu.tree_flatten(pa)
+    sb, tb = jtu.tree_flatten(pb)
+    assert ta == tb
+    assert [jnp.shape(l) for l in sa] == [jnp.shape(l) for l in sb]
+    assert pa._real_layout() != pb._real_layout()
+
+    res = solve_problems_batched([pa, pb])
+    pts_a, _, _ = res[0]
+    pts_b, _, _ = res[1]
+    assert len(pts_a) == 5 and len(pts_b) == 6
+    for i in range(5):
+        assert abs(float(jnp.ravel(pts_a[i])[0]) - 10.0 * i) < 0.5
+    for i in range(6):
+        assert abs(float(jnp.ravel(pts_b[i])[0]) - 10.0 * i) < 0.5
+    assert len(pa.p0) == 5 and len(pb.p0) == 6

@@ -56,8 +56,16 @@ def product_traceable(manifold: Manifold, pts_list, bw_list,
     keys = jax.random.split(key, 2 * D + 1)
     mu, prec = mus[0], precs[0]
     if D == 1:
-        sel = jax.random.randint(keys[0], (n_out,), 0, mu.shape[0])
-        mu, prec = mu[sel], prec[sel]
+        # one-hot matmul, not a data-dependent gather (design rule,
+        # CLAUDE.md; same form as ops/product.py's cascade) — gathers
+        # lower pathologically on TPU inside the fused chain programs
+        sel = jax.nn.one_hot(
+            jax.random.randint(keys[0], (n_out,), 0, mu.shape[0]),
+            mu.shape[0], dtype=mu.dtype)
+        # HIGHEST: default MXU precision would bf16-round the selected
+        # VALUES (the one-hot side is exact either way)
+        mu = jnp.dot(sel, mu, precision=jax.lax.Precision.HIGHEST)
+        prec = jnp.dot(sel, prec, precision=jax.lax.Precision.HIGHEST)
     for j in range(1, D):
         nb = mus[j].shape[0]
         if nb >= CONDENSE_MIN_NB and \

@@ -255,12 +255,21 @@ def product_cascade_tangent(tangs, precs, key, n_out: int):
     """
     keys = jax.random.split(key, 2 * len(tangs))
     mu, prec = tangs[0], precs[0]
+    noise_key = keys[0]
     if mu.shape[0] != n_out and len(tangs) == 1:
-        # single density: subsample kernels uniformly (one-hot matmul)
+        # single density: subsample kernels uniformly (one-hot matmul).
+        # keys[0] picks the kernels, so the final within-kernel noise must
+        # use a DERIVED key — reusing keys[0] couples selection and noise
+        # (fold_in keeps the other streams untouched, so only this branch
+        # re-rolls)
         sel = jax.nn.one_hot(
             jax.random.randint(keys[0], (n_out,), 0, mu.shape[0]),
             mu.shape[0], dtype=mu.dtype)
-        mu, prec = sel @ mu, sel @ prec
+        # HIGHEST: default MXU precision would bf16-round the selected
+        # VALUES (the one-hot side is exact either way)
+        mu = jnp.dot(sel, mu, precision=jax.lax.Precision.HIGHEST)
+        prec = jnp.dot(sel, prec, precision=jax.lax.Precision.HIGHEST)
+        noise_key = jax.random.fold_in(keys[0], 1)
     for j in range(1, len(tangs)):
         nb = tangs[j].shape[0]
         if nb >= CONDENSE_MIN_NB and \
@@ -278,7 +287,7 @@ def product_cascade_tangent(tangs, precs, key, n_out: int):
             mu, prec = pair_product_tangent(mu, prec, tangs[j], precs[j],
                                             keys[j], n_out)
     # final: one draw inside each selected product component
-    noise = jax.random.normal(keys[0], mu.shape) / \
+    noise = jax.random.normal(noise_key, mu.shape) / \
         jnp.sqrt(jnp.maximum(prec, 1e-30))
     samples = jnp.where(prec > 0, mu + noise, 0.0)
     return samples, prec

@@ -219,7 +219,19 @@ def _joint_slot_plan(fg, seps):
     them (descending dof, stable) may carry a deconv-derived relative, and
     every separator may carry a class-anchor prior.  All processes derive
     the identical plan from graph structure alone — actual presence rides
-    per-slot flags."""
+    per-slot flags.
+
+    Memoized per (graph, separator tuple): layout/pack/unpack each need
+    the plan, so the O(S²) pair walk would otherwise run three times per
+    cut clique per exchange per init pass (variable types are immutable,
+    so the cached plan can never go stale)."""
+    cache = getattr(fg, "_joint_plan_cache", None)
+    if cache is None:
+        cache = fg._joint_plan_cache = {}
+    ck = tuple(seps)
+    hit = cache.get(ck)
+    if hit is not None:
+        return hit[0], list(hit[1])
     order = sorted(seps, key=lambda s: -fg.var(s).manifold.dof)
     pairs = []
     for i, va in enumerate(order):
@@ -227,6 +239,7 @@ def _joint_slot_plan(fg, seps):
             if fg.var(va).manifold == fg.var(vb).manifold:
                 n = min(fg.var(va).N, fg.var(vb).N)
                 pairs.append((va, vb, n, fg.var(va).manifold.dof))
+    cache[ck] = (pairs, list(seps))
     return pairs, list(seps)
 
 

@@ -27,7 +27,9 @@ a migrating user sees exactly what is unsupported.
 from __future__ import annotations
 
 import json
+import logging
 import os
+import shutil
 import tarfile
 import tempfile
 from typing import Dict, List, Optional
@@ -190,20 +192,34 @@ def load_dfg_archive(path: str, params=None, n_default: int = 100):
 
     Restores variable types, solver-data particle values/bandwidths when
     present (``vecval``/``vecbw``, point-major flattening), factor models
-    via the packed-struct converters above, and multihypo/nullhypo/
-    inflation metadata (reference reconstFactorData,
-    DispatchPackedConversions.jl:25-160).  Variables without stored points
-    get default identity beliefs and auto-init at solve time."""
+    via the packed-struct converters above, and multihypo/nullhypo
+    metadata (reference reconstFactorData,
+    DispatchPackedConversions.jl:25-160).  Per-factor ``inflation``
+    overrides are NOT honored — inflation is a solver-level knob here
+    (``SolverParams.inflation``); a factor carrying a non-default value
+    logs one warning so the divergence is visible.  ``certainhypo`` is
+    derivable from ``multihypo`` and is not stored separately.  Variables
+    without stored points get default identity beliefs and auto-init at
+    solve time."""
     from ..graph import FactorGraph
     from ..config import SolverParams
 
     if os.path.isfile(path):
+        # extract, parse, and always clean up (repeated archive loads must
+        # not accumulate under /tmp)
         tmp = tempfile.mkdtemp(prefix="iitpu_dfg_")
-        with tarfile.open(path, "r:*") as tf:
-            tf.extractall(tmp, filter="data")
-        root = tmp
-    else:
-        root = path
+        try:
+            with tarfile.open(path, "r:*") as tf:
+                tf.extractall(tmp, filter="data")
+            return _load_dfg_tree(tmp, params, n_default)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return _load_dfg_tree(path, params, n_default)
+
+
+def _load_dfg_tree(root: str, params, n_default: int):
+    from ..graph import FactorGraph
+    from ..config import SolverParams
 
     fg = FactorGraph(params or SolverParams())
 
@@ -242,6 +258,14 @@ def load_dfg_archive(path: str, params=None, n_default: int = 100):
         if multihypo is not None and len(multihypo) == 0:
             multihypo = None
         nullhypo = float(data.get("nullhypo", 0.0))
+        infl = data.get("inflation")
+        if infl is not None and abs(float(infl)
+                                    - fg.params.inflation) > 1e-9:
+            logging.getLogger(__name__).warning(
+                "factor %s carries inflation=%s; this build applies the "
+                "solver-level SolverParams.inflation=%s instead "
+                "(per-factor inflation is not honored)",
+                label, infl, fg.params.inflation)
         tags = tuple(t.lstrip(":") for t in fd.get("tags", []))
         fg.add_factor(order, model, multihypo=multihypo,
                       nullhypo=nullhypo, label=label, tags=tags,

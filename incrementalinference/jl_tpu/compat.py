@@ -210,9 +210,34 @@ CommonConvWrapper = _ConvSpec
 AbstractFactor = _FactorModel
 CalcFactor = _FactorModel
 AbstractPrior = _PriorModel
-AbstractRelative = _FactorModel
-AbstractRelativeMinimize = _FactorModel
-AbstractManifoldMinimize = _FactorModel
+
+
+class _RelativeMeta(type):
+    """isinstance/issubclass semantics matching the reference's DISJOINT
+    AbstractPrior vs AbstractRelative hierarchies (DFG abstract types):
+    a prior model must NOT satisfy ``isinstance(x, AbstractRelative)``,
+    or migrated dispatch code silently takes the wrong branch."""
+
+    def __instancecheck__(cls, obj):
+        return (isinstance(obj, _FactorModel)
+                and not getattr(obj, "is_prior", False))
+
+    def __subclasscheck__(cls, sub):
+        if not (isinstance(sub, type) and issubclass(sub, _FactorModel)):
+            return False
+        # plain class attribute True ⇒ statically a prior; a property
+        # (e.g. Mixture, whose prior-ness is per-instance) stays eligible
+        return sub.__dict__.get("is_prior", None) is not True and \
+            getattr(sub, "is_prior", False) is not True
+
+
+class AbstractRelative(metaclass=_RelativeMeta):
+    """Reference AbstractRelative: any FactorModel that is not a prior.
+    Virtual base — use only for isinstance/issubclass dispatch."""
+
+
+AbstractRelativeMinimize = AbstractRelative
+AbstractManifoldMinimize = AbstractRelative
 
 
 def _packed_dist(ctor, ref_name):

@@ -224,6 +224,10 @@ class FactorGraph:
                      timestamp=_time.time())
         self.variables[label] = v
         self._var_factors[label] = []
+        # structural caches keyed by label tuples (e.g. the multihost joint
+        # slot plan) may now be stale if this label was previously removed
+        # and re-added with a different manifold/N
+        self.__dict__.pop("_joint_plan_cache", None)
         return v
 
     def add_factor(self, variables: Sequence[str], model: Any,
@@ -300,6 +304,7 @@ class FactorGraph:
         for fl in attached:
             self.remove_factor(fl)
         self._var_factors.pop(label, None)
+        self.__dict__.pop("_joint_plan_cache", None)
         return self.variables.pop(label)
 
     # -- queries (reference ls/lsf/getNeighbors) --------------------------

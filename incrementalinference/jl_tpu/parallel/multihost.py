@@ -223,8 +223,10 @@ def _joint_slot_plan(fg, seps):
 
     Memoized per (graph, separator tuple): layout/pack/unpack each need
     the plan, so the O(S²) pair walk would otherwise run three times per
-    cut clique per exchange per init pass (variable types are immutable,
-    so the cached plan can never go stale)."""
+    cut clique per exchange per init pass.  Variable instances are
+    immutable, but a label can be removed and re-added with a different
+    manifold/N — FactorGraph.add_variable/remove_variable drop
+    ``_joint_plan_cache`` so the plan cannot go stale across that."""
     cache = getattr(fg, "_joint_plan_cache", None)
     if cache is None:
         cache = fg._joint_plan_cache = {}

@@ -300,7 +300,15 @@ def build_tree_reset(fg, order: Optional[Sequence[str]] = None,
     JunctionTreeUtils.jl:908-937, :1801-1849)."""
     tree = build_tree(fg, order=order, method=method)
     if old_tree is not None:
-        tree.down_cache = dict(getattr(old_tree, "down_cache", {}))
+        # carry forward only signatures still present in the new tree:
+        # an unbounded copy would grow with every clique signature ever
+        # seen across a long incremental session and pin the summaries'
+        # device buffers forever
+        live = {c.signature() for c in tree.cliques.values()}
+        tree.down_cache = {
+            sig: s
+            for sig, s in getattr(old_tree, "down_cache", {}).items()
+            if sig in live}
     if old_tree is not None and fg.params.incremental:
         old_by_sig = {c.signature(): c for c in old_tree.cliques.values()}
         for cl in tree.cliques.values():

@@ -225,6 +225,24 @@ def test_reference_type_aliases_and_ls2():
     assert isinstance(ii.Prior(ii.Normal(0.0, 1.0)), compat.AbstractPrior)
     assert isinstance(ii.LinearRelative(ii.Normal(0.0, 1.0)),
                       compat.AbstractRelative)
+    # the reference's hierarchies are DISJOINT: a prior must NOT satisfy
+    # AbstractRelative or migrated dispatch code takes the wrong branch
+    assert not isinstance(ii.Prior(ii.Normal(0.0, 1.0)),
+                          compat.AbstractRelative)
+    assert not isinstance(ii.Prior(ii.Normal(0.0, 1.0)),
+                          compat.AbstractRelativeMinimize)
+    assert isinstance(ii.LinearRelative(ii.Normal(0.0, 1.0)),
+                      compat.AbstractManifoldMinimize)
+    # Mixture prior-ness is per-instance: follows its mechanics
+    mix_rel = ii.Mixture(ii.LinearRelative,
+                         [ii.Normal(0.0, 1.0), ii.Normal(2.0, 1.0)])
+    mix_pri = ii.Mixture(ii.Prior,
+                         [ii.Normal(0.0, 1.0), ii.Normal(2.0, 1.0)])
+    assert isinstance(mix_rel, compat.AbstractRelative)
+    assert not isinstance(mix_pri, compat.AbstractRelative)
+    assert issubclass(ii.LinearRelative, compat.AbstractRelative)
+    assert not issubclass(type(ii.Prior(ii.Normal(0.0, 1.0))),
+                          compat.AbstractRelative)
 
     fg = ii.initfg()
     for v in ("a", "b", "c"):

@@ -43,7 +43,8 @@ from .ops.deconv import approx_deconv, approx_deconv_belief, mmd
 from .ops.gradients import FactorGradientsCached, factor_jacobian
 from .parametric import (autoinit_parametric, solve_conditionals_parametric,
                          solve_graph_parametric)
-from .serialization import load_graph, load_tree, save_graph, save_tree
+from .serialization import (load_dfg_archive, load_graph, load_tree,
+                            save_dfg_archive, save_graph, save_tree)
 from .tether import accumulate_factor_means, solve_factor_parametric
 from .utils import (compare_all_special, compare_beliefs, compare_factors,
                     compare_graphs, compare_variables, incr_suffix,

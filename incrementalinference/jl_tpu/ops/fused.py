@@ -105,12 +105,61 @@ def _make_update(manifold: Manifold, specs: Tuple[ConvSpec, ...],
     def update(models, var_points_nested, old_points, key):
         F = len(specs)
         keys = jax.random.split(key, F + 1)
-        pts_list, bw_list = [], []
+        # Same-structure factor convolutions execute as ONE vmapped
+        # evaluation over a leading factor axis (round-5: the serial
+        # small-op floor of the fused chain was the per-factor chains of
+        # tiny VPU ops — a clique variable with G same-shape
+        # LinearRelatives now costs one G-wide program instead of G
+        # sequential ones).  Each factor keeps exactly its original
+        # keys[i], so the sample streams — and therefore the solve — are
+        # unchanged.  Grouping is trace-time-static: spec + model tree
+        # structure/leaf shapes + input point shapes.
+        groups: dict = {}
         for i in range(F):
-            pts = eval_factor_core(manifold, models[i], keys[i],
-                                   var_points_nested[i], specs[i])
-            pts_list.append(pts)
-            bw_list.append(loo_bandwidth(manifold, pts))
+            leaves, tdef = jax.tree.flatten(models[i])
+            gk = (specs[i], tdef,
+                  tuple((jnp.shape(l), jnp.result_type(l)) for l in leaves),
+                  tuple(jnp.shape(a) for a in var_points_nested[i]))
+            groups.setdefault(gk, []).append(i)
+
+        pts_list = [None] * F
+        for (spec, _tdef, _ls, _ns), idxs in groups.items():
+            if len(idxs) == 1:
+                i = idxs[0]
+                pts_list[i] = eval_factor_core(
+                    manifold, models[i], keys[i], var_points_nested[i],
+                    spec)
+                continue
+            ms = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[models[i] for i in idxs])
+            ns = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[var_points_nested[i] for i in idxs])
+            ks = jnp.stack([keys[i] for i in idxs])
+
+            def _one(m, n, k, _spec=spec):
+                return eval_factor_core(manifold, m, k, n, _spec)
+
+            ps = jax.vmap(_one)(ms, ns, ks)
+            for j, i in enumerate(idxs):
+                pts_list[i] = ps[j]
+
+        if F == 1 and all(masks[0]):
+            # product_traceable's single-density full-mask fast path never
+            # reads the proposal bandwidth — skip its LOO selection (~10
+            # fusion regions, see the region cost model above)
+            bw_list = [jnp.ones((manifold.dof,), pts_list[0].dtype)]
+        elif len({p.shape for p in pts_list}) == 1:
+            # ONE vmapped LOO selection for every proposal (they share the
+            # target variable's shape) instead of F separate ~10-region
+            # selections; per-row results are identical to the per-factor
+            # calls
+            stacked = jnp.stack(pts_list)
+            bws = jax.vmap(lambda p: loo_bandwidth(manifold, p))(stacked)
+            bw_list = [bws[i] for i in range(F)]
+        else:
+            # mixed per-variable particle counts tile proposals to
+            # different lengths — fall back to per-factor selection
+            bw_list = [loo_bandwidth(manifold, p) for p in pts_list]
         out = product_traceable(manifold, pts_list, bw_list, masks,
                                 old_points, keys[-1], n_out)
         return out, loo_bandwidth(manifold, out)

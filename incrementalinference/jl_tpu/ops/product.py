@@ -186,7 +186,11 @@ def condense_mixture(mu: jnp.ndarray, prec: jnp.ndarray, key,
                        / jnp.maximum(cnt[:, None], 1.0), c)
         return c2, None
 
-    c, _ = jax.lax.scan(body, c, None, length=iters)
+    # unrolled Lloyd iterations: on the axon runtime each scan iteration
+    # pays ~25 us fixed launch overhead (round-5 region cost model,
+    # benchmarks/update_parts.py) and the body is two matmul regions
+    for _ in range(iters):
+        c, _ = body(c, None)
     A = assign(c)                                            # final stats
     cnt = jnp.sum(A, axis=0)
     s1 = jnp.dot(A.T, mu, precision=jax.lax.Precision.HIGHEST)

@@ -49,7 +49,8 @@ import numpy as np
 
 from ..tree.bayestree import BayesTree, CliqStatus
 from .messages import LikelihoodMessage
-from .scheduler import (build_clique_subgraph, down_solve_clique,
+from .scheduler import (_particle_mesh as _sched_particle_mesh,
+                        build_clique_subgraph, down_solve_clique,
                         up_solve_clique)
 
 __all__ = ["TreePartition", "partition_tree", "solve_tree_multihost",
@@ -366,10 +367,21 @@ def _unpack_msgs(fg, tree, layout, flat: _FlatLayout, gathered: np.ndarray,
     return out
 
 
+#: per-process collective counter + cumulative wall, read/reset by the
+#: scaling benchmark's efficiency decomposition (VERDICT r4 item #5):
+#: total_collective_cost = count x per-collective latency must explain the
+#: measured exchange+sync phase walls on any rig
+ALLGATHER_STATS = {"count": 0, "wall_s": 0.0}
+
+
 def _allgather(arr: np.ndarray) -> np.ndarray:
     """One collective over the global mesh: (size,) -> (n_proc, size)."""
     from jax.experimental import multihost_utils
-    return np.asarray(multihost_utils.process_allgather(arr))
+    t0 = time.time()
+    out = np.asarray(multihost_utils.process_allgather(arr))
+    ALLGATHER_STATS["count"] += 1
+    ALLGATHER_STATS["wall_s"] += time.time() - t0
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -380,7 +392,8 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
                          partition: Optional[TreePartition] = None,
                          old_tree: Optional[BayesTree] = None,
                          timings: Optional[dict] = None,
-                         fail_cliques: Optional[set] = None) -> BayesTree:
+                         fail_cliques: Optional[set] = None,
+                         mesh=None) -> BayesTree:
     """Distributed ``solve_tree``: every process calls this with an
     identically-built graph (deterministic given ``params.seed``); the
     clique solves are partitioned by :func:`partition_tree`.
@@ -391,7 +404,17 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
     belief broadcast (one collective).  Single-process (``jax.process_count()
     == 1``) degrades to a partition-aware but collective-free solve, which
     is how the 1-host baseline for the scaling-efficiency metric is
-    measured."""
+    measured.
+
+    ``mesh``: a Mesh over THIS process's local devices — composes the two
+    parallelism axes the reference composes via workers × threads
+    (src/services/SolveTree.jl:4-19 WORKERPOOL +
+    parametric/services/ParametricUtils.jl:446-483 Threads.@threads):
+    subtree partition ACROSS processes, and within each process either
+    clique batching+sharding (owned levels ≥ ``batch_min_width``) or
+    particle sharding (narrow levels) across the process's own chips.
+    Build it from ``jax.local_devices()`` — local-only meshes are valid
+    in a multi-process runtime since all their devices are addressable."""
     import jax
     from ..graphinit import ensure_solvable, init_all
     from ..tree.bayestree import build_tree_reset
@@ -459,11 +482,36 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
         # all further compute, and re-raises at the end; peers see the
         # flooded status after the exchange and abort symmetrically.
         t0 = time.time()
+        min_width = getattr(fg.params, "batch_min_width", 8)
         for level in reversed(levels):
-            for cid in sorted(level):
-                if cid not in my_cids or local_error is not None:
-                    continue
-                if affected is not None and cid not in affected:
+            act = [cid for cid in sorted(level)
+                   if cid in my_cids and local_error is None
+                   and (affected is None or cid in affected)]
+            if not act:
+                continue
+            # process × device composition: wide OWNED levels run as one
+            # batched clique-sharded solve on this process's local mesh;
+            # narrow ones fall through to per-clique solves with particle
+            # sharding (the same width-aware policy as solve_tree_sweeps)
+            if (mesh is not None and len(act) >= min_width
+                    and not fail_cliques):
+                from .scheduler import up_solve_level
+                cls = [tree.clique(c) for c in act]
+                cmo = {c: [up_msgs[ch] for ch in tree.clique(c).children
+                           if ch in up_msgs] for c in act}
+                try:
+                    up_msgs.update(up_solve_level(fg, tree, cls, cmo,
+                                                  solve_key, mesh=mesh))
+                except Exception as e:        # noqa: BLE001
+                    local_error = e
+                    for c in act:
+                        tree.clique(c).status = CliqStatus.ERROR_STATUS
+                    logger.warning("multihost: batched level failed (%s); "
+                                   "flooding ERROR to peers", e)
+                continue
+            pmesh = _sched_particle_mesh(fg.params, mesh)
+            for cid in act:
+                if local_error is not None:
                     continue
                 cl = tree.clique(cid)
                 child_msgs = [up_msgs[ch] for ch in cl.children
@@ -473,7 +521,7 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
                         raise RuntimeError(
                             f"injected failure at clique {cid} (fault hook)")
                     up_msgs[cid] = up_solve_clique(fg, tree, cl, child_msgs,
-                                                   solve_key)
+                                                   solve_key, mesh=pmesh)
                 except Exception as e:        # noqa: BLE001
                     local_error = e
                     cl.status = CliqStatus.ERROR_STATUS
@@ -595,10 +643,10 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
                     child_up = [up_msgs[ch] for ch in cl.children
                                 if ch in up_msgs]
                     try:
-                        out = down_solve_clique(fg, tree, cl,
-                                                down_msgs.get(cid),
-                                                solve_key,
-                                                child_msgs=child_up)
+                        out = down_solve_clique(
+                            fg, tree, cl, down_msgs.get(cid), solve_key,
+                            child_msgs=child_up,
+                            mesh=_sched_particle_mesh(fg.params, mesh))
                         down_msgs.update(out)
                         if getattr(cl, "down_inited", False):
                             local_down_inited.add(cid)
@@ -1131,6 +1179,11 @@ def _worker_main(argv=None) -> None:
     ap.add_argument("--use-joint", action="store_true",
                     help="use_msg_likelihoods=True (joint up-messages "
                          "through the cut-edge codec)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="compose with an in-process device mesh over "
+                         "jax.local_devices() (process x device axes)")
+    ap.add_argument("--batch-min-width", type=int, default=0,
+                    help="override SolverParams.batch_min_width (>0)")
     ap.add_argument("--out", default="")
     a = ap.parse_args(argv)
 
@@ -1147,6 +1200,12 @@ def _worker_main(argv=None) -> None:
     results = {"pid": a.pid, "nproc": a.nproc,
                "devices": jax.device_count(),
                "local_devices": jax.local_device_count()}
+
+    local_mesh = None
+    if a.mesh:
+        from jax.sharding import Mesh
+        local_mesh = Mesh(np.asarray(jax.local_devices()), ("d",))
+        results["mesh_devices"] = int(local_mesh.devices.size)
 
     if a.fixture == "fourdoor":
         # the fourdoor incremental sequence (reference fourdoortest.jl:12-54)
@@ -1184,14 +1243,18 @@ def _worker_main(argv=None) -> None:
     truth = fixture_truth(a.fixture, a.scale)
 
     def fixture_params():
-        if not a.use_joint:
-            return None                      # build_fixture defaults
         from ..config import SolverParams
 
-        return SolverParams(
-            N=64, use_msg_likelihoods=True,
-            graphinit=(a.fixture not in ("chain_end_prior",
-                                         "anchored_forest_noinit")))
+        p = None
+        if a.use_joint:
+            p = SolverParams(
+                N=64, use_msg_likelihoods=True,
+                graphinit=(a.fixture not in ("chain_end_prior",
+                                             "anchored_forest_noinit")))
+        if a.batch_min_width > 0:
+            p = (p or SolverParams(N=64)).replace(
+                batch_min_width=a.batch_min_width, batch_cliques="auto")
+        return p
 
     def solve_and_report(fg, tree_in=None):
         tm: dict = {}
@@ -1199,7 +1262,8 @@ def _worker_main(argv=None) -> None:
         if a.algorithm == "parametric":
             tree = solve_tree_parametric_multihost(fg, timings=tm)
         else:
-            tree = solve_tree_multihost(fg, timings=tm, old_tree=tree_in)
+            tree = solve_tree_multihost(fg, timings=tm, old_tree=tree_in,
+                                        mesh=local_mesh)
         tm["total_s"] = time.time() - t0
         errs = {}
         for v, mu in truth.items():
@@ -1248,7 +1312,25 @@ def _worker_main(argv=None) -> None:
 
     for phase in ("cold", "warm"):
         fg = build_fixture(a.fixture, a.scale, params=fixture_params())
+        ALLGATHER_STATS.update(count=0, wall_s=0.0)
         tree, results[phase] = solve_and_report(fg)
+        results[phase]["collectives"] = dict(ALLGATHER_STATS)
+    if a.nproc > 1:
+        # per-collective latency probes for the efficiency decomposition
+        # (VERDICT r4 item #5): median wall of a bare allgather at two
+        # payload sizes, so collective cost = count x latency can be
+        # checked against the measured exchange/sync phases
+        import statistics
+        probes = {}
+        for label, size in (("8B", 2), ("16kB", 4096)):
+            buf = np.zeros((size,), np.float32)
+            ts = []
+            for _ in range(20):
+                t0 = time.time()
+                _allgather(buf)
+                ts.append(time.time() - t0)
+            probes[label] = statistics.median(ts)
+        results["collective_latency_s"] = probes
     if a.grow and a.algorithm == "default":
         # incremental phase: extend the warm fixture's graph and re-solve
         # with old_tree= — recycling must engage across the partition
@@ -1277,7 +1359,9 @@ def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
                      timeout: float = 600.0,
                      algorithm: str = "default",
                      grow: int = 0, fail_clique: int = -1,
-                     use_joint: bool = False) -> List[dict]:
+                     use_joint: bool = False,
+                     mesh: bool = False,
+                     batch_min_width: int = 0) -> List[dict]:
     """Spawn ``n_procs`` localhost CPU processes that jointly solve the
     fixture with :func:`solve_tree_multihost`; returns each process's JSON
     report.  This is the CPU dryrun of the multi-host path (the reference's
@@ -1316,7 +1400,10 @@ def launch_multihost(n_procs: int, fixture: str = "anchored_forest",
              "--port", str(port), "--fixture", fixture,
              "--scale", str(scale), "--algorithm", algorithm,
              "--grow", str(grow), "--fail-clique", str(fail_clique),
-             "--out", out] + (["--use-joint"] if use_joint else []),
+             "--out", out] + (["--use-joint"] if use_joint else [])
+            + (["--mesh"] if mesh else [])
+            + (["--batch-min-width", str(batch_min_width)]
+               if batch_min_width > 0 else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     reports, errors = [], []
     for pid, p in enumerate(procs):

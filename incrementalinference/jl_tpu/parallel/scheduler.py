@@ -494,14 +494,20 @@ def _build_chain_plan(sub: FactorGraph, clique: Clique,
 
 def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
                        direct: List[str], iter_vars: List[str],
-                       solve_key: str = "default") -> bool:
+                       solve_key: str = "default", mesh=None) -> bool:
     """Whole-clique Gibbs schedule as ONE jitted dispatch
     (ops/fused.py:_fused_chain_fn).  The sequential path costs one device
     dispatch per variable update (~dozens per clique); here the full
     schedule — direct vars once, iter vars × gibbs_iters — is a single
     XLA program cached per clique-structure signature.  Returns False when
     the clique's structure needs the general path (mixed particle counts,
-    factors reaching outside the clique store)."""
+    factors reaching outside the clique store).
+
+    ``mesh``: shard the PARTICLE axis of the clique store across the
+    device mesh (GSPMD partitions the chain program; the N² belief-product
+    weight matrices row-shard, elementwise/vmapped work splits evenly).
+    This is the narrow-level multi-device axis — one clique, many chips —
+    complementing the wide-level clique-batch axis (VERDICT r4 item #3)."""
     from ..ops.graphops import _ipc_of
 
     params = sub.params
@@ -516,6 +522,15 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
                           for fls in plan.direct_labels)
     models_iter = tuple(tuple(device_model(sub.factor(fl)) for fl in fls)
                         for fls in plan.iter_labels)
+
+    if mesh is not None:
+        ndev = int(mesh.devices.size)
+        if all(p.shape[0] % ndev == 0 for p in store):
+            from jax.sharding import NamedSharding, PartitionSpec
+            sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            store = [jax.device_put(p, sh) for p in store]
+        # non-divisible N: run unsharded (the program is identical either
+        # way; sharding is a pure placement hint)
 
     # a fused whole-clique program can exceed HBM at very large N (the
     # schedule's live buffers all coexist in one program; observed OOM at
@@ -541,6 +556,17 @@ def _gibbs_solve_chain(sub: FactorGraph, clique: Clique,
         sub.set_belief(live[li], new_store[li], solve_key=solve_key,
                        bw=bw_of[li], ipc=_ipc_of(masks))
     return True
+
+
+def _particle_mesh(params, mesh):
+    """Resolve the width-aware distribution policy for a clique that is
+    NOT in a batched level: particle-shard it across ``mesh`` unless
+    ``SolverParams.shard_particles`` disables the axis (VERDICT r4 item
+    #3 — narrow levels previously got nothing from a device mesh)."""
+    if mesh is None:
+        return None
+    sp = getattr(params, "shard_particles", "auto")
+    return mesh if sp in (True, "auto") else None
 
 
 def _use_sweep(params) -> bool:
@@ -710,10 +736,13 @@ def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
                     child_msgs: List[LikelihoodMessage],
                     solve_key: str = "default",
                     trace: Optional[CliqueTrace] = None,
-                    device=None) -> LikelihoodMessage:
+                    device=None, mesh=None) -> LikelihoodMessage:
     """One clique up-solve (reference CSM states 2a-2e: preUpSolve_ →
     solveUp_ → postUpSolve_, CliqueStateMachine.jl:275-600, with the Gibbs
-    body of upGibbsCliqueDensity, SolveTree.jl:164-239)."""
+    body of upGibbsCliqueDensity, SolveTree.jl:164-239).
+
+    ``mesh``: particle-shard this clique's fused chain across the device
+    mesh (the narrow-level multi-device axis; see _gibbs_solve_chain)."""
     params = fg.params
     t = trace or CliqueTrace(clique.cid)
 
@@ -757,7 +786,7 @@ def up_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
     # direct-frontal-msg → msgskip → itervars ×gibbsIters → direct priors)
     solvable = [v for v in clique.direct_vars]
     fused = _use_chain(params) and _gibbs_solve_chain(
-        sub, clique, solvable, clique.iter_vars, solve_key)
+        sub, clique, solvable, clique.iter_vars, solve_key, mesh=mesh)
     if not fused:
         _gibbs_solve(sub, clique, solvable, 1, solve_key)
         if clique.iter_vars:
@@ -777,7 +806,7 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
                       down_msg: Optional[LikelihoodMessage],
                       solve_key: str = "default",
                       child_msgs: Optional[List[LikelihoodMessage]] = None,
-                      trace: Optional[CliqueTrace] = None
+                      trace: Optional[CliqueTrace] = None, mesh=None
                       ) -> Dict[int, LikelihoodMessage]:
     """One clique down-solve (reference CSM states 4a-4d; frontal products
     of solveCliqDownFrontalProducts!, CliqStateMachineUtils.jl:479-571).
@@ -868,7 +897,7 @@ def down_solve_clique(fg: FactorGraph, tree: BayesTree, clique: Clique,
     iter_frontals = [v for v in clique.iter_vars if v in clique.frontals]
     direct_frontals = [v for v in clique.frontals if v not in iter_frontals]
     fused = _use_chain(params) and _gibbs_solve_chain(
-        sub, clique, direct_frontals, iter_frontals, solve_key)
+        sub, clique, direct_frontals, iter_frontals, solve_key, mesh=mesh)
     if not fused:
         _gibbs_solve(sub, clique, direct_frontals, 1, solve_key)
         if iter_frontals:
@@ -994,8 +1023,12 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                                 c.cid for c in segments[cid])
                             continue
                     try:
+                        # width-aware policy (VERDICT r4 item #3): narrow
+                        # (unbatched) levels use the PARTICLE-sharding
+                        # axis; wide levels above use clique batching
                         up_msgs[cid] = up_solve_clique(
-                            fg, tree, cl, child_msgs, solve_key, trace=tr)
+                            fg, tree, cl, child_msgs, solve_key, trace=tr,
+                            mesh=_particle_mesh(fg.params, mesh))
                     except Exception as e:          # noqa: BLE001
                         cl.status = CliqStatus.ERROR_STATUS
                         tr.log("error", str(e))
@@ -1073,7 +1106,8 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                 try:
                     up_msgs[cid] = up_solve_clique(
                         fg, tree, cl, child_msgs, solve_key, trace=tr,
-                        device=dev_of.get(cid))
+                        device=dev_of.get(cid),
+                        mesh=_particle_mesh(fg.params, mesh))
                 except Exception as e:          # noqa: BLE001
                     cl.status = CliqStatus.ERROR_STATUS
                     tr.log("error", str(e))
@@ -1178,7 +1212,8 @@ def solve_tree_sweeps(fg: FactorGraph, tree: BayesTree,
                     wf["down_solves"] += 1
                     out = down_solve_clique(
                         fg, tree, cl, down_msgs.get(cid), solve_key,
-                        child_msgs=child_up, trace=tr)
+                        child_msgs=child_up, trace=tr,
+                        mesh=_particle_mesh(fg.params, mesh))
                     down_msgs.update(out)
                     if getattr(cl, "down_inited", False):
                         down_inited.add(cid)

@@ -459,3 +459,54 @@ class TestSE2Distributed:
             assert r["warm"]["max_err"] < 0.8, r["warm"]["max_err"]
         assert abs(reps[0]["warm"]["max_err"]
                    - reps[1]["warm"]["max_err"]) < 1e-6
+
+
+class TestProcessDeviceComposition:
+    """Round-5 (VERDICT r4 item #2): subtree partition ACROSS processes
+    composed with each process's own device mesh (the reference's
+    workers x threads composition, SolveTree.jl:4-19 +
+    ParametricUtils.jl:446-483)."""
+
+    def test_two_process_two_device_mesh_parity(self):
+        reps = launch_multihost(2, "anchored_forest", scale=6,
+                                devices_per_proc=2, timeout=900,
+                                mesh=True)
+        assert len(reps) == 2
+        truth = fixture_truth("anchored_forest", 6)
+        fg = build_fixture("anchored_forest", 6)
+        solve_tree_multihost(fg)
+        single_errs = [abs(float(np.asarray(fg.points(v))[:, 0].mean()) - mu)
+                       for v, mu in truth.items()]
+        bar = max(1.0, 3.0 * max(single_errs))
+        for r in reps:
+            assert r["mesh_devices"] == 2     # local mesh per process
+            assert r["devices"] == 4          # global runtime unchanged
+            for phase in ("cold", "warm"):
+                assert r[phase]["max_err"] < bar, (r["pid"], phase,
+                                                   r[phase]["max_err"])
+        assert abs(reps[0]["warm"]["max_err"]
+                   - reps[1]["warm"]["max_err"]) < 1e-6
+
+    def test_two_process_four_device_mesh_wide_forest(self):
+        """2 procs x 4 virtual devices each — the dryrun_multichip-style
+        process x device variant: wide owned levels engage the local
+        batched clique-sharded solve (batch_min_width=3 so each process's
+        4 owned forest branches batch; scale stays small because the
+        4-partition stacked compiles are minutes-slow on this 2-core
+        CPU rig at larger widths)."""
+        reps = launch_multihost(2, "forest", scale=8,
+                                devices_per_proc=4, timeout=900,
+                                mesh=True, batch_min_width=3)
+        truth = fixture_truth("forest", 8)
+        fg = build_fixture("forest", 8)
+        solve_tree_multihost(fg)
+        single_errs = [abs(float(np.asarray(fg.points(v))[:, 0].mean()) - mu)
+                       for v, mu in truth.items()]
+        bar = max(1.0, 3.0 * max(single_errs))
+        for r in reps:
+            assert r["mesh_devices"] == 4
+            for phase in ("cold", "warm"):
+                assert r[phase]["max_err"] < bar, (r["pid"], phase,
+                                                   r[phase]["max_err"])
+        assert abs(reps[0]["warm"]["max_err"]
+                   - reps[1]["warm"]["max_err"]) < 1e-6

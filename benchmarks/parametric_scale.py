@@ -24,27 +24,38 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np  # noqa: E402
 
 
-def _row(name, build, truth_of, n_solves=3):
+def _row(name, build, truth_of, n_solves=3, autoinit=False):
     from incrementalinference.jl_tpu.parametric import solve_graph_parametric
-    from incrementalinference.jl_tpu.parametric.solver import ParametricProblem
+    from incrementalinference.jl_tpu.parametric.solver import (
+        ParametricProblem, autoinit_parametric)
 
     fg = build()
     prob = ParametricProblem(fg)
     D = prob.total_dof
+
+    def solve(fg):
+        if autoinit:
+            # long nonlinear chains (SE(3)) need the reference's
+            # autoinitParametric! pass first: batch LM from identity
+            # diverges once the chain curls far from the linearization
+            autoinit_parametric(fg)
+        solve_graph_parametric(fg)
+
     t0 = time.time()
-    solve_graph_parametric(fg)
+    solve(fg)
     cold = time.time() - t0
     walls = []
     for _ in range(n_solves):
         fg = build()
         t0 = time.time()
-        solve_graph_parametric(fg)
+        solve(fg)
         jax.block_until_ready(fg.var(fg.ls()[0]).parametric_point)
         walls.append(time.time() - t0)
     errs = truth_of(fg)
     print(f"# {name}: D={D} dof, dense H {D*D*4/1e6:.1f} MB, "
           f"cold {cold:.2f}s, warm {min(walls):.3f}s (median "
-          f"{sorted(walls)[len(walls)//2]:.3f}), max err {max(errs):.4f}",
+          f"{sorted(walls)[len(walls)//2]:.3f}), max err {max(errs):.4f}"
+          f"{' [autoinit+solve]' if autoinit else ''}",
           flush=True)
 
 
@@ -110,7 +121,8 @@ CASES = {
     "linestep1000": lambda: _row("LineStep(1000) parametric",
                                  *linestep(1000)),
     "se3chain200": lambda: _row("SE(3) chain 200 poses parametric",
-                                *se3_chain(200), n_solves=2),
+                                *se3_chain(200), n_solves=2,
+                                autoinit=True),
 }
 
 

@@ -75,11 +75,8 @@ def main(N):
           lambda m, k: pair_product_tangent(m, prec, y, prec, k, N)[0], x)
     if N >= 768:
         timed("condense_mixture",
-              lambda m, k: condense_mixture(m, prec, k,
-                                            k_clusters=None)[0][:N]
-              if False else
-              condense_mixture(m, prec, k, k=min(CONDENSE_K, N))[0].sum()
-              + m, x)
+              lambda m, k: condense_mixture(
+                  m, prec, k, k=min(CONDENSE_K, N))[0].sum() + m, x)
 
     # full update via the production path: 1 grouped pair of linear convs
     upd = _make_update(man, (spec_cf, spec_cf), ((True,), (True,)), N)

@@ -674,13 +674,22 @@ class ParametricProblem:
     # -- LM solve ---------------------------------------------------------
     def solve(self, x0: Optional[jnp.ndarray] = None, max_iters: int = 50,
               relinearize: int = 2, lam0: float = 1e-4,
-              tol: float = 1e-8, compute_cov: bool = True):
+              tol: float = 1e-8, compute_cov: bool = True,
+              solver: str = "dense"):
         """Retract-and-relinearize rounds around one fully jitted step.
 
         The problem itself is a registered pytree whose static aux is only
         the bucket layout, so the jitted step/cov functions are shared
         across all problems with matching buckets — per-clique sweeps,
-        autoinit, and growing graphs reuse one compilation."""
+        autoinit, and growing graphs reuse one compilation.
+
+        ``solver``: "dense" assembles H = JᵀJ explicitly (the measured
+        default — fine to D well beyond the reference's scales, BASELINE
+        round-5 "Parametric at scale"); "cg" is the matrix-free path for
+        very large D: LM steps solve (JᵀJ + λI)x = Jᵀr by conjugate
+        gradients on jvp/vjp products, never materializing J or H (the
+        role of the reference's sparse-Jacobian machinery,
+        ParametricManopt.jl:153-231)."""
         x = jnp.zeros((self.total_dof,)) if x0 is None else x0
         # one jitted dispatch for the type-bucket stacking (the eager
         # _p0_stacked route costs ~vars eager dispatches per solve)
@@ -690,7 +699,7 @@ class ParametricProblem:
         cost = jnp.inf
         for _ in range(max(relinearize, 1)):
             p0s, cost = _solve_step(self, x, p0s, max_iters=max_iters,
-                                    lam0=lam0, tol=tol)
+                                    lam0=lam0, tol=tol, solver=solver)
             x = jnp.zeros_like(x)
 
         # write back linearization points (un-pad per type block as ONE
@@ -760,15 +769,19 @@ jax.tree_util.register_pytree_node(ParametricProblem, _prob_flatten,
 
 
 def _solve_step_impl(prob: "ParametricProblem", x: jnp.ndarray, p0s,
-                     max_iters: int, lam0: float, tol: float):
-    x, cost = _lm_core(prob, x, p0s, max_iters, lam0, tol)
+                     max_iters: int, lam0: float, tol: float,
+                     solver: str = "dense"):
+    core = _lm_core_cg if solver == "cg" else _lm_core
+    x, cost = core(prob, x, p0s, max_iters, lam0, tol)
     return prob._retract_stacked(x, p0s), cost
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "lam0", "tol"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "lam0", "tol",
+                                             "solver"))
 def _solve_step(prob: "ParametricProblem", x: jnp.ndarray, p0s,
-                max_iters: int = 50, lam0: float = 1e-4, tol: float = 1e-8):
-    return _solve_step_impl(prob, x, p0s, max_iters, lam0, tol)
+                max_iters: int = 50, lam0: float = 1e-4, tol: float = 1e-8,
+                solver: str = "dense"):
+    return _solve_step_impl(prob, x, p0s, max_iters, lam0, tol, solver)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "lam0", "tol",
@@ -1036,6 +1049,58 @@ def _lm_core(prob: ParametricProblem, x0: jnp.ndarray, p0s,
     return x, c
 
 
+def _lm_core_cg(prob: ParametricProblem, x0: jnp.ndarray, p0s,
+                max_iters: int, lam0: float, tol: float,
+                cg_iters: int = 200):
+    """Matrix-free LM: each step solves (JᵀJ + λI)s = Jᵀr by conjugate
+    gradients on jvp/vjp products of the stacked residual function —
+    J and H are never materialized, so memory is O(D + residuals)
+    instead of O(D²) (the role of the reference's sparse-coloring
+    Jacobian, ParametricManopt.jl:153-231, :257-278; here the sparsity
+    is exploited implicitly through the residual graph structure).
+
+    Classic Levenberg damping (λI, not λ·diag(H): the Marquardt diagonal
+    would itself cost a J materialization); frozen/padded coordinates
+    decouple through the same mask algebra as the dense core."""
+
+    m = prob.free_mask
+
+    def residuals(x):
+        return prob.residuals(x, p0s)
+
+    def cost(x):
+        r = residuals(x)
+        return 0.5 * jnp.sum(r * r)
+
+    def body(carry):
+        x, lam, c, it, done = carry
+        r, vjp = jax.vjp(residuals, x)
+        g = m * vjp(r)[0]
+
+        def Hmv(v):
+            vm = m * v
+            _, Jv = jax.jvp(residuals, (x,), (vm,))
+            return m * vjp(Jv)[0] + (1.0 - m) * v + lam * v
+
+        step, _ = jax.scipy.sparse.linalg.cg(Hmv, g, maxiter=cg_iters,
+                                             tol=1e-12)
+        x_new = x - step * m
+        c_new = cost(x_new)
+        improve = c_new < c
+        x = jnp.where(improve, x_new, x)
+        lam = jnp.where(improve, jnp.maximum(lam * 0.3, 1e-10), lam * 8.0)
+        done = jnp.abs(c - c_new) < tol * jnp.maximum(c, 1.0)
+        return (x, lam, jnp.where(improve, c_new, c), it + 1, done)
+
+    def cond(carry):
+        _, lam, _, it, done = carry
+        return (it < max_iters) & (~done) & (lam < 1e8)
+
+    x, _, c, _, _ = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(lam0), cost(x0), 0, False))
+    return x, c
+
+
 # ---------------------------------------------------------------------------
 # public API (reference solveGraphParametric!, solveConditionalsParametric)
 # ---------------------------------------------------------------------------
@@ -1063,12 +1128,20 @@ def _write_back(fg: FactorGraph, prob: ParametricProblem, points, cov,
 
 def solve_graph_parametric(fg: FactorGraph, max_iters: int = 50,
                            relinearize: int = 2,
-                           init_from_belief: bool = True) -> Dict[str, dict]:
+                           init_from_belief: bool = True,
+                           solver: str = "dense",
+                           compute_cov: bool = True) -> Dict[str, dict]:
     """Full-graph batch parametric solve (reference solveGraphParametric! =
-    RLM entry, ParametricManopt.jl:588-613)."""
+    RLM entry, ParametricManopt.jl:588-613).
+
+    ``solver="cg"``: matrix-free LM for very large graphs (no dense
+    J/H materialization — see ParametricProblem.solve); pair with
+    ``compute_cov=False`` since the covariance is itself dense (JᵀJ)⁻¹."""
     prob = ParametricProblem(fg)
     points, cov, cost = prob.solve(max_iters=max_iters,
-                                   relinearize=relinearize)
+                                   relinearize=relinearize,
+                                   compute_cov=compute_cov,
+                                   solver=solver)
     result = _write_back(fg, prob, points, cov)
     # lazy device scalar: float() here would force a device->host sync per
     # solve (over a tunneled TPU a blocking transfer costs seconds to

@@ -349,3 +349,26 @@ def test_batched_grouping_keys_on_real_layout():
     for i in range(6):
         assert abs(float(jnp.ravel(pts_b[i])[0]) - 10.0 * i) < 0.5
     assert len(pa.p0) == 5 and len(pb.p0) == 6
+
+
+def test_cg_solver_matches_dense():
+    """Matrix-free LM (solver="cg": jvp/vjp CG on the normal equations,
+    no dense J/H — the reference's sparse-Jacobian role,
+    ParametricManopt.jl:153-231) must reproduce the dense solve."""
+    import numpy as np
+
+    from incrementalinference.jl_tpu.canonical import generate_line_step
+    from incrementalinference.jl_tpu.parametric.solver import (
+        solve_graph_parametric)
+
+    fg_d = generate_line_step(60, graphinit=False)
+    solve_graph_parametric(fg_d)
+    fg_c = generate_line_step(60, graphinit=False)
+    solve_graph_parametric(fg_c, solver="cg", compute_cov=False)
+    for v in fg_d.ls():
+        a = np.asarray(fg_d.var(v).parametric_point)
+        b = np.asarray(fg_c.var(v).parametric_point)
+        assert np.allclose(a, b, atol=1e-2), (v, a, b)
+        # exactness vs ground truth too (pose id == position)
+        i = int(v[1:]) if v.startswith("x") else int(v[2:])
+        assert abs(float(b.ravel()[0]) - i) < 1e-2, (v, b)

@@ -64,6 +64,14 @@ def _sqrt_inv_stacked(covs: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(_sqrt_inv)(covs)
 
 
+@jax.jit
+def _sqrt_inv_masked(covs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Whitening + pad-row zeroing in ONE dispatch — the trailing eager
+    multiply was the last per-group eager op on the warm parametric path
+    (tests/test_dispatch_budget.py)."""
+    return jax.vmap(_sqrt_inv)(covs) * mask
+
+
 # geometric size buckets (~×1.4) with a floor of 4: padding waste ≤ ~40%,
 # O(log n) distinct compiled programs as a graph grows (the floor makes
 # tiny problems — autoinit conditionals, small cliques — share one shape)
@@ -421,9 +429,10 @@ class ParametricProblem:
                 ws, mus, cs = zip(*(f.model.mixture_mean_cov() for f in fs))
                 covs = pstack(cs)                        # (Fb, C, z, z)
                 C_ = covs.shape[1]
-                sqis = _sqrt_inv_stacked(
-                    covs.reshape(fb * C_, *covs.shape[2:])
-                ).reshape(covs.shape) * pad_mask[:, :, :, None]
+                sqis = _sqrt_inv_masked(
+                    covs.reshape(fb * C_, *covs.shape[2:]),
+                    np.repeat(pad_mask, C_, axis=0)     # host-side numpy
+                ).reshape(covs.shape)
                 mix = (pstack(ws), pstack(mus), sqis)
                 # meas/sqrt_inv unused on the mixture path (per-component
                 # mus/whiteners live in ``mix``)
@@ -431,7 +440,7 @@ class ParametricProblem:
                 sqi = mix[2][:, 0]
             else:
                 meas = meas_s
-                sqi = _sqrt_inv_stacked(covs_s) * pad_mask
+                sqi = _sqrt_inv_masked(covs_s, pad_mask)
             np_null = np.asarray([f.nullhypo for f in fs], np.float32)
             null_p = jnp.asarray(np.concatenate([np_null,
                                                  np.zeros(pad, np.float32)])

@@ -107,10 +107,11 @@ def test_parametric_resolve_eager_budget():
     solve_tree(fg, algorithm="parametric")        # warm plans + jits
     with _EagerCounter() as c:
         solve_tree(fg, algorithm="parametric")
-    # measured count is 8 with the real (round-5) counter (2026-08-21);
-    # the pre-batching count was ~60+ eager ops per clique solve at this
-    # size.
-    assert c.count <= 12, (
+    # measured count is 0 with the real (round-5) counter (2026-08-21,
+    # after folding the per-group whitening pad-mask multiply into the
+    # jitted _sqrt_inv_masked); the pre-batching count was ~60+ eager ops
+    # per clique solve at this size.
+    assert c.count <= 8, (
         f"warm parametric re-solve ran {c.count} eager dispatches — "
         "input/output batching regressed (see solver.py _batch_prep)")
 

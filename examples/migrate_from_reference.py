@@ -15,6 +15,7 @@ Run: PYTHONPATH=.:$PYTHONPATH python examples/migrate_from_reference.py
 
 import os
 import sys
+import tempfile
 
 import jax
 
@@ -27,7 +28,8 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 import numpy as np  # noqa: E402
 
 from incrementalinference.jl_tpu import solve_tree  # noqa: E402
-from incrementalinference.jl_tpu.serialization import load_dfg_archive  # noqa: E402
+from incrementalinference.jl_tpu.serialization import (  # noqa: E402
+    load_dfg_archive, save_dfg_archive)
 
 # the repo ships a golden archive matching the reference's packed structs
 # (tests/fixtures/dfg_archive); pass your own saveDFG tar.gz instead
@@ -51,6 +53,16 @@ def main() -> None:
     for v in sorted(fg.ls()):
         mu = np.asarray(fg.points(v)).mean(axis=0)
         print(f"  {v}: {np.round(mu, 2)}")
+
+    # migrating back (or exchanging with a running Caesar stack):
+    # save_dfg_archive writes the same saveDFG layout, solved beliefs
+    # included, so the reference's loadDFG (or load_dfg_archive here)
+    # can pick the session back up
+    out = os.path.join(tempfile.gettempdir(), "migrated_back.tar.gz")
+    save_dfg_archive(fg, out)
+    fg2 = load_dfg_archive(out)
+    print(f"round-trip: wrote {out}, re-imported "
+          f"{len(fg2.ls())} variables / {len(fg2.lsf())} factors")
 
 
 if __name__ == "__main__":

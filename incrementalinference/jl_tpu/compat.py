@@ -223,12 +223,14 @@ class _RelativeMeta(type):
                 and not getattr(obj, "is_prior", False))
 
     def __subclasscheck__(cls, sub):
+        if sub is cls or (isinstance(sub, type)
+                          and isinstance(sub, _RelativeMeta)):
+            return True                      # reflexivity (+ aliases)
         if not (isinstance(sub, type) and issubclass(sub, _FactorModel)):
             return False
-        # plain class attribute True ⇒ statically a prior; a property
+        # class-level is_prior True ⇒ statically a prior; a property
         # (e.g. Mixture, whose prior-ness is per-instance) stays eligible
-        return sub.__dict__.get("is_prior", None) is not True and \
-            getattr(sub, "is_prior", False) is not True
+        return getattr(sub, "is_prior", False) is not True
 
 
 class AbstractRelative(metaclass=_RelativeMeta):

@@ -494,6 +494,7 @@ def solve_tree_multihost(fg, order=None, solve_key: str = "default",
             # narrow ones fall through to per-clique solves with particle
             # sharding (the same width-aware policy as solve_tree_sweeps)
             if (mesh is not None and len(act) >= min_width
+                    and bool(getattr(fg.params, "batch_cliques", False))
                     and not fail_cliques):
                 from .scheduler import up_solve_level
                 cls = [tree.clique(c) for c in act]
@@ -1252,8 +1253,16 @@ def _worker_main(argv=None) -> None:
                 graphinit=(a.fixture not in ("chain_end_prior",
                                              "anchored_forest_noinit")))
         if a.batch_min_width > 0:
-            p = (p or SolverParams(N=64)).replace(
-                batch_min_width=a.batch_min_width, batch_cliques="auto")
+            if p is None:
+                # preserve the per-fixture graphinit contract the
+                # use_joint branch encodes (no-init fixtures must not
+                # silently run graph init just because this flag is set)
+                p = SolverParams(
+                    N=64,
+                    graphinit=(a.fixture not in ("chain_end_prior",
+                                                 "anchored_forest_noinit")))
+            p = p.replace(batch_min_width=a.batch_min_width,
+                          batch_cliques="auto")
         return p
 
     def solve_and_report(fg, tree_in=None):

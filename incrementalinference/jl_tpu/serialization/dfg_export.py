@@ -162,15 +162,13 @@ def _pack_dfg_factor_model(model, vartype_name: str):
                  "Z": _pack_dfg_distribution(model.Z, vartype_name),
                  "partials": [int(i) + 1 for i in model.partial]},  # 1-based
                 fnctype)
-    fnc = {"_type": fnctype,
-           "Z": _pack_dfg_distribution(model.Z, vartype_name)}
-    if cls == "EuclidDistance":
-        # reference PackedEuclidDistance carries a leading _type field
-        # ("/application/JuliaLang/PackedSamplableBelief",
-        # src/Factors/EuclidDistance.jl:30-38); keep the packed-struct
-        # name in _type for symmetric re-import
-        pass
-    return fnc, fnctype
+    # NOTE: the reference's PackedEuclidDistance declares a quirky leading
+    # _type of "/application/JuliaLang/PackedSamplableBelief"
+    # (src/Factors/EuclidDistance.jl:30-38); this export keeps the
+    # packed-struct NAME in _type instead — the reference dispatches on
+    # the node-level fnctype, and the symmetric re-import here reads it
+    return ({"_type": fnctype,
+             "Z": _pack_dfg_distribution(model.Z, vartype_name)}, fnctype)
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +193,7 @@ def _variable_json(fg, var, solve_key: str) -> Dict:
     if bel is not None:
         pts = np.asarray(bel.points, np.float64)
         N, dim = pts.shape
-        sd = {"solveKey": solve_key if solve_key != "default" else "default",
+        sd = {"solveKey": solve_key,
               "vecval": _flist(pts),                     # point-major rows
               "dimval": int(dim),
               "vecbw": _flist(bel.bw) if bel.bw is not None else [],

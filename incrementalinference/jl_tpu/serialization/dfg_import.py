@@ -226,7 +226,11 @@ def _load_dfg_tree(root: str, params, n_default: int):
     for vd in _iter_node_jsons(root, "variables"):
         label = vd["label"]
         vt = _vartype_for_name(vd.get("variableType", "ContinuousScalar"))
-        tags = tuple(t.lstrip(":") for t in vd.get("tags", []))
+        # drop the node-kind marker tags DFG adds implicitly (:VARIABLE /
+        # :FACTOR): keeping them would break tag-equality round trips with
+        # graphs built here (save_dfg_archive re-adds them on the way out)
+        tags = tuple(t.lstrip(":") for t in vd.get("tags", [])
+                     if t.lstrip(":") not in ("VARIABLE", "FACTOR"))
         solver = vd.get("solverDataDict") or {}
         if not solver and vd.get("solverData"):
             solver = {sd.get("solveKey", "default"): sd
@@ -266,7 +270,8 @@ def _load_dfg_tree(root: str, params, n_default: int):
                 "solver-level SolverParams.inflation=%s instead "
                 "(per-factor inflation is not honored)",
                 label, infl, fg.params.inflation)
-        tags = tuple(t.lstrip(":") for t in fd.get("tags", []))
+        tags = tuple(t.lstrip(":") for t in fd.get("tags", [])
+                     if t.lstrip(":") not in ("VARIABLE", "FACTOR"))
         fg.add_factor(order, model, multihypo=multihypo,
                       nullhypo=nullhypo, label=label, tags=tags,
                       solvable=int(fd.get("solvable", 1)),

@@ -253,3 +253,12 @@ def test_reference_type_aliases_and_ls2():
                   graphinit=False)
     assert fgos.ls2(fg, "b") == ["a", "c"]
     assert fgos.ls2(fg, "a") == ["b"]
+
+
+def test_abstract_relative_reflexive():
+    """issubclass must be reflexive on the virtual base itself (a type
+    table that includes the abstract marker walks through it)."""
+    from incrementalinference.jl_tpu import compat
+    assert issubclass(compat.AbstractRelative, compat.AbstractRelative)
+    assert issubclass(compat.AbstractRelativeMinimize,
+                      compat.AbstractRelative)

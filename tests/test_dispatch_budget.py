@@ -79,8 +79,9 @@ def test_eager_counter_sees_eager_ops():
     with _EagerCounter() as c:
         (jnp.arange(4.0) + 1.0).block_until_ready()
     assert c.count > 0, (
-        "eager jnp.add did not pass through jax._src.dispatch."
-        "apply_primitive — the eager entry point moved; fix _EagerCounter")
+        "eager work bypassed both EvalTrace.process_primitive and "
+        "jnp.ufunc.__call__ — the eager entry points moved again; "
+        "re-bisect and update _EagerCounter")
 
 
 def _wide_forest(params, branches=8):

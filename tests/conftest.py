@@ -37,7 +37,9 @@ jax.config.update("jax_enable_x64", False)
 # skip XLA recompilation.  Dedicated dir: executables compiled by
 # axon-coupled processes abort here (machine-feature mismatch) — never
 # share caches across configs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-pytest")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("IITPU_PYTEST_CACHE_DIR",
+                                 "/tmp/jaxcache-pytest"))
 # keep only the jit-level cache: XLA:CPU AOT entries are machine-feature
 # sensitive and poison across process configurations (SIGILL risk)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
@@ -89,9 +91,22 @@ def pytest_cmdline_main(config):
     for path in files:
         name = os.path.basename(path)
         for attempt in range(3):
+            run_env = env
+            if attempt == 2:
+                # the retry-convergence assumption (shared jit cache makes
+                # the third run cheap) breaks when the cache dir holds
+                # POISONED entries (e.g. written by an axon-coupled
+                # process with different machine features — they fail to
+                # load, force recompiles, and re-trip the XLA:CPU
+                # code-volume abort).  Last attempt: a private fresh
+                # cache dir for this child.
+                import tempfile
+                run_env = dict(env)
+                run_env["IITPU_PYTEST_CACHE_DIR"] = tempfile.mkdtemp(
+                    prefix="jaxcache-retry-")
             r = subprocess.run(
                 [sys.executable, "-m", "pytest", path, "-q", *flags_],
-                env=env, capture_output=True, text=True)
+                env=run_env, capture_output=True, text=True)
             tail = (r.stdout or "")[-4000:]
             counts = {v: int(k) for k, v in
                       re.findall(r"(\d+) (passed|failed|skipped|errors?)",
